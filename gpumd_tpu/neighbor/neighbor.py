@@ -1,0 +1,297 @@
+"""Statically-shaped neighbor lists under jit.
+
+The reference builds an O(N) cell list with atomic bin counts + a thrust
+prefix sum + a 5^3 stencil gather (ref: src/force/neighbor.cu:42-220), and a
+brute-force expanded-box path for boxes thinner than 2*rc
+(ref: src/force/nep.cu:1141+, nep_small_box.cuh).
+
+TPU-native redesign: everything is static-shape and sort-based.
+
+  * `neighbor_brute`: all-pairs x periodic-images, for small N (training
+    structures, test fixtures).  O(N^2 * n_images) but fully vectorized.
+  * `neighbor_cell_list`: sort-by-cell binning (replaces atomics+scan),
+    3^3 stencil over rc-sized cells, per-cell static capacity, top_k
+    compaction to MN slots.  O(N * 27 * cell_cap).
+
+Both return a `NeighborList` with a fixed (N, MN) layout:
+  idx   : int32 neighbor atom index, padded with the atom's own index
+  r12   : (N, MN, 3) displacement r_j + shift - r_i (image-resolved)
+  mask  : (N, MN) 1.0 where the slot holds a real neighbor within rc
+
+Padded slots point at self with a huge displacement so smooth-cutoff
+potentials contribute exactly zero without extra branching; `mask` is
+there for potentials with hard cutoffs (LJ).
+
+Overflow policy: the builders also return `max_occupancy` so callers can
+checkify/assert MN was large enough (the reference aborts; we surface a
+flag that tests assert on).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.model.box import Box
+
+# Displacement magnitude parked on padded slots; far outside any cutoff.
+_FAR = 1.0e5
+
+
+class NeighborList(NamedTuple):
+    idx: jnp.ndarray  # (N, MN) int32
+    r12: jnp.ndarray  # (N, MN, 3)
+    mask: jnp.ndarray  # (N, MN)
+    count: jnp.ndarray  # (N,) int32 true neighbor count (pre-cap)
+
+    @property
+    def max_neighbors(self) -> int:
+        return self.idx.shape[1]
+
+    def overflowed(self):
+        """True if any atom had more neighbors than MN slots."""
+        return jnp.any(self.count > self.max_neighbors)
+
+
+def _image_shifts(reps: Sequence[int], dtype) -> np.ndarray:
+    """Enumerate integer image shifts [-m, m]^3 as an (n_img, 3) array with
+    the zero shift first (host-side, static)."""
+    rx, ry, rz = reps
+    shifts = [
+        (i, j, k)
+        for i in range(-rx, rx + 1)
+        for j in range(-ry, ry + 1)
+        for k in range(-rz, rz + 1)
+    ]
+    shifts.sort(key=lambda s: (s != (0, 0, 0),))  # zero image first
+    return np.asarray(shifts, dtype=dtype)
+
+
+def _compact_rows(valid, mn):
+    """Take up to MN valid candidates per row, preferring any valid ones.
+
+    Returns (slot_source, slot_valid): for each of MN slots the candidate
+    column index it draws from, and whether that slot is real.
+    Uses top_k on a key that ranks valid candidates first (by column order,
+    keeping deterministic layout), which lowers to an efficient sort on TPU.
+    """
+    n_cand = valid.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    # Valid candidates keep their column index; invalid ones get pushed
+    # past every valid one. Negate for top_k (which takes largest).
+    key = jnp.where(valid, col, n_cand + col)
+    k = min(mn, n_cand)
+    neg_key, src = jax.lax.top_k(-key, k)
+    slot_valid = (-neg_key) < n_cand
+    if k < mn:  # fewer candidates than slots: pad with invalid slots
+        pad = [(0, 0)] * (valid.ndim - 1) + [(0, mn - k)]
+        src = jnp.pad(src, pad)
+        slot_valid = jnp.pad(slot_valid, pad)
+    return src, slot_valid
+
+
+@functools.partial(jax.jit, static_argnames=("rc", "mn", "reps", "row_block"))
+def neighbor_brute(
+    position: jnp.ndarray,
+    box: Box,
+    mask: jnp.ndarray,
+    *,
+    rc: float,
+    mn: int,
+    reps: tuple = (0, 0, 0),
+    row_block: int = 512,
+) -> NeighborList:
+    """All-pairs neighbor build with periodic image enumeration.
+
+    Exact for arbitrarily small boxes given `reps` from
+    `num_replicas_for_cutoff`.  Rows are processed in static blocks so peak
+    memory is O(row_block * N * n_img) regardless of N.
+    """
+    n = position.shape[0]
+    dtype = position.dtype
+    shifts_frac = jnp.asarray(_image_shifts(reps, np.float64), dtype=dtype)
+    shifts_cart = shifts_frac @ box.h.T  # (n_img, 3)
+    n_img = shifts_cart.shape[0]
+
+    blk = min(row_block, n)
+    n_blocks = -(-n // blk)
+    n_pad_rows = n_blocks * blk
+    pos_pad = jnp.pad(position, ((0, n_pad_rows - n), (0, 0)))
+    row_ids = jnp.arange(n_pad_rows).reshape(n_blocks, blk)
+
+    def one_block(rows):
+        ri = pos_pad[rows]  # (blk, 3)
+        rij = position[None, :, :] - ri[:, None, :]  # (blk, N, 3) j - i
+        rij = box.minimum_image(rij)
+        rij_all = rij[:, :, None, :] + shifts_cart[None, None, :, :]
+        d2 = jnp.sum(rij_all**2, axis=-1)  # (blk, N, n_img)
+
+        row_real = (rows < n) & (jnp.where(rows < n, mask[jnp.minimum(rows, n - 1)], 0.0) > 0)
+        pair = row_real[:, None] & (mask[None, :] > 0)
+        is_self = (rows[:, None] == jnp.arange(n)[None, :])[:, :, None] & (
+            jnp.arange(n_img) == 0
+        )[None, None, :]
+        valid = (d2 < rc * rc) & pair[:, :, None] & ~is_self
+
+        valid2 = valid.reshape(blk, n * n_img)
+        cnt = jnp.sum(valid2, axis=-1).astype(jnp.int32)
+        src, slot_valid = _compact_rows(valid2, mn)
+        j_of_src = src // n_img
+        r12 = jnp.take_along_axis(
+            rij_all.reshape(blk, n * n_img, 3), src[:, :, None], axis=1
+        )
+        idx = jnp.where(slot_valid, j_of_src, jnp.minimum(rows, n - 1)[:, None])
+        r12 = jnp.where(slot_valid[:, :, None], r12, _FAR)
+        return idx.astype(jnp.int32), r12, slot_valid.astype(dtype), cnt
+
+    idx, r12, smask, count = jax.lax.map(one_block, row_ids)
+    return NeighborList(
+        idx=idx.reshape(n_pad_rows, mn)[:n],
+        r12=r12.reshape(n_pad_rows, mn, 3)[:n],
+        mask=smask.reshape(n_pad_rows, mn)[:n],
+        count=count.reshape(n_pad_rows)[:n],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rc", "mn", "grid", "cell_cap")
+)
+def neighbor_cell_list(
+    position: jnp.ndarray,
+    box: Box,
+    mask: jnp.ndarray,
+    *,
+    rc: float,
+    mn: int,
+    grid: tuple,
+    cell_cap: int,
+) -> NeighborList:
+    """O(N) sort-based cell-list neighbor build.
+
+    Args:
+      grid: static (nx, ny, nz) cell counts per direction; each cell must be
+        at least rc thick (host computes grid from box thickness / rc).
+        Requires nx, ny, nz >= 3 for fully periodic boxes (same constraint
+        as the reference's large-box path).
+      cell_cap: static max atoms per cell (overflow detectable via count).
+
+    Replaces the reference's atomics+prefix-sum binning with a full sort by
+    cell id — deterministic and XLA-friendly.
+    """
+    n = position.shape[0]
+    dtype = position.dtype
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    gridf = jnp.asarray([nx, ny, nz], dtype=dtype)
+
+    # Fractional coords wrapped to [0, 1) along periodic dirs.
+    s = position @ box.h_inv.T
+    s = s - jnp.floor(s) * box.pbc
+    cell_xyz = jnp.clip(jnp.floor(s * gridf).astype(jnp.int32), 0,
+                        jnp.asarray([nx - 1, ny - 1, nz - 1]))
+    cell_id = (cell_xyz[:, 2] * ny + cell_xyz[:, 1]) * nx + cell_xyz[:, 0]
+    # Padding atoms go to a virtual overflow cell so they never appear.
+    cell_id = jnp.where(mask > 0, cell_id, n_cells)
+
+    # Sort atoms by cell id (stable -> deterministic layout).
+    order = jnp.argsort(cell_id, stable=True)
+    sorted_cell = cell_id[order]
+    # Start offset of each cell in the sorted order.
+    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells + 1))
+
+    # For each atom: gather candidates from the 27 stencil cells.
+    my_cell = cell_xyz  # (N, 3)
+    offs = jnp.asarray(
+        [(i, j, k) for k in (-1, 0, 1) for j in (-1, 0, 1) for i in (-1, 0, 1)],
+        dtype=jnp.int32,
+    )  # (27, 3)
+    neigh_xyz = my_cell[:, None, :] + offs[None, :, :]  # (N, 27, 3)
+    # Wrap periodic; clamp non-periodic out-of-range to the overflow cell.
+    dims = jnp.asarray([nx, ny, nz])
+    pbc_i = box.pbc.astype(bool)
+    wrapped = jnp.mod(neigh_xyz, dims)
+    in_range = jnp.all(
+        pbc_i | ((neigh_xyz >= 0) & (neigh_xyz < dims)), axis=-1
+    )  # (N, 27)
+    ncell = (wrapped[..., 2] * ny + wrapped[..., 1]) * nx + wrapped[..., 0]
+    ncell = jnp.where(in_range, ncell, n_cells)  # overflow cell is empty
+
+    start = cell_start[ncell]  # (N, 27)
+    end = cell_start[jnp.minimum(ncell + 1, n_cells)]
+    end = jnp.where(ncell >= n_cells, start, end)
+    # Candidate slots: start + 0..cap-1, masked by slot < end.
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)
+    cand_pos_in_sorted = start[:, :, None] + slot[None, None, :]  # (N,27,cap)
+    cand_valid = cand_pos_in_sorted < end[:, :, None]
+    cand_pos_in_sorted = jnp.minimum(cand_pos_in_sorted, n - 1)
+    cand_j = order[cand_pos_in_sorted]  # (N, 27, cap) atom indices
+
+    # Displacements with MIC (cells guarantee a single image suffices).
+    rj = position[cand_j]  # (N, 27, cap, 3)
+    rij = box.minimum_image(rj - position[:, None, None, :])
+    d2 = jnp.sum(rij**2, axis=-1)
+    i_idx = jnp.arange(n)[:, None, None]
+    valid = cand_valid & (d2 < rc * rc) & (cand_j != i_idx) & (mask[:, None, None] > 0)
+
+    n_cand = 27 * cell_cap
+    valid2 = valid.reshape(n, n_cand)
+    count = jnp.sum(valid2, axis=-1).astype(jnp.int32)
+    src, slot_valid = _compact_rows(valid2, mn)
+    r12 = jnp.take_along_axis(rij.reshape(n, n_cand, 3), src[:, :, None], axis=1)
+    idx = jnp.take_along_axis(cand_j.reshape(n, n_cand), src, axis=1)
+    idx = jnp.where(slot_valid, idx, jnp.arange(n)[:, None])
+    r12 = jnp.where(slot_valid[:, :, None], r12, _FAR)
+    return NeighborList(
+        idx=idx.astype(jnp.int32),
+        r12=r12,
+        mask=slot_valid.astype(dtype),
+        count=count,
+    )
+
+
+def choose_grid(box: Box, rc: float) -> Optional[tuple]:
+    """Host-side: pick a cell grid with cells >= rc thick, or None if the box
+    is too thin for the cell-list path (use brute + images instead)."""
+    t = np.asarray(box.thickness())
+    pbc = np.asarray(box.pbc)
+    grid = []
+    for d in range(3):
+        nd = max(1, int(np.floor(float(t[d]) / rc)))
+        if pbc[d] > 0 and nd < 3:
+            return None
+        grid.append(nd)
+    return tuple(grid)
+
+
+def build_neighbor_list(
+    position,
+    box: Box,
+    mask,
+    *,
+    rc: float,
+    mn: int,
+    reps: tuple = (0, 0, 0),
+    cell_cap: Optional[int] = None,
+    force_brute: bool = False,
+) -> NeighborList:
+    """Dispatch between brute-force (small/thin boxes) and cell list.
+
+    The dispatch mirrors the reference's small-box/large-box duality
+    (ref: src/force/nep.cu:1356-1389) but on static host-side shape info.
+    """
+    n = position.shape[0]
+    grid = None if force_brute else choose_grid(box, rc)
+    if grid is None or n <= 2048:
+        return neighbor_brute(position, box, mask, rc=rc, mn=mn, reps=reps)
+    if cell_cap is None:
+        # Expected atoms per cell times a safety factor.
+        vol_cell = float(box.volume) / (grid[0] * grid[1] * grid[2])
+        density = n / float(box.volume)
+        cell_cap = max(8, int(np.ceil(density * vol_cell * 2.0)))
+    return neighbor_cell_list(
+        position, box, mask, rc=rc, mn=mn, grid=grid, cell_cap=cell_cap
+    )
