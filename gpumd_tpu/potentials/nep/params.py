@@ -1,0 +1,324 @@
+"""nep.txt parser -> static model config + parameter pytree.
+
+File format (ref: src/force/nep.cu:100-395, Appendix A.4 of SURVEY.md):
+
+  line 1:  nep{3|4|5}[_zbl][_dipole|_polarizability|_temperature|_charge{1,2,3}]
+           <num_types> <sym...>
+  [zbl rc_in rc_out [factor]]                       (if _zbl)
+  cutoff rc_radial rc_angular [per-type pairs...] MN_radial MN_angular
+  n_max  n_r n_a
+  basis_size k_r k_a
+  l_max L [q222 q1111 [q112 q123 q233 q134]]
+  ANN neurons 0
+  <one parameter per line>:
+      per type t: w0[t] (neurons x dim, row-major), b0[t] (neurons),
+                  w1[t] (neurons), [nep5: one extra per-type bias]
+      global b1
+      [polarizability: a second full ANN block]
+      descriptor c array: for basis b (radial first, then angular),
+                  num_types^2 values (type-pair minor)
+  <dim q_scaler lines>
+  [flexible-ZBL block: 10 values per type pair]
+
+Parameters are split into a NepParams pytree shaped for vectorized
+evaluation; the ANN is stored per type as stacked (T, ...) arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.elements import atomic_number
+
+
+class NepParams(NamedTuple):
+    """Trainable/loaded parameters (JAX arrays)."""
+
+    w0: jnp.ndarray  # (T, neurons, dim)
+    b0: jnp.ndarray  # (T, neurons)
+    w1: jnp.ndarray  # (T, neurons)
+    b1: jnp.ndarray  # () global output bias
+    b1_type: jnp.ndarray  # (T,) per-type bias (NEP5; zeros for NEP4)
+    c_radial: jnp.ndarray  # (T, T, n_max_r+1, basis_r+1)
+    c_angular: jnp.ndarray  # (T, T, n_max_a+1, basis_a+1)
+    q_scaler: jnp.ndarray  # (dim,)
+    # Second ANN head (polarizability models); zeros otherwise.
+    w0_pol: Optional[jnp.ndarray] = None
+    b0_pol: Optional[jnp.ndarray] = None
+    w1_pol: Optional[jnp.ndarray] = None
+    b1_pol: Optional[jnp.ndarray] = None
+    zbl_flex: Optional[jnp.ndarray] = None  # (T*(T+1)/2, 10) flexible ZBL
+
+
+@dataclass(frozen=True)
+class NepModel:
+    """Static NEP architecture descriptor (hashable; jit-static)."""
+
+    version: int  # 3 | 4 | 5
+    model_type: int  # 0 potential, 1 dipole, 2 polarizability, 3 temperature
+    num_types: int
+    symbols: tuple
+    atomic_numbers: tuple
+    rc_radial: tuple  # per-type radial cutoffs
+    rc_angular: tuple
+    mn_radial: int  # enlarged neighbor caps
+    mn_angular: int
+    n_max_radial: int
+    n_max_angular: int
+    basis_size_radial: int
+    basis_size_angular: int
+    l_max: int
+    has_q: tuple = (0, 0, 0, 0, 0, 0)  # q222, q1111, q112, q123, q233, q134
+    neurons: int = 30
+    zbl: bool = False
+    zbl_rc_inner: float = 0.0
+    zbl_rc_outer: float = 0.0
+    zbl_flexible: bool = False
+    zbl_typewise_factor: float = 0.0
+
+    @property
+    def num_l(self) -> int:
+        return self.l_max + sum(self.has_q)
+
+    @property
+    def dim_angular(self) -> int:
+        return (self.n_max_angular + 1) * self.num_l
+
+    @property
+    def dim(self) -> int:
+        d = (self.n_max_radial + 1) + self.dim_angular
+        if self.model_type == 3:
+            d += 1
+        return d
+
+    @property
+    def rc_radial_max(self) -> float:
+        return max(self.rc_radial)
+
+    @property
+    def rc_angular_max(self) -> float:
+        return max(self.rc_angular)
+
+    def num_ann_params(self) -> int:
+        if self.version == 5:
+            n = ((self.dim + 2) * self.neurons + 1) * self.num_types + 1
+        else:
+            n = (self.dim + 2) * self.neurons * self.num_types + 1
+        if self.model_type == 2:
+            n *= 2
+        return n
+
+    def num_descriptor_params(self) -> int:
+        t2 = self.num_types**2
+        return t2 * (
+            (self.n_max_radial + 1) * (self.basis_size_radial + 1)
+            + (self.n_max_angular + 1) * (self.basis_size_angular + 1)
+        )
+
+
+def _parse_header_name(name: str):
+    """First token -> (version, model_type, zbl)."""
+    parts = name.split("_")
+    if parts[0] not in ("nep3", "nep4", "nep5"):
+        raise ValueError(f"unsupported NEP model name {name!r}")
+    version = int(parts[0][3])
+    zbl = "zbl" in parts[1:]
+    model_type = 0
+    charge_mode = 0
+    for p in parts[1:]:
+        if p == "dipole":
+            model_type = 1
+        elif p == "polarizability":
+            model_type = 2
+        elif p == "temperature":
+            model_type = 3
+        elif p.startswith("charge"):
+            charge_mode = int(p[6:]) if len(p) > 6 else 1
+    return version, model_type, zbl, charge_mode
+
+
+def load_nep_txt(path: str, dtype=jnp.float32) -> Tuple[NepModel, NepParams]:
+    with open(path) as f:
+        tokens = f.read().split()
+    pos = 0
+
+    def take(k):
+        nonlocal pos
+        out = tokens[pos : pos + k]
+        pos += k
+        return out
+
+    name = take(1)[0]
+    version, model_type, zbl, charge_mode = _parse_header_name(name)
+    if charge_mode:
+        raise NotImplementedError("qNEP (charge) models: separate loader")
+    if version == 3:
+        raise NotImplementedError(
+            "nep3 files are not supported (the reference MD engine also "
+            "dropped them; re-train or convert to nep4)"
+        )
+    num_types = int(take(1)[0])
+    symbols = tuple(take(num_types))
+
+    zbl_inner = zbl_outer = 0.0
+    zbl_flexible = False
+    zbl_factor = 0.0
+    if zbl:
+        tok = take(1)[0]
+        if tok != "zbl":
+            raise ValueError(f"{path}: expected 'zbl' line, got {tok!r}")
+        zbl_inner, zbl_outer = float(take(1)[0]), float(take(1)[0])
+        if zbl_inner == 0.0 and zbl_outer == 0.0:
+            zbl_flexible = True
+        # optional typewise factor: peek — next token must be 'cutoff' else factor
+        if tokens[pos] not in ("cutoff",):
+            zbl_factor = float(take(1)[0])
+
+    tok = take(1)[0]
+    if tok != "cutoff":
+        raise ValueError(f"{path}: expected 'cutoff', got {tok!r}")
+    # Either "rc_r rc_a MN_r MN_a" or per-type pairs then MN_r MN_a.
+    # Find how many floats until 'n_max': total = 2*T + 2 or 4.
+    rest = []
+    while tokens[pos] != "n_max":
+        rest.append(take(1)[0])
+    if len(rest) == 4:
+        rc_r = (float(rest[0]),) * num_types
+        rc_a = (float(rest[1]),) * num_types
+    elif len(rest) == 2 * num_types + 2:
+        rc_r = tuple(float(rest[2 * i]) for i in range(num_types))
+        rc_a = tuple(float(rest[2 * i + 1]) for i in range(num_types))
+    else:
+        raise ValueError(f"{path}: bad cutoff line ({len(rest)} values)")
+    mn_radial_raw = int(rest[-2])
+    mn_angular_raw = int(rest[-1])
+    if mn_radial_raw > 819:
+        raise ValueError("MN_radial exceeds 819")
+    # Enlarged caps (ref: nep.cu:226-237).
+    mn_radial = int(np.ceil(mn_radial_raw * 1.25))
+    mn_angular = int(np.ceil(mn_angular_raw * 1.25))
+
+    assert take(1)[0] == "n_max"
+    n_max_r, n_max_a = int(take(1)[0]), int(take(1)[0])
+    assert take(1)[0] == "basis_size"
+    basis_r, basis_a = int(take(1)[0]), int(take(1)[0])
+    assert take(1)[0] == "l_max"
+    l_vals = []
+    while tokens[pos].lower() != "ann":
+        l_vals.append(int(take(1)[0]))
+    l_max = l_vals[0]
+    # Values after L_max may be written as L_max_4body/L_max_5body (e.g.
+    # "l_max 4 2 1"); any nonzero enables the flag, matching the C parser's
+    # truthiness (ref: nep.cu:273-293).
+    has_q = tuple(1 if v else 0 for v in (l_vals[1:] + [0] * 6)[:6])
+
+    assert take(1)[0].lower() == "ann"
+    neurons = int(take(1)[0])
+    take(1)  # trailing 0
+
+    model = NepModel(
+        version=version,
+        model_type=model_type,
+        num_types=num_types,
+        symbols=symbols,
+        atomic_numbers=tuple(atomic_number(s) for s in symbols),
+        rc_radial=rc_r,
+        rc_angular=rc_a,
+        mn_radial=mn_radial,
+        mn_angular=mn_angular,
+        n_max_radial=n_max_r,
+        n_max_angular=n_max_a,
+        basis_size_radial=basis_r,
+        basis_size_angular=basis_a,
+        l_max=l_max,
+        has_q=has_q,
+        neurons=neurons,
+        zbl=zbl,
+        zbl_rc_inner=zbl_inner,
+        zbl_rc_outer=zbl_outer,
+        zbl_flexible=zbl_flexible,
+        zbl_typewise_factor=zbl_factor,
+    )
+
+    n_para = model.num_ann_params() + model.num_descriptor_params()
+    values = np.array([float(take(1)[0]) for _ in range(n_para + model.dim)])
+    params = unflatten_params(model, values[:n_para], values[n_para:], dtype=dtype)
+
+    if zbl_flexible:
+        n_pair = num_types * (num_types + 1) // 2
+        flex = np.array([float(take(1)[0]) for _ in range(10 * n_pair)])
+        params = params._replace(
+            zbl_flex=jnp.asarray(flex.reshape(n_pair, 10), dtype=dtype)
+        )
+    return model, params
+
+
+def unflatten_params(
+    model: NepModel, flat: np.ndarray, q_scaler: np.ndarray, dtype=jnp.float32
+) -> NepParams:
+    """Split the flat parameter vector exactly as the reference's
+    update_potential (ref: nep.cu:227-283) and the c-refactor
+    (ref: nep.cu:75-98)."""
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    p = 0
+
+    def ann_block():
+        nonlocal p
+        w0 = np.empty((t, neu, dim))
+        b0 = np.empty((t, neu))
+        w1 = np.empty((t, neu))
+        b1_type = np.zeros((t,))
+        for ty in range(t):
+            w0[ty] = flat[p : p + neu * dim].reshape(neu, dim)
+            p += neu * dim
+            b0[ty] = flat[p : p + neu]
+            p += neu
+            w1[ty] = flat[p : p + neu]
+            p += neu
+            if model.version == 5:
+                b1_type[ty] = flat[p]
+                p += 1
+        b1 = flat[p]
+        p += 1
+        return w0, b0, w1, b1, b1_type
+
+    w0, b0, w1, b1, b1_type = ann_block()
+    pol = (None, None, None, None)
+    if model.model_type == 2:
+        pw0, pb0, pw1, pb1, _ = ann_block()
+        pol = (
+            jnp.asarray(pw0, dtype),
+            jnp.asarray(pb0, dtype),
+            jnp.asarray(pw1, dtype),
+            jnp.asarray(pb1, dtype),
+        )
+
+    t2 = t * t
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    c = flat[p : p + t2 * (nr + na)]
+    p += t2 * (nr + na)
+    # File order: basis-major, type-pair minor (ref: nep.cu:85-94).
+    c_rad = c[: t2 * nr].reshape(nr, t2).T.reshape(t, t, model.n_max_radial + 1,
+                                                  model.basis_size_radial + 1)
+    c_ang = c[t2 * nr :].reshape(na, t2).T.reshape(t, t, model.n_max_angular + 1,
+                                                   model.basis_size_angular + 1)
+
+    return NepParams(
+        w0=jnp.asarray(w0, dtype),
+        b0=jnp.asarray(b0, dtype),
+        w1=jnp.asarray(w1, dtype),
+        b1=jnp.asarray(b1, dtype),
+        b1_type=jnp.asarray(b1_type, dtype),
+        c_radial=jnp.asarray(c_rad, dtype),
+        c_angular=jnp.asarray(c_ang, dtype),
+        q_scaler=jnp.asarray(q_scaler, dtype),
+        w0_pol=pol[0],
+        b0_pol=pol[1],
+        w1_pol=pol[2],
+        b1_pol=pol[3],
+    )
