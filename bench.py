@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Headline benchmark: NEP MD throughput (atom-step/s) on one TPU chip.
+
+Mirrors BASELINE.json config 3 (NEP PbTe at 1M atoms): rocksalt PbTe with a
+NEP4 model of the reference's PbTe architecture (type 2, cutoff 8/4,
+n_max 6 6, basis 6 6, l_max 4+q222, 30 neurons) with synthesized weights —
+throughput is independent of the trained values.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1e8 atom-step/s/chip (BASELINE.md).
+
+Env knobs: GPUMD_BENCH_N (atoms, default ~1M), GPUMD_BENCH_STEPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pbte(n_cells_x, n_cells_y, n_cells_z, a0=6.57):
+    """Rocksalt PbTe supercell: 8 atoms per cubic cell."""
+    base = np.array(
+        [
+            [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],  # Pb
+            [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5],  # Te
+        ]
+    )
+    types_cell = np.array([1, 1, 1, 1, 0, 0, 0, 0])  # 0=Te, 1=Pb (file order Te Pb)
+    cells = np.stack(
+        np.meshgrid(
+            np.arange(n_cells_x), np.arange(n_cells_y), np.arange(n_cells_z),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    types = np.tile(types_cell, len(cells))
+    lengths = np.array([n_cells_x, n_cells_y, n_cells_z]) * a0
+    return pos, types, lengths
+
+
+def main():
+    from gpumd_tpu.forcefield import ForceField
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.run import md_run
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.nep.model import NEP
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    target_n = int(os.environ.get("GPUMD_BENCH_N", 1_000_000))
+    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
+    nc = max(2, round((target_n / 8) ** (1 / 3)))
+    pos, types, lengths = build_pbte(nc, nc, nc)
+    n = len(pos)
+
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
+        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
+        basis_size_radial=6, basis_size_angular=6, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=1))
+
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    ff = ForceField.create([nep], box, n, mn=112, skin=1.0, per_atom_virial=False)
+
+    dt = 1.0 / TIME_UNIT_CONVERSION
+    from gpumd_tpu.integrate.run import MDRunner
+
+    runner = MDRunner(ff, NVE(), dt, n_steps)
+    # Warmup: compile.
+    state = jax.jit(ff.compute)(state)
+    cache = jax.jit(ff.refresh_cache)(state)
+    s1, aux, _ = runner(state, cache=cache)
+    jax.block_until_ready(s1.position)
+
+    t0 = time.time()
+    s2, _, _ = runner(state, cache=cache)
+    jax.block_until_ready(s2.position)
+    wall = time.time() - t0
+
+    value = n * n_steps / wall
+    baseline = 1e8
+    print(
+        json.dumps(
+            {
+                "metric": "nep_pbte_md_throughput",
+                "value": value,
+                "unit": "atom_step_per_s_per_chip",
+                "vs_baseline": value / baseline,
+            }
+        )
+    )
+    print(
+        f"# N={n} steps={n_steps} wall={wall:.2f}s devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

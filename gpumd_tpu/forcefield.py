@@ -12,8 +12,9 @@ mirroring the reference's small/large-box duality (ref: nep.cu:1356-1389).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +69,27 @@ class NeighborConfig:
         )
 
 
+class NeighborCache(NamedTuple):
+    """Verlet-list cache: neighbor topology persisted across steps.
+
+    The reference rebuilds its cell list every step (neighbor.cu); here the
+    list is built with rc + skin and reused until any atom moves more than
+    skin/2 from its reference position — an amortization the static-shape
+    design makes nearly free (per-step r12 is one (N, MN) gather).
+
+    `shift_frac` holds the integer lattice-image shift of each pair so the
+    displacement r12 = pos[j] - pos[i] + shift @ h^T stays exact without
+    re-applying MIC (positions are NOT wrapped between rebuilds).
+    """
+
+    idx: jnp.ndarray  # (N, MN) int32
+    shift_frac: jnp.ndarray  # (N, MN, 3) int8 lattice-image shifts
+    mask: jnp.ndarray  # (N, MN)
+    count: jnp.ndarray  # (N,)
+    ref_position: jnp.ndarray  # (N, 3) positions at build time
+    rev: jnp.ndarray  # (N, MN) int32 reverse-pair map
+
+
 @dataclass(frozen=True)
 class ForceField:
     """One or more potentials evaluated on a shared neighbor plan.
@@ -78,27 +100,101 @@ class ForceField:
 
     potentials: tuple
     neighbor: NeighborConfig
+    # Per-atom virials (needed by heat-current observables) vs total-only
+    # (cheaper; pressure/thermo exact either way).
+    per_atom_virial: bool = True
+    # Verlet skin (Angstrom): neighbor lists are built at rc + skin and
+    # reused until max displacement > skin/2.
+    skin: float = 0.0
 
     @staticmethod
-    def create(potentials, box: Box, n_atoms: int, mn: int = 256, skin: float = 0.0):
+    def create(
+        potentials,
+        box: Box,
+        n_atoms: int,
+        mn: int = 256,
+        skin: float = 0.0,
+        per_atom_virial: bool = True,
+    ):
         rc = max(p.rc for p in potentials)
         cfg = NeighborConfig.create(box, rc, n_atoms, mn=mn, skin=skin)
-        return ForceField(potentials=tuple(potentials), neighbor=cfg)
+        return ForceField(
+            potentials=tuple(potentials), neighbor=cfg,
+            per_atom_virial=per_atom_virial, skin=skin,
+        )
 
     def compute(self, state: MDState) -> MDState:
-        """Wrap positions, rebuild neighbors, evaluate potential(s)."""
+        """One-shot evaluation: wrap, rebuild neighbors, evaluate."""
         pos = state.box.wrap(state.position)
         nbr = self.neighbor.build(pos, state.box, state.mask)
+        return self._evaluate(state._replace(position=pos), nbr)
+
+    def _evaluate(self, state: MDState, nbr: NeighborList) -> MDState:
         e = jnp.zeros_like(state.potential_energy)
         f = jnp.zeros_like(state.force)
         w = jnp.zeros_like(state.virial)
         for pot in self.potentials:
-            out = pot.compute(state.type, nbr, state.mask)
+            out = pot.compute(
+                state.type, nbr, state.mask, per_atom_virial=self.per_atom_virial
+            )
             e = e + out.energy
             f = f + out.force
             w = w + out.virial
         # Per-atom heat current J_i = W_i . v_i (ref: compute_heat.cu:18-29).
         j = jnp.einsum("nab,nb->na", w, state.velocity)
         return state._replace(
-            position=pos, force=f, potential_energy=e, virial=w, heat_current=j
+            force=f, potential_energy=e, virial=w, heat_current=j
         )
+
+    # ---- Verlet-skin cached path (the hot loop) ------------------------------
+
+    def refresh_cache(self, state: MDState) -> NeighborCache:
+        """Full neighbor rebuild -> persistent cache with integer image
+        shifts relative to the RAW (unwrapped) positions."""
+        pos_raw = state.position
+        pos_w = state.box.wrap(pos_raw)
+        nbr = self.neighbor.build(pos_w, state.box, state.mask)
+        from gpumd_tpu.neighbor.neighbor import build_reverse_map
+
+        rev = build_reverse_map(nbr)
+        # shift = r12 - (raw_j - raw_i), an exact lattice translation.
+        raw_diff = pos_raw[nbr.idx] - pos_raw[:, None, :]
+        shift_cart = nbr.r12 - raw_diff
+        shift_frac = jnp.round(shift_cart @ state.box.h_inv.T.astype(pos_raw.dtype))
+        shift_frac = jnp.where(
+            nbr.mask[..., None] > 0, shift_frac, 0.0
+        ).astype(jnp.int8)
+        return NeighborCache(
+            idx=nbr.idx,
+            shift_frac=shift_frac,
+            mask=nbr.mask,
+            count=nbr.count,
+            ref_position=pos_raw,
+            rev=rev,
+        )
+
+    def cache_r12(self, state: MDState, cache: NeighborCache) -> NeighborList:
+        dtype = state.position.dtype
+        shift = cache.shift_frac.astype(dtype) @ state.box.h.T
+        r12 = state.position[cache.idx] - state.position[:, None, :] + shift
+        from gpumd_tpu.neighbor.neighbor import _FAR
+
+        r12 = jnp.where(cache.mask[..., None] > 0, r12, _FAR)
+        return NeighborList(
+            idx=cache.idx, r12=r12, mask=cache.mask, count=cache.count,
+            rev=cache.rev,
+        )
+
+    def compute_cached(self, state: MDState, cache: NeighborCache):
+        """Force pass with Verlet-list reuse: rebuild only when some atom
+        moved more than skin/2 since the cache was built."""
+        if self.skin <= 0.0:
+            st = self.compute(state)
+            return st, cache
+        disp = state.box.minimum_image(state.position - cache.ref_position)
+        need = jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * self.skin) ** 2
+        cache = jax.lax.cond(
+            need, lambda s: self.refresh_cache(s), lambda s: cache, state
+        )
+        nbr = self.cache_r12(state, cache)
+        return self._evaluate(state, nbr), cache

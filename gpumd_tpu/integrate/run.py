@@ -22,18 +22,61 @@ from gpumd_tpu.model.state import MDState
 
 def make_md_step(ff: ForceField, ensemble, dt, observer: Optional[Callable] = None):
     """Build the per-step scan body. `observer(state) -> pytree` is stacked
-    over steps (default: thermo)."""
+    over steps (default: thermo).
+
+    Carry = (state, ensemble aux, neighbor cache): the Verlet-list cache
+    rides the scan so neighbor rebuilds happen only on the displacement
+    trigger (ff.skin > 0), not every step as in the reference.
+    """
 
     obs = observer if observer is not None else (lambda s: compute_thermo(s))
 
     def step(carry, _):
-        state, aux = carry
+        state, aux, cache = carry
         state, aux = ensemble.step1(state, aux, dt)
-        state = ff.compute(state)
+        if ff.skin > 0.0:
+            state, cache = ff.compute_cached(state, cache)
+        else:
+            state = ff.compute(state)
         state, aux = ensemble.step2(state, aux, dt)
-        return (state, aux), obs(state)
+        return (state, aux, cache), obs(state)
 
     return step
+
+
+class MDRunner:
+    """A compiled MD run block.
+
+    Build once, call many times: the jitted executable is cached on the
+    instance (recreating the closure per call would retrace every time).
+    """
+
+    def __init__(
+        self,
+        ff: ForceField,
+        ensemble,
+        dt,
+        n_steps: int,
+        observer: Optional[Callable] = None,
+    ):
+        self.ensemble = ensemble
+        self.ff = ff
+        self.n_steps = n_steps
+        step = make_md_step(ff, ensemble, dt, observer)
+
+        @jax.jit
+        def _run(state, aux, cache):
+            return jax.lax.scan(step, (state, aux, cache), length=n_steps)
+
+        self._run = _run
+
+    def __call__(self, state: MDState, aux=None, cache=None):
+        if aux is None:
+            aux = self.ensemble.init(state)
+        if cache is None and self.ff.skin > 0.0:
+            cache = jax.jit(self.ff.refresh_cache)(state)
+        (state, aux, cache), obs = self._run(state, aux, cache)
+        return state, aux, obs
 
 
 def md_run(
@@ -44,22 +87,11 @@ def md_run(
     n_steps: int,
     observer: Optional[Callable] = None,
 ):
-    """Run n_steps of MD; returns (final_state, aux, stacked observations).
+    """One-shot convenience wrapper around MDRunner (compiles each call;
+    use MDRunner directly in loops/benchmarks).
 
-    The initial force evaluation (run.cu:236) is included if the state has
-    never seen a force pass (caller should do `state = ff.compute(state)`
-    once before the first run block, as the reference does).
-
-    The whole block is one jit; re-calling with the same (ff, ensemble,
-    n_steps) structure reuses the XLA executable via jax's tracing cache on
-    the closed-over step function.
+    The initial force evaluation (run.cu:236) is the caller's job:
+    `state = ff.compute(state)` before the first run block, as in the
+    reference.
     """
-    step = make_md_step(ff, ensemble, dt, observer)
-
-    @jax.jit
-    def _run(state):
-        aux = ensemble.init(state)
-        return jax.lax.scan(step, (state, aux), length=n_steps)
-
-    (state, aux), obs = _run(state)
-    return state, aux, obs
+    return MDRunner(ff, ensemble, dt, n_steps, observer)(state)

@@ -47,6 +47,11 @@ class NeighborList(NamedTuple):
     r12: jnp.ndarray  # (N, MN, 3)
     mask: jnp.ndarray  # (N, MN)
     count: jnp.ndarray  # (N,) int32 true neighbor count (pre-cap)
+    # Optional reverse-pair map: rev[i, m] = flat index j*MN + m' of the
+    # mirror slot (idx[j, m'] == i with opposite image shift).  Enables the
+    # reference's gather-only force reduction (potential.cu:73-113) instead
+    # of a scatter — much faster on TPU.
+    rev: Optional[jnp.ndarray] = None  # (N, MN) int32
 
     @property
     def max_neighbors(self) -> int:
@@ -55,6 +60,42 @@ class NeighborList(NamedTuple):
     def overflowed(self):
         """True if any atom had more neighbors than MN slots."""
         return jnp.any(self.count > self.max_neighbors)
+
+
+def build_reverse_map(nbr: NeighborList, row_block: int = 2048) -> jnp.ndarray:
+    """rev[i, m] = j * MN + m' where idx[j, m'] == i and r12[j, m'] is the
+    mirror displacement (-r12[i, m]); self-pointing for padded slots.
+
+    Matching on the displacement (not just the index) stays correct when the
+    same neighbor appears through multiple periodic images (small boxes).
+    Cost is O(N * MN^2) compares, paid once per Verlet rebuild.
+    """
+    n, mn = nbr.idx.shape
+    blk = min(row_block, n)
+    n_blocks = -(-n // blk)
+    rows_all = jnp.arange(n_blocks * blk).reshape(n_blocks, blk)
+
+    def one_block(rows):
+        rows_c = jnp.minimum(rows, n - 1)
+        j = nbr.idx[rows_c]  # (B, MN)
+        # Candidate mirror rows: all MN slots of each neighbor j.
+        idx_j = nbr.idx[j]  # (B, MN, MN)
+        r12_j = nbr.r12[j]  # (B, MN, MN, 3)
+        want = -nbr.r12[rows_c][:, :, None, :]  # (B, MN, 1->MN, 3)
+        match = (idx_j == rows_c[:, None, None]) & (
+            jnp.sum(jnp.abs(r12_j - want), axis=-1) < 1e-3
+        )
+        mprime = jnp.argmax(match, axis=-1).astype(jnp.int32)  # (B, MN)
+        found = jnp.any(match, axis=-1)
+        # Invalid/padded slots point anywhere (own row); consumers must mask
+        # gathered reverse values by nbr.mask.
+        rev = jnp.where(
+            found & (nbr.mask[rows_c] > 0), j * mn + mprime, rows_c[:, None] * mn
+        )
+        return rev
+
+    rev = jax.lax.map(one_block, rows_all)
+    return rev.reshape(-1, mn)[:n]
 
 
 def _image_shifts(reps: Sequence[int], dtype) -> np.ndarray:
@@ -158,7 +199,7 @@ def neighbor_brute(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rc", "mn", "grid", "cell_cap")
+    jax.jit, static_argnames=("rc", "mn", "grid", "cell_cap", "row_block")
 )
 def neighbor_cell_list(
     position: jnp.ndarray,
@@ -169,6 +210,7 @@ def neighbor_cell_list(
     mn: int,
     grid: tuple,
     cell_cap: int,
+    row_block: int = 16384,
 ) -> NeighborList:
     """O(N) sort-based cell-list neighbor build.
 
@@ -203,53 +245,67 @@ def neighbor_cell_list(
     # Start offset of each cell in the sorted order.
     cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells + 1))
 
-    # For each atom: gather candidates from the 27 stencil cells.
-    my_cell = cell_xyz  # (N, 3)
+    # Stencil gather, processed in static row blocks to bound peak memory.
     offs = jnp.asarray(
         [(i, j, k) for k in (-1, 0, 1) for j in (-1, 0, 1) for i in (-1, 0, 1)],
         dtype=jnp.int32,
     )  # (27, 3)
-    neigh_xyz = my_cell[:, None, :] + offs[None, :, :]  # (N, 27, 3)
-    # Wrap periodic; clamp non-periodic out-of-range to the overflow cell.
     dims = jnp.asarray([nx, ny, nz])
     pbc_i = box.pbc.astype(bool)
-    wrapped = jnp.mod(neigh_xyz, dims)
-    in_range = jnp.all(
-        pbc_i | ((neigh_xyz >= 0) & (neigh_xyz < dims)), axis=-1
-    )  # (N, 27)
-    ncell = (wrapped[..., 2] * ny + wrapped[..., 1]) * nx + wrapped[..., 0]
-    ncell = jnp.where(in_range, ncell, n_cells)  # overflow cell is empty
-
-    start = cell_start[ncell]  # (N, 27)
-    end = cell_start[jnp.minimum(ncell + 1, n_cells)]
-    end = jnp.where(ncell >= n_cells, start, end)
-    # Candidate slots: start + 0..cap-1, masked by slot < end.
-    slot = jnp.arange(cell_cap, dtype=jnp.int32)
-    cand_pos_in_sorted = start[:, :, None] + slot[None, None, :]  # (N,27,cap)
-    cand_valid = cand_pos_in_sorted < end[:, :, None]
-    cand_pos_in_sorted = jnp.minimum(cand_pos_in_sorted, n - 1)
-    cand_j = order[cand_pos_in_sorted]  # (N, 27, cap) atom indices
-
-    # Displacements with MIC (cells guarantee a single image suffices).
-    rj = position[cand_j]  # (N, 27, cap, 3)
-    rij = box.minimum_image(rj - position[:, None, None, :])
-    d2 = jnp.sum(rij**2, axis=-1)
-    i_idx = jnp.arange(n)[:, None, None]
-    valid = cand_valid & (d2 < rc * rc) & (cand_j != i_idx) & (mask[:, None, None] > 0)
-
     n_cand = 27 * cell_cap
-    valid2 = valid.reshape(n, n_cand)
-    count = jnp.sum(valid2, axis=-1).astype(jnp.int32)
-    src, slot_valid = _compact_rows(valid2, mn)
-    r12 = jnp.take_along_axis(rij.reshape(n, n_cand, 3), src[:, :, None], axis=1)
-    idx = jnp.take_along_axis(cand_j.reshape(n, n_cand), src, axis=1)
-    idx = jnp.where(slot_valid, idx, jnp.arange(n)[:, None])
-    r12 = jnp.where(slot_valid[:, :, None], r12, _FAR)
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)
+
+    blk = min(row_block, n)
+    n_blocks = -(-n // blk)
+    n_rows = n_blocks * blk
+    rows_all = jnp.arange(n_rows).reshape(n_blocks, blk)
+
+    def one_block(rows):
+        rows_c = jnp.minimum(rows, n - 1)
+        my_cell = cell_xyz[rows_c]  # (B, 3)
+        neigh_xyz = my_cell[:, None, :] + offs[None, :, :]  # (B, 27, 3)
+        wrapped = jnp.mod(neigh_xyz, dims)
+        in_range = jnp.all(
+            pbc_i | ((neigh_xyz >= 0) & (neigh_xyz < dims)), axis=-1
+        )
+        ncell = (wrapped[..., 2] * ny + wrapped[..., 1]) * nx + wrapped[..., 0]
+        ncell = jnp.where(in_range, ncell, n_cells)
+
+        start = cell_start[ncell]
+        end = cell_start[jnp.minimum(ncell + 1, n_cells)]
+        end = jnp.where(ncell >= n_cells, start, end)
+        cand_pos = start[:, :, None] + slot[None, None, :]  # (B, 27, cap)
+        cand_valid = cand_pos < end[:, :, None]
+        cand_j = order[jnp.minimum(cand_pos, n - 1)]  # (B, 27, cap)
+
+        ri = position[rows_c]
+        rij = box.minimum_image(position[cand_j] - ri[:, None, None, :])
+        d2 = jnp.sum(rij**2, axis=-1)
+        row_real = (rows < n) & (mask[rows_c] > 0)
+        valid = (
+            cand_valid
+            & (d2 < rc * rc)
+            & (cand_j != rows_c[:, None, None])
+            & row_real[:, None, None]
+        )
+        valid2 = valid.reshape(blk, n_cand)
+        cnt = jnp.sum(valid2, axis=-1).astype(jnp.int32)
+        src, slot_valid = _compact_rows(valid2, mn)
+        r12 = jnp.take_along_axis(rij.reshape(blk, n_cand, 3), src[:, :, None], axis=1)
+        idx = jnp.take_along_axis(cand_j.reshape(blk, n_cand), src, axis=1)
+        idx = jnp.where(slot_valid, idx, rows_c[:, None])
+        r12 = jnp.where(slot_valid[:, :, None], r12, _FAR)
+        return idx.astype(jnp.int32), r12, slot_valid.astype(dtype), cnt
+
+    if n_blocks == 1:
+        idx, r12, smask, count = one_block(rows_all[0])
+        return NeighborList(idx=idx[:n], r12=r12[:n], mask=smask[:n], count=count[:n])
+    idx, r12, smask, count = jax.lax.map(one_block, rows_all)
     return NeighborList(
-        idx=idx.astype(jnp.int32),
-        r12=r12,
-        mask=slot_valid.astype(dtype),
-        count=count,
+        idx=idx.reshape(n_rows, mn)[:n],
+        r12=r12.reshape(n_rows, mn, 3)[:n],
+        mask=smask.reshape(n_rows, mn)[:n],
+        count=count.reshape(n_rows)[:n],
     )
 
 

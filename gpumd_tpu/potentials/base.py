@@ -37,16 +37,29 @@ def forces_virial_from_partials(p, nbr: NeighborList):
     """Reduce per-pair partial forces p_ij = dE/dr12_ij (r12 = r_j - r_i)
     to per-atom force and virial.
 
+    Two paths:
+      * gather (nbr.rev present): F_i = sum_m (p[i,m] - p[rev[i,m]]),
+        W_i = sum_m r12[i,m] (x) p[rev[i,m]] — the reference's atomics-free
+        formulation (potential.cu:73-113), fast on TPU.
+      * scatter fallback: segment-sum over neighbor indices.
+
     Args:
       p: (N, MN, 3) partial forces.
       nbr: the neighbor list that produced the pairs.
     Returns:
       force (N, 3), virial (N, 3, 3).
     """
-    n = p.shape[0]
+    n, mn = p.shape[0], p.shape[1]
+    if nbr.rev is not None:
+        p_rev = p.reshape(-1, 3)[nbr.rev.reshape(-1)].reshape(n, mn, 3)
+        p_rev = p_rev * nbr.mask[..., None]
+        force = jnp.sum(p - p_rev, axis=1)
+        # Fan2015: W_i = sum_j r12_ij (x) p_ji
+        virial = jnp.einsum("nma,nmb->nab", nbr.r12 * nbr.mask[..., None], p_rev)
+        return force, virial
+
     flat_idx = nbr.idx.reshape(-1)
     flat_p = p.reshape(-1, 3)
-
     own = jnp.sum(p, axis=1)  # sum_j p_ij
     recv = jax.ops.segment_sum(flat_p, flat_idx, num_segments=n)
     force = own - recv
@@ -65,6 +78,7 @@ def compute_from_pair_energy(
     energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
     nbr: NeighborList,
     mask: jnp.ndarray,
+    per_atom_virial: bool = True,
 ) -> PotentialOutput:
     """Full potential evaluation from a per-atom energy function of r12.
 
@@ -73,9 +87,25 @@ def compute_from_pair_energy(
         smooth and exactly zero-gradient beyond the cutoff.
       nbr: neighbor list.
       mask: (N,) real-atom mask.
+      per_atom_virial: when False, only the TOTAL virial is computed (a
+        cheap reduction instead of a (N, MN, 3, 3) scatter) and spread
+        uniformly over real atoms so pressure/thermo stay exact.  Per-atom
+        heat-current observables require True.
     """
     e_atom, vjp = jax.vjp(energy_fn, nbr.r12)
     e_atom = e_atom * mask
     (p,) = vjp(mask.astype(e_atom.dtype))
-    force, virial = forces_virial_from_partials(p, nbr)
+    if per_atom_virial or nbr.rev is not None:
+        # With a reverse map the per-atom virial is a cheap gather; always
+        # compute it in that case.
+        force, virial = forces_virial_from_partials(p, nbr)
+    else:
+        n = p.shape[0]
+        flat_idx = nbr.idx.reshape(-1)
+        own = jnp.sum(p, axis=1)
+        recv = jax.ops.segment_sum(p.reshape(-1, 3), flat_idx, num_segments=n)
+        force = own - recv
+        w_total = -jnp.einsum("pma,pmb->ab", nbr.r12 * nbr.mask[..., None], p)
+        n_real = jnp.maximum(jnp.sum(mask), 1.0)
+        virial = (w_total / n_real) * mask[:, None, None]
     return PotentialOutput(energy=e_atom, force=force, virial=virial)

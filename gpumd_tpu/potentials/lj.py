@@ -54,18 +54,25 @@ class LJ(NamedTuple):
         arr = np.array(vals[: 3 * t * t]).reshape(t, t, 3)
         return LJ.from_params(arr[..., 0], arr[..., 1], arr[..., 2])
 
-    def compute(self, type_, nbr: NeighborList, mask) -> PotentialOutput:
-        def energy_fn(r12):
-            d2 = jnp.sum(r12 * r12, axis=-1)  # (N, MN)
-            t1 = type_[:, None]
-            t2 = type_[nbr.idx]
-            s6 = self.s6e4[t1, t2].astype(d2.dtype)
-            s12 = self.s12e4[t1, t2].astype(d2.dtype)
-            csq = self.cutoff_sq[t1, t2].astype(d2.dtype)
-            inv2 = 1.0 / d2
-            inv6 = inv2 * inv2 * inv2
-            u = s12 * inv6 * inv6 - s6 * inv6
-            u = jnp.where((d2 < csq) & (nbr.mask > 0), u, 0.0)
-            return 0.5 * jnp.sum(u, axis=-1)
+    def pair_energies(self, r12, t1, t2):
+        """Per-atom energies from displacements and center/neighbor types.
 
-        return compute_from_pair_energy(energy_fn, nbr, mask)
+        Padded slots (parked at distance 1e5) fall outside every cutoff, so
+        they contribute exactly zero energy and gradient.
+        """
+        d2 = jnp.sum(r12 * r12, axis=-1)  # (N, MN)
+        s6 = self.s6e4[t1[:, None], t2].astype(d2.dtype)
+        s12 = self.s12e4[t1[:, None], t2].astype(d2.dtype)
+        csq = self.cutoff_sq[t1[:, None], t2].astype(d2.dtype)
+        inv2 = 1.0 / d2
+        inv6 = inv2 * inv2 * inv2
+        u = s12 * inv6 * inv6 - s6 * inv6
+        u = jnp.where(d2 < csq, u, 0.0)
+        return 0.5 * jnp.sum(u, axis=-1)
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )

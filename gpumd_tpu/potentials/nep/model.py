@@ -215,6 +215,11 @@ class NEP(NamedTuple):
 
     # ---- descriptor + energy ------------------------------------------------
 
+    def pair_energies(self, r12, t1, t2):
+        """Unified potential protocol: per-atom energies from displacements
+        and center/neighbor types."""
+        return self.per_atom_energy(r12, t1, t2)
+
     def per_atom_energy(self, r12, t1, t2, block: int = 4096):
         """Per-atom energies (N,) from displacements r12 (N, MN, 3) and the
         center/neighbor types. Processes atoms in static blocks."""
@@ -222,12 +227,17 @@ class NEP(NamedTuple):
         model, params = self.model, self.params
         dtype = r12.dtype
 
+        # Rematerialize descriptor intermediates in the backward pass so the
+        # vjp through lax.map stores only (B,) energies per block, not the
+        # (B, MN, ...) expansion tensors — bounds memory at 1M+ atoms.
+        block_fn = jax.checkpoint(self._block_energy)
+
         def block_energy(args):
             r12b, t1b, t2b = args
-            return self._block_energy(r12b, t1b, t2b)
+            return block_fn(r12b, t1b, t2b)
 
         if n <= block:
-            return self._block_energy(r12, t1, t2)
+            return block_fn(r12, t1, t2)
         nb = -(-n // block)
         pad = nb * block - n
         r12p = jnp.pad(r12, ((0, pad), (0, 0), (0, 0)), constant_values=1e5)
@@ -293,10 +303,12 @@ class NEP(NamedTuple):
 
     # ---- Potential interface -------------------------------------------------
 
-    def compute(self, type_, nbr: NeighborList, mask) -> PotentialOutput:
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
         t2 = type_[nbr.idx]
 
         def energy_fn(r12):
             return self.per_atom_energy(r12, type_, t2)
 
-        return compute_from_pair_energy(energy_fn, nbr, mask)
+        return compute_from_pair_energy(
+            energy_fn, nbr, mask, per_atom_virial=per_atom_virial
+        )

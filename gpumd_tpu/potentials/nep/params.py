@@ -257,6 +257,31 @@ def load_nep_txt(path: str, dtype=jnp.float32) -> Tuple[NepModel, NepParams]:
     return model, params
 
 
+def random_params(model: NepModel, seed: int = 0, dtype=jnp.float32) -> NepParams:
+    """Random NEP parameters with the right shapes (benchmarks, tests,
+    trainer initialization)."""
+    rng = np.random.default_rng(seed)
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    r = model.basis_size_radial + 1
+    a = model.basis_size_angular + 1
+
+    def g(*shape):
+        return jnp.asarray(rng.normal(0, 0.3, shape), dtype)
+
+    return NepParams(
+        w0=g(t, neu, dim),
+        b0=g(t, neu),
+        w1=g(t, neu),
+        b1=jnp.asarray(rng.normal(), dtype),
+        b1_type=jnp.zeros((t,), dtype)
+        if model.version != 5
+        else g(t),
+        c_radial=g(t, t, model.n_max_radial + 1, r),
+        c_angular=g(t, t, model.n_max_angular + 1, a),
+        q_scaler=jnp.ones((dim,), dtype),
+    )
+
+
 def unflatten_params(
     model: NepModel, flat: np.ndarray, q_scaler: np.ndarray, dtype=jnp.float32
 ) -> NepParams:
