@@ -90,6 +90,9 @@ def main():
     jax.block_until_ready(s2.position)
     wall = time.time() - t0
 
+    if not bool(jnp.isfinite(s2.position).all() & jnp.isfinite(s2.velocity).all()):
+        raise RuntimeError("benchmark trajectory went non-finite")
+
     value = n * n_steps / wall
     baseline = 1e8
     print(

@@ -50,8 +50,12 @@ def smooth_cutoff(d, rc):
 
 
 def _chebyshev(d, rc, fc, k_max: int):
-    """f_0 = fc; f_k = (T_k(x)+1)/2 * fc for k >= 1."""
-    x = 2.0 * (d / rc - 1.0) ** 2 - 1.0
+    """f_0 = fc; f_k = (T_k(x)+1)/2 * fc for k >= 1.
+
+    x is clamped to [-1, 1]: exact for every pair inside the cutoff
+    (d < rc implies x in [-1, 1]) and prevents the recurrence overflowing
+    to inf*0 = NaN in f32 on padded far-away slots."""
+    x = jnp.clip(2.0 * (d / rc - 1.0) ** 2 - 1.0, -1.0, 1.0)
     out = [fc]
     if k_max >= 1:
         t_prev, t_cur = jnp.ones_like(x), x
