@@ -1,0 +1,396 @@
+"""The `gpumd` application: execute run.in against model.xyz.
+
+Keyword-stream execution model matching the reference (ref:
+src/main_gpumd/run.cu:343-575): state-mutating keywords apply immediately,
+property keywords register observers, `run N` performs a run block.
+
+    python -m gpumd_tpu.app.gpumd [workdir]
+
+TPU-native run loop: steps execute in jit-compiled chunks whose length is
+the gcd of all dump intervals; host I/O happens between chunks (the
+reference launches kernels per step and writes from the host mid-loop).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gpumd_tpu.forcefield import ForceField
+from gpumd_tpu.integrate.ensembles.npt import NPTBerendsen
+from gpumd_tpu.integrate.ensembles.nve import NVE
+from gpumd_tpu.integrate.ensembles.nvt import (
+    NVTBDP,
+    NVTBerendsen,
+    NVTLangevin,
+    NVTNoseHooverChain,
+)
+from gpumd_tpu.integrate.run import MDRunner
+from gpumd_tpu.integrate.thermo import compute_thermo
+from gpumd_tpu.integrate.velocity import correct_velocity, initialize_velocity
+from gpumd_tpu.io.xyz import XYZFrame, read_xyz, write_xyz
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import MDState, make_state
+from gpumd_tpu.potentials.lj import LJ
+from gpumd_tpu.potentials.nep import NEP
+from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION, TIME_UNIT_CONVERSION
+
+
+def parse_run_in(path: str) -> List[List[str]]:
+    """Tokenize run.in: whitespace tokens, '#' comments (ref: read_file.cu).
+    Returns a list of keyword lines."""
+    lines = []
+    with open(path) as f:
+        for raw in f:
+            body = raw.split("#", 1)[0].strip()
+            if not body:
+                continue
+            toks = body.split()
+            if len(toks) > 32:
+                raise ValueError(f"run.in line has > 32 tokens: {body!r}")
+            lines.append(toks)
+    return lines
+
+
+@dataclass
+class PropertyRequest:
+    interval: int
+    process: Callable  # (session, state, global_step) -> None
+    finalize: Optional[Callable] = None
+
+
+class Session:
+    """One gpumd run: model.xyz + run.in in a working directory."""
+
+    def __init__(self, workdir: str = ".", quiet: bool = False):
+        self.workdir = workdir
+        self.quiet = quiet
+        frame = read_xyz(os.path.join(workdir, "model.xyz"))
+        self.frame = frame
+        self.box = Box.from_lattice(frame.lattice, pbc=frame.pbc)
+        self.symbols: List[str] = frame.symbols
+        self.type_names: List[str] = []
+        self.potentials: list = []
+        self.ff: Optional[ForceField] = None
+        self.state: Optional[MDState] = None
+        self.dt = 1.0 / TIME_UNIT_CONVERSION  # natural units (default 1 fs)
+        self.ensemble = None
+        self.properties: List[PropertyRequest] = []
+        self.global_step = 0
+        self.velocity_initialized = False
+        self._n = frame.n_atoms
+        self._files: Dict[str, object] = {}
+
+    # ------------------------------------------------------------------ utils
+
+    def log(self, *msg):
+        if not self.quiet:
+            print(*msg)
+
+    def _file(self, name: str, header: Optional[str] = None):
+        if name not in self._files:
+            f = open(os.path.join(self.workdir, name), "w")
+            if header:
+                f.write(header)
+            self._files[name] = f
+        return self._files[name]
+
+    def _require_state(self):
+        if self.state is None:
+            raise ValueError("no potential defined yet (potential keyword)")
+
+    def _types_from_symbols(self) -> np.ndarray:
+        if not self.type_names:
+            raise ValueError("potential must be declared before this keyword")
+        index = {s: i for i, s in enumerate(self.type_names)}
+        try:
+            return np.array([index[s] for s in self.symbols])
+        except KeyError as e:
+            raise ValueError(f"element {e} not covered by the potential")
+
+    # -------------------------------------------------------------- keywords
+
+    def kw_potential(self, args):
+        path = os.path.join(self.workdir, args[0])
+        with open(path) as f:
+            head = f.readline().split()
+        name = head[0]
+        if name == "lj":
+            pot = LJ.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
+        elif name.startswith("nep"):
+            pot = NEP.from_file(path)
+            self.type_names = list(pot.model.symbols)
+        else:
+            raise ValueError(f"unsupported potential type {name!r}")
+        self.potentials.append(pot)
+        types = self._types_from_symbols()
+        state = make_state(
+            self.frame.positions,
+            self.frame.default_masses(),
+            types,
+            self.box,
+            velocity=(
+                self.frame.velocities * TIME_UNIT_CONVERSION
+                if self.frame.velocities is not None
+                else None
+            ),
+            n_pad=self._n,
+            track_unwrapped=True,
+        )
+        if self.state is not None:  # keep velocities etc. from prior state
+            state = state._replace(velocity=self.state.velocity)
+        self.state = state
+        self.ff = ForceField.create(
+            self.potentials, self.box, self._n, mn=_auto_mn(self.potentials),
+            skin=1.0,
+        )
+        self.log(f"potential: {name} ({path})")
+
+    def kw_velocity(self, args):
+        self._require_state()
+        t = float(args[0])
+        seed = 12345
+        if len(args) >= 3 and args[1] == "seed":
+            seed = int(args[2])
+        self.state = initialize_velocity(self.state, t, seed=seed)
+        self.velocity_initialized = True
+        self.log(f"velocity: {t} K (seed {seed})")
+
+    def kw_time_step(self, args):
+        self.dt = float(args[0]) / TIME_UNIT_CONVERSION
+        self.log(f"time_step: {args[0]} fs")
+
+    def kw_ensemble(self, args):
+        name = args[0]
+        p = [float(x) for x in args[1:]]
+        if name == "nve":
+            self.ensemble = NVE()
+        elif name in ("nvt_ber", "nvt_lan", "nvt_bdp", "nvt_nhc"):
+            t1, t2, tc = p[0], p[1], p[2]
+            cls = {
+                "nvt_ber": NVTBerendsen,
+                "nvt_lan": NVTLangevin,
+                "nvt_bdp": NVTBDP,
+                "nvt_nhc": NVTNoseHooverChain,
+            }[name]
+            self.ensemble = cls(t0=t1, t1=t2, coupling=tc)
+        elif name == "npt_ber":
+            t1, t2, tc = p[0], p[1], p[2]
+            rest = p[3:]
+            if len(rest) == 3:  # isotropic: p C tau_p
+                ens = NPTBerendsen(
+                    t0=t1, t1=t2, coupling=tc,
+                    target_pressure=(rest[0],) * 3,
+                    elastic_modulus=(rest[1],) * 3,
+                    tau_p=rest[2], isotropic=True,
+                )
+            elif len(rest) == 7:  # px py pz Cx Cy Cz tau_p
+                ens = NPTBerendsen(
+                    t0=t1, t1=t2, coupling=tc,
+                    target_pressure=tuple(rest[0:3]),
+                    elastic_modulus=tuple(rest[3:6]),
+                    tau_p=rest[6],
+                )
+            else:
+                raise ValueError("npt_ber needs 6 or 10 parameters")
+            self.ensemble = ens
+        else:
+            raise ValueError(f"unsupported ensemble {name!r}")
+        self.log(f"ensemble: {name} {args[1:]}")
+
+    def kw_dump_thermo(self, args):
+        interval = int(args[0])
+        f = self._file(
+            "thermo.out",
+            f"# dump_thermo {interval}\n# format_version 1\n"
+            f"# num_atoms {self._n}\n"
+            f"# dt_output {self.dt * interval * TIME_UNIT_CONVERSION:.10e} fs\n"
+            "# columns T KE PE sxx syy szz syz sxz sxy "
+            "ax ay az bx by bz cx cy cz\n",
+        )
+
+        def process(session, state, step):
+            th = compute_thermo(state)
+            p = np.asarray(th.pressure) * PRESSURE_UNIT_CONVERSION
+            h = np.asarray(state.box.h)
+            row = [
+                float(th.temperature), float(th.kinetic_energy),
+                float(th.potential_energy),
+                p[0, 0], p[1, 1], p[2, 2], p[1, 2], p[0, 2], p[0, 1],
+                # lattice vectors a, b, c (columns of h)
+                h[0, 0], h[1, 0], h[2, 0],
+                h[0, 1], h[1, 1], h[2, 1],
+                h[0, 2], h[1, 2], h[2, 2],
+            ]
+            f.write("".join(f"{x:20.10e}" for x in row) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"dump_thermo every {interval}")
+
+    def _dump_frame(self, state: MDState, filename, with_vel, with_forces):
+        n = self._n
+        pos = np.asarray(state.box.wrap(state.position))[:n]
+        frame = XYZFrame(
+            symbols=self.symbols,
+            positions=pos,
+            lattice=np.asarray(state.box.h).T,
+            pbc=self.frame.pbc,
+            velocities=np.asarray(state.velocity)[:n] / TIME_UNIT_CONVERSION
+            if with_vel
+            else None,
+            forces=np.asarray(state.force)[:n] if with_forces else None,
+            masses=np.asarray(state.mass)[:n],
+        )
+        write_xyz(
+            os.path.join(self.workdir, filename),
+            frame,
+            append=True,
+            with_velocities=with_vel,
+            with_forces=with_forces,
+        )
+
+    def kw_dump_exyz(self, args):
+        interval = int(args[0])
+        with_vel = len(args) > 1 and args[1] == "1"
+        with_f = len(args) > 2 and args[2] == "1"
+
+        def process(session, state, step):
+            self._dump_frame(state, "dump.xyz", with_vel, with_f)
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"dump_exyz every {interval}")
+
+    def kw_dump_position(self, args):
+        interval = int(args[0])
+
+        def process(session, state, step):
+            self._dump_frame(state, "movie.xyz", False, False)
+
+        self.properties.append(PropertyRequest(interval, process))
+
+    def kw_dump_restart(self, args):
+        interval = int(args[0])
+
+        def process(session, state, step):
+            n = self._n
+            frame = XYZFrame(
+                symbols=self.symbols,
+                positions=np.asarray(state.box.wrap(state.position))[:n],
+                lattice=np.asarray(state.box.h).T,
+                pbc=self.frame.pbc,
+                velocities=np.asarray(state.velocity)[:n] / TIME_UNIT_CONVERSION,
+                masses=np.asarray(state.mass)[:n],
+            )
+            write_xyz(
+                os.path.join(self.workdir, "restart.xyz"),
+                frame, append=False, with_velocities=True, with_masses=True,
+            )
+
+        self.properties.append(PropertyRequest(interval, process))
+
+    def kw_correct_velocity(self, args):
+        interval = int(args[0])
+
+        def process(session, state, step):
+            session.state = correct_velocity(state)
+
+        self.properties.append(PropertyRequest(interval, process))
+
+    def kw_run(self, args):
+        self._require_state()
+        n_steps = int(args[0])
+        if self.ensemble is None:
+            self.ensemble = NVE()
+        ens = self.ensemble
+        # temperature ramp length = this run's steps
+        if hasattr(ens, "n_steps"):
+            import dataclasses
+
+            ens = dataclasses.replace(ens, n_steps=n_steps)
+
+        intervals = [p.interval for p in self.properties] or [n_steps]
+        chunk = math.gcd(*intervals) if intervals else n_steps
+        chunk = max(1, min(chunk, n_steps))
+
+        state = jax.jit(self.ff.compute)(self.state)
+        cache = (
+            jax.jit(self.ff.refresh_cache)(state) if self.ff.skin > 0 else None
+        )
+        runner = MDRunner(self.ff, ens, self.dt, chunk, observer=lambda s: 0)
+        aux = None
+        t0 = time.time()
+        done = 0
+        while done < n_steps:
+            state, (aux, cache), _ = runner(state, aux=aux, cache=cache)
+            done += chunk
+            self.global_step += chunk
+            self.state = state
+            for prop in self.properties:
+                if done % prop.interval == 0:
+                    prop.process(self, state, self.global_step)
+                    state = self.state  # allow processors to mutate
+        jax.block_until_ready(state.position)
+        wall = time.time() - t0
+        rate = self._n * n_steps / max(wall, 1e-9)
+        self.log(f"Speed of this run = {rate:.5g} atom*step/second")
+        # reset per-run observers (ref: run.cu:329-340 finalize())
+        for prop in self.properties:
+            if prop.finalize:
+                prop.finalize(self)
+        self.properties = []
+
+    # ----------------------------------------------------------------- driver
+
+    KEYWORDS = {
+        "potential": kw_potential,
+        "velocity": kw_velocity,
+        "time_step": kw_time_step,
+        "ensemble": kw_ensemble,
+        "dump_thermo": kw_dump_thermo,
+        "dump_exyz": kw_dump_exyz,
+        "dump_position": kw_dump_position,
+        "dump_restart": kw_dump_restart,
+        "correct_velocity": kw_correct_velocity,
+        "run": kw_run,
+    }
+
+    def execute(self, runfile: str = "run.in"):
+        for toks in parse_run_in(os.path.join(self.workdir, runfile)):
+            kw, args = toks[0], toks[1:]
+            handler = self.KEYWORDS.get(kw)
+            if handler is None:
+                raise ValueError(f"unknown or unsupported run.in keyword {kw!r}")
+            handler(self, args)
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+
+
+def _auto_mn(potentials) -> int:
+    """Neighbor capacity: NEP files carry MN hints; otherwise default."""
+    mn = 0
+    for p in potentials:
+        if hasattr(p, "model"):
+            mn = max(mn, p.model.mn_radial)
+    return int(mn * 1.3) if mn else 256
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    workdir = argv[0] if argv else "."
+    Session(workdir).execute()
+
+
+if __name__ == "__main__":
+    main()

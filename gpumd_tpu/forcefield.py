@@ -41,6 +41,7 @@ class NeighborConfig:
     def create(box: Box, rc: float, n_atoms: int, mn: int, skin: float = 0.0):
         """Host-side planning from the initial box (recompiled if box shape
         class changes)."""
+        mn += mn & 1  # even MN keeps N*MN pair-sort alignment
         rc_eff = rc + skin
         grid = choose_grid(box, rc_eff)
         if grid is None or n_atoms <= 2048:
@@ -156,7 +157,6 @@ class ForceField:
         nbr = self.neighbor.build(pos_w, state.box, state.mask)
         from gpumd_tpu.neighbor.neighbor import build_reverse_map
 
-        rev = build_reverse_map(nbr)
         # shift = r12 - (raw_j - raw_i), an exact lattice translation.
         raw_diff = pos_raw[nbr.idx] - pos_raw[:, None, :]
         shift_cart = nbr.r12 - raw_diff
@@ -164,6 +164,7 @@ class ForceField:
         shift_frac = jnp.where(
             nbr.mask[..., None] > 0, shift_frac, 0.0
         ).astype(jnp.int8)
+        rev = build_reverse_map(nbr, shift_frac)
         return NeighborCache(
             idx=nbr.idx,
             shift_frac=shift_frac,

@@ -71,12 +71,14 @@ class MDRunner:
         self._run = _run
 
     def __call__(self, state: MDState, aux=None, cache=None):
+        """Returns (state, (aux, cache), observations); pass the carry back
+        in to continue a run across chunks."""
         if aux is None:
             aux = self.ensemble.init(state)
         if cache is None and self.ff.skin > 0.0:
             cache = jax.jit(self.ff.refresh_cache)(state)
         (state, aux, cache), obs = self._run(state, aux, cache)
-        return state, aux, obs
+        return state, (aux, cache), obs
 
 
 def md_run(

@@ -62,40 +62,43 @@ class NeighborList(NamedTuple):
         return jnp.any(self.count > self.max_neighbors)
 
 
-def build_reverse_map(nbr: NeighborList, row_block: int = 2048) -> jnp.ndarray:
-    """rev[i, m] = j * MN + m' where idx[j, m'] == i and r12[j, m'] is the
-    mirror displacement (-r12[i, m]); self-pointing for padded slots.
+def build_reverse_map(nbr: NeighborList, shift_frac: jnp.ndarray) -> jnp.ndarray:
+    """rev[i, m] = flat index j * MN + m' of the mirror pair slot
+    (idx[j, m'] == i with the opposite image shift).
 
-    Matching on the displacement (not just the index) stays correct when the
-    same neighbor appears through multiple periodic images (small boxes).
-    Cost is O(N * MN^2) compares, paid once per Verlet rebuild.
+    Sort-based pairing: every ordered pair (i -> j, shift s) gets the
+    canonical key (min(i,j), max(i,j), canonical shift); a pair and its
+    mirror share the key, all keys are otherwise unique, so after one
+    argsort mirror slots sit at positions 2k / 2k+1.  O(P log P) for
+    P = N*MN pairs, no MN^2 blowup — paid once per Verlet rebuild.
+
+    Requires a loss-free neighbor list (no MN overflow), which the builders
+    report via `count`.  Invalid slots get arbitrary in-range values;
+    consumers mask gathered reverse values by nbr.mask.
     """
     n, mn = nbr.idx.shape
-    blk = min(row_block, n)
-    n_blocks = -(-n // blk)
-    rows_all = jnp.arange(n_blocks * blk).reshape(n_blocks, blk)
-
-    def one_block(rows):
-        rows_c = jnp.minimum(rows, n - 1)
-        j = nbr.idx[rows_c]  # (B, MN)
-        # Candidate mirror rows: all MN slots of each neighbor j.
-        idx_j = nbr.idx[j]  # (B, MN, MN)
-        r12_j = nbr.r12[j]  # (B, MN, MN, 3)
-        want = -nbr.r12[rows_c][:, :, None, :]  # (B, MN, 1->MN, 3)
-        match = (idx_j == rows_c[:, None, None]) & (
-            jnp.sum(jnp.abs(r12_j - want), axis=-1) < 1e-3
-        )
-        mprime = jnp.argmax(match, axis=-1).astype(jnp.int32)  # (B, MN)
-        found = jnp.any(match, axis=-1)
-        # Invalid/padded slots point anywhere (own row); consumers must mask
-        # gathered reverse values by nbr.mask.
-        rev = jnp.where(
-            found & (nbr.mask[rows_c] > 0), j * mn + mprime, rows_c[:, None] * mn
-        )
-        return rev
-
-    rev = jax.lax.map(one_block, rows_all)
-    return rev.reshape(-1, mn)[:n]
+    if (n * mn) % 2 != 0:
+        raise ValueError("N * MN must be even for pair matching (use even MN)")
+    i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, mn))
+    j = nbr.idx
+    a = jnp.minimum(i, j)
+    b = jnp.maximum(i, j)
+    s = shift_frac.astype(jnp.int32)
+    s = jnp.where((i < j)[..., None], s, -s)
+    # shifts are small integers (|s| < 16 by construction)
+    enc = (s[..., 0] + 16) + 33 * (s[..., 1] + 16) + 1089 * (s[..., 2] + 16)
+    valid = nbr.mask.reshape(-1) > 0
+    flat = jnp.arange(n * mn, dtype=jnp.int32)
+    # Invalid slots sort to the tail with unique keys (valid pair count is
+    # even, so valid mirrors stay 2k/2k+1-aligned at the front).
+    a = jnp.where(valid, a.reshape(-1), n)
+    b = jnp.where(valid, b.reshape(-1), flat)
+    enc = jnp.where(valid, enc.reshape(-1), 0)
+    # Lexicographic 3-key sort in one pass; 4th operand carries positions.
+    _, _, _, order = jax.lax.sort((a, b, enc, flat), num_keys=3)
+    swapped = order.reshape(-1, 2)[:, ::-1].reshape(-1)
+    inv = jnp.argsort(order)
+    return swapped[inv].reshape(n, mn)
 
 
 def _image_shifts(reps: Sequence[int], dtype) -> np.ndarray:

@@ -1,0 +1,111 @@
+"""End-to-end `gpumd` app: run.in + model.xyz -> thermo.out / dump files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpumd_tpu.app.gpumd import Session, parse_run_in
+from gpumd_tpu.io.xyz import XYZFrame, read_xyz_frames, write_xyz
+
+from conftest import requires_reference
+
+
+def make_argon_dir(tmp_path, nc=3):
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n,
+        positions=pos,
+        lattice=np.diag([nc * a0] * 3),
+        pbc=(True, True, True),
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    return n
+
+
+def test_lj_nvt_run(tmp_path):
+    n = make_argon_dir(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """# LJ argon equilibration
+potential lj.txt
+velocity  60
+time_step 5
+ensemble  nvt_ber 60 60 100
+dump_thermo 20
+dump_exyz 100 1 1
+run 200
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+
+    thermo = np.loadtxt(tmp_path / "thermo.out")
+    assert thermo.shape == (10, 18)
+    temps = thermo[:, 0]
+    assert np.all((temps > 20) & (temps < 100))
+    # box columns present
+    assert np.allclose(thermo[0, 9], 3 * 5.26)
+
+    frames = read_xyz_frames(str(tmp_path / "dump.xyz"))
+    assert len(frames) == 2
+    assert frames[0].n_atoms == n
+    assert frames[0].velocities is not None
+    assert frames[0].forces is not None
+
+
+def test_two_run_blocks_and_restart(tmp_path):
+    make_argon_dir(tmp_path, nc=2)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 30 seed 7
+time_step 5
+ensemble nve
+dump_restart 50
+run 50
+ensemble nvt_lan 50 50 50
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    assert s.global_step == 150
+    r = read_xyz_frames(str(tmp_path / "restart.xyz"))
+    assert len(r) == 1 and r[0].velocities is not None
+
+
+def test_unknown_keyword_fails(tmp_path):
+    make_argon_dir(tmp_path, nc=2)
+    (tmp_path / "run.in").write_text("potential lj.txt\nbogus_keyword 3\n")
+    with pytest.raises(ValueError, match="unknown or unsupported"):
+        Session(str(tmp_path), quiet=True).execute()
+
+
+def test_npt_relaxes_pressure(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 40
+time_step 5
+ensemble npt_ber 40 40 100 0 2 1000
+dump_thermo 50
+run 400
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    thermo = np.loadtxt(tmp_path / "thermo.out")
+    # pressure (sxx) should move toward 0 and the box should have changed
+    assert abs(thermo[-1, 3]) < abs(thermo[0, 3]) + 0.05
+    assert not np.isclose(thermo[-1, 9], thermo[0, 9])
+
+
+@requires_reference
+def test_reference_example_inputs_parse():
+    toks = parse_run_in("/root/reference/examples/gpumd_dynamic/run.in")
+    assert toks[0][0] == "potential"
+    assert any(t[0] == "run" for t in toks)
