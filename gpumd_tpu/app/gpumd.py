@@ -85,6 +85,7 @@ class Session:
         self.dt = 1.0 / TIME_UNIT_CONVERSION  # natural units (default 1 fs)
         self.ensemble = None
         self.properties: List[PropertyRequest] = []
+        self.measure_props: list = []
         self.global_step = 0
         self.velocity_initialized = False
         self._n = frame.n_atoms
@@ -319,23 +320,46 @@ class Session:
 
             ens = dataclasses.replace(ens, n_steps=n_steps)
 
-        intervals = [p.interval for p in self.properties] or [n_steps]
+        intervals = [p.interval for p in self.properties] + [
+            m.interval for m in self.measure_props
+        ]
         chunk = math.gcd(*intervals) if intervals else n_steps
         chunk = max(1, min(chunk, n_steps))
+
+        needs_heat = any(
+            getattr(m, "needs_heat", False) for m in self.measure_props
+        )
+        if needs_heat:
+            from gpumd_tpu.measure.properties import heat_current_5
+
+            observer = lambda s: heat_current_5(s)  # noqa: E731
+        else:
+            observer = lambda s: 0  # noqa: E731
 
         state = jax.jit(self.ff.compute)(self.state)
         cache = (
             jax.jit(self.ff.refresh_cache)(state) if self.ff.skin > 0 else None
         )
-        runner = MDRunner(self.ff, ens, self.dt, chunk, observer=lambda s: 0)
+        runner = MDRunner(self.ff, ens, self.dt, chunk, observer=observer)
         aux = None
         t0 = time.time()
         done = 0
         while done < n_steps:
-            state, (aux, cache), _ = runner(state, aux=aux, cache=cache)
+            step0 = self.global_step
+            state, (aux, cache), obs = runner(state, aux=aux, cache=cache)
             done += chunk
             self.global_step += chunk
             self.state = state
+            if needs_heat:
+                j5 = np.asarray(obs)  # (chunk, 5)
+                for m in self.measure_props:
+                    if getattr(m, "needs_heat", False):
+                        m.consume_heat(j5, step0)
+                        if hasattr(m, "maybe_output"):
+                            m.maybe_output(self)
+            for m in self.measure_props:
+                if hasattr(m, "sample_state") and done % m.interval == 0:
+                    m.sample_state(self, state, self.global_step)
             for prop in self.properties:
                 if done % prop.interval == 0:
                     prop.process(self, state, self.global_step)
@@ -345,10 +369,75 @@ class Session:
         rate = self._n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second")
         # reset per-run observers (ref: run.cu:329-340 finalize())
+        for m in self.measure_props:
+            m.postprocess(self)
+        self.measure_props = []
         for prop in self.properties:
             if prop.finalize:
                 prop.finalize(self)
         self.properties = []
+        # HNEMD driving force is per-run (reset like the reference)
+        if self.ff is not None and self.ff.hnemd_fe is not None:
+            import dataclasses
+
+            self.ff = dataclasses.replace(self.ff, hnemd_fe=None)
+
+    # ------------------------------------------------------- measure keywords
+
+    def _ensemble_temperature(self) -> float:
+        ens = self.ensemble
+        if ens is not None and hasattr(ens, "t1"):
+            return float(ens.t1)
+        return 300.0
+
+    def kw_compute_hac(self, args):
+        from gpumd_tpu.measure.properties import HAC
+
+        self.measure_props.append(
+            HAC(int(args[0]), int(args[1]), int(args[2]), self.dt,
+                self._ensemble_temperature())
+        )
+        self.log(f"compute_hac {args}")
+
+    def kw_compute_hnemd(self, args):
+        import dataclasses
+
+        from gpumd_tpu.measure.properties import HNEMDKappa
+
+        fe = (float(args[1]), float(args[2]), float(args[3]))
+        self.ff = dataclasses.replace(self.ff, hnemd_fe=fe)
+        self.measure_props.append(
+            HNEMDKappa(int(args[0]), fe, self.dt, self._ensemble_temperature())
+        )
+        self.log(f"compute_hnemd {args}")
+
+    def kw_compute_msd(self, args):
+        from gpumd_tpu.measure.properties import MSD
+
+        self.measure_props.append(MSD(int(args[0]), int(args[1]), self.dt))
+
+    def kw_compute_sdc(self, args):
+        from gpumd_tpu.measure.properties import SDC
+
+        self.measure_props.append(SDC(int(args[0]), int(args[1]), self.dt))
+
+    def kw_compute_dos(self, args):
+        from gpumd_tpu.measure.properties import DOS
+
+        num_points = None
+        if "num_dos_points" in args:
+            num_points = int(args[args.index("num_dos_points") + 1])
+        self.measure_props.append(
+            DOS(int(args[0]), int(args[1]), float(args[2]), self.dt,
+                num_points=num_points)
+        )
+
+    def kw_compute_rdf(self, args):
+        from gpumd_tpu.measure.properties import RDF
+
+        self.measure_props.append(
+            RDF(float(args[0]), int(args[1]), int(args[2]))
+        )
 
     # ----------------------------------------------------------------- driver
 
@@ -362,6 +451,12 @@ class Session:
         "dump_position": kw_dump_position,
         "dump_restart": kw_dump_restart,
         "correct_velocity": kw_correct_velocity,
+        "compute_hac": kw_compute_hac,
+        "compute_hnemd": kw_compute_hnemd,
+        "compute_msd": kw_compute_msd,
+        "compute_sdc": kw_compute_sdc,
+        "compute_dos": kw_compute_dos,
+        "compute_rdf": kw_compute_rdf,
         "run": kw_run,
     }
 

@@ -107,6 +107,9 @@ class ForceField:
     # Verlet skin (Angstrom): neighbor lists are built at rc + skin and
     # reused until max displacement > skin/2.
     skin: float = 0.0
+    # HNEMD driving force Fe (1/A): F_i += W_i^T Fe, with net-force zeroing
+    # (ref: force.cu:567-608).  None disables.
+    hnemd_fe: Optional[tuple] = None
 
     @staticmethod
     def create(
@@ -141,6 +144,11 @@ class ForceField:
             e = e + out.energy
             f = f + out.force
             w = w + out.virial
+        if self.hnemd_fe is not None:
+            fe = jnp.asarray(self.hnemd_fe, dtype=f.dtype)
+            f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
+            n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+            f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
         # Per-atom heat current J_i = W_i . v_i (ref: compute_heat.cu:18-29).
         j = jnp.einsum("nab,nb->na", w, state.velocity)
         return state._replace(
@@ -158,7 +166,9 @@ class ForceField:
         from gpumd_tpu.neighbor.neighbor import build_reverse_map
 
         # shift = r12 - (raw_j - raw_i), an exact lattice translation.
-        raw_diff = pos_raw[nbr.idx] - pos_raw[:, None, :]
+        from gpumd_tpu.neighbor.neighbor import gather_vec3
+
+        raw_diff = gather_vec3(pos_raw, nbr.idx) - pos_raw[:, None, :]
         shift_cart = nbr.r12 - raw_diff
         shift_frac = jnp.round(shift_cart @ state.box.h_inv.T.astype(pos_raw.dtype))
         shift_frac = jnp.where(
@@ -175,9 +185,15 @@ class ForceField:
         )
 
     def cache_r12(self, state: MDState, cache: NeighborCache) -> NeighborList:
+        from gpumd_tpu.neighbor.neighbor import gather_vec3
+
         dtype = state.position.dtype
         shift = cache.shift_frac.astype(dtype) @ state.box.h.T
-        r12 = state.position[cache.idx] - state.position[:, None, :] + shift
+        r12 = (
+            gather_vec3(state.position, cache.idx)
+            - state.position[:, None, :]
+            + shift
+        )
         from gpumd_tpu.neighbor.neighbor import _FAR
 
         r12 = jnp.where(cache.mask[..., None] > 0, r12, _FAR)

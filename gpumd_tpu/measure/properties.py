@@ -1,0 +1,326 @@
+"""Measure properties: observables computed during run blocks.
+
+Each property follows the reference Property protocol (ref: src/measure/
+property.cuh: preprocess/process/postprocess) adapted to the chunked scan
+loop:
+
+  * `scalar observers` (heat current, thermo) are stacked every step inside
+    the jit scan — essentially free;
+  * per-atom samplers (velocities for DOS/SDC, positions for MSD/RDF) fire
+    at chunk boundaries (chunk = gcd of all intervals);
+  * correlations/transforms run host-side in numpy at postprocess —
+    the data volumes are tiny compared to the MD itself.
+
+Output files are format-compatible with the reference (hac.out, kappa.out,
+msd.out, sdc.out, dos.out/mvac.out, rdf.out, compute.out).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from gpumd_tpu.units import K_B, KAPPA_UNIT_CONVERSION, TIME_UNIT_CONVERSION
+
+
+def heat_current_5(state):
+    """System heat current, GPUMD 5-component convention
+    (ref: compute_heat.cu: jx_in jx_out jy_in jy_out jz)."""
+    import jax.numpy as jnp
+
+    w = state.virial
+    v = state.velocity
+    m = state.mask
+    jx_in = jnp.sum((w[:, 0, 0] * v[:, 0] + w[:, 0, 1] * v[:, 1]) * m)
+    jx_out = jnp.sum(w[:, 0, 2] * v[:, 2] * m)
+    jy_in = jnp.sum((w[:, 1, 0] * v[:, 0] + w[:, 1, 1] * v[:, 1]) * m)
+    jy_out = jnp.sum(w[:, 1, 2] * v[:, 2] * m)
+    jz = jnp.sum(
+        (w[:, 2, 0] * v[:, 0] + w[:, 2, 1] * v[:, 1] + w[:, 2, 2] * v[:, 2]) * m
+    )
+    return jnp.stack([jx_in, jx_out, jy_in, jy_out, jz])
+
+
+class HAC:
+    """compute_hac sample_interval Nc output_interval -> hac.out
+    (ref: src/measure/hac.cu). Green-Kubo: stores J(t), autocorrelates at
+    postprocess, writes HAC + running kappa."""
+
+    needs_heat = True
+
+    def __init__(self, sample_interval, nc, output_interval, dt, temperature):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.output_interval = int(output_interval)
+        self.dt = dt  # natural units per MD step
+        self.temperature = temperature
+        self.samples: List[np.ndarray] = []
+        self.interval = self.sample_interval
+
+    def consume_heat(self, j5_rows, first_global_step):
+        """j5_rows: (chunk, 5) heat currents for steps
+        first_global_step+1 .. first_global_step+chunk."""
+        steps = first_global_step + 1 + np.arange(len(j5_rows))
+        sel = (steps % self.sample_interval) == 0
+        if sel.any():
+            self.samples.append(j5_rows[sel])
+
+    def postprocess(self, session):
+        heat = np.concatenate(self.samples, axis=0)  # (Nd, 5)
+        nd = len(heat)
+        nc = min(self.nc, nd)
+        hac = np.zeros((nc, 5))
+        # GPUMD in/out cross-correlation convention (hac.cu:111-165)
+        pair = {0: 1, 1: 0, 2: 3, 3: 2, 4: 4}
+        for lag in range(nc):
+            a = heat[: nd - lag]
+            b = heat[lag:]
+            for k in range(5):
+                cross = 0.0 if k == 4 else np.sum(a[:, k] * b[:, pair[k]])
+                hac[lag, k] = (np.sum(a[:, k] * b[:, k]) + cross) / (nd - lag)
+        dt_sample = self.dt * self.sample_interval
+        volume = float(session.state.box.volume)
+        factor = (
+            dt_sample * 0.5 / (K_B * self.temperature**2 * volume)
+        ) * KAPPA_UNIT_CONVERSION
+        rtc = np.zeros_like(hac)
+        for lag in range(1, nc):
+            rtc[lag] = rtc[lag - 1] + (hac[lag - 1] + hac[lag]) * factor
+        dt_ps = dt_sample * TIME_UNIT_CONVERSION / 1000.0
+        with open(os.path.join(session.workdir, "hac.out"), "a") as f:
+            for nd_out in range(nc // self.output_interval):
+                c0 = nd_out * self.output_interval
+                sl = slice(c0, c0 + self.output_interval)
+                h = hac[sl].mean(axis=0)
+                r = rtc[sl].mean(axis=0)
+                t = (c0 + self.output_interval * 0.5) * dt_ps
+                row = [t, *h, *r]
+                f.write("".join(f"{x:25.15e}" for x in row) + "\n")
+
+
+class HNEMDKappa:
+    """compute_hnemd output_interval fe_x fe_y fe_z -> kappa.out
+    (ref: hnemd_kappa.cu; driving force wired into ForceField)."""
+
+    needs_heat = True
+
+    def __init__(self, output_interval, fe, dt, temperature):
+        self.output_interval = int(output_interval)
+        self.fe = np.asarray(fe, dtype=float)
+        self.fe_mag = float(np.linalg.norm(self.fe))
+        self.temperature = temperature
+        self.interval = self.output_interval
+        self._acc = np.zeros(5)
+        self._count = 0
+
+    def consume_heat(self, j5_rows, first_global_step):
+        self._acc += j5_rows.sum(axis=0)
+        self._count += len(j5_rows)
+        # flush whenever a full output window has accumulated
+
+    def maybe_output(self, session):
+        while self._count >= self.output_interval:
+            volume = float(session.state.box.volume)
+            factor = KAPPA_UNIT_CONVERSION / self.output_interval
+            factor /= volume * self.temperature * self.fe_mag
+            with open(os.path.join(session.workdir, "kappa.out"), "a") as f:
+                f.write(
+                    "".join(f"{x * factor:25.15f}" for x in self._acc) + "\n"
+                )
+            self._acc = np.zeros(5)
+            self._count -= self.output_interval
+
+    def postprocess(self, session):
+        pass
+
+
+class MSD:
+    """compute_msd sample_interval Nc -> msd.out (all atoms; group support
+    arrives with the Group machinery).  SDC columns are the MSD slope / 2
+    (ref: msd.cu writes msd xyz + sdc xyz per correlation step)."""
+
+    needs_heat = False
+
+    def __init__(self, sample_interval, nc, dt):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.dt = dt
+        self.interval = self.sample_interval
+        self.frames: List[np.ndarray] = []
+
+    def sample_state(self, session, state, step):
+        if state.unwrapped_position is None:
+            raise ValueError("compute_msd requires unwrapped positions")
+        n = session._n
+        self.frames.append(np.asarray(state.unwrapped_position)[:n].copy())
+
+    def postprocess(self, session):
+        frames = np.stack(self.frames)  # (Nd, N, 3)
+        nd = len(frames)
+        nc = min(self.nc, nd - 1)
+        dt_ps = self.dt * self.sample_interval * TIME_UNIT_CONVERSION / 1000.0
+        msd = np.zeros((nc, 3))
+        for lag in range(1, nc + 1):
+            d = frames[lag:] - frames[: nd - lag]
+            msd[lag - 1] = np.mean(d * d, axis=(0, 1))
+        # SDC (A^2/ps -> ... GPUMD sdc in A^2/ps): slope/2 per direction
+        sdc = np.zeros_like(msd)
+        t = np.arange(1, nc + 1) * dt_ps
+        sdc[0] = msd[0] / (2 * t[0])
+        sdc[1:] = (msd[1:] - msd[:-1]) / (2 * dt_ps)
+        with open(os.path.join(session.workdir, "msd.out"), "a") as f:
+            f.write(
+                f"# compute_msd {self.sample_interval} {self.nc}\n"
+                "# format_version 1\n"
+                f"# num_atoms {session._n}\n"
+                "# columns time_ps msdx msdy msdz sdcx sdcy sdcz\n"
+            )
+            for i in range(nc):
+                row = [t[i], *msd[i], *sdc[i]]
+                f.write(" ".join(f"{x:g}" for x in row) + "\n")
+
+
+class SDC:
+    """compute_sdc sample_interval Nc -> sdc.out: VAC and its running
+    integral (ref: sdc.cu)."""
+
+    needs_heat = False
+
+    def __init__(self, sample_interval, nc, dt):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.dt = dt
+        self.interval = self.sample_interval
+        self.frames: List[np.ndarray] = []
+
+    def sample_state(self, session, state, step):
+        n = session._n
+        self.frames.append(np.asarray(state.velocity)[:n].copy())
+
+    def _vac(self):
+        v = np.stack(self.frames)  # (Nd, N, 3)
+        nd = len(v)
+        nc = min(self.nc, nd)
+        vac = np.zeros((nc, 3))
+        for lag in range(nc):
+            vac[lag] = np.mean(
+                v[: nd - lag] * v[lag:], axis=(0, 1)
+            )
+        return vac, nc
+
+    def postprocess(self, session):
+        vac, nc = self._vac()
+        dt_sample = self.dt * self.sample_interval
+        dt_ps = dt_sample * TIME_UNIT_CONVERSION / 1000.0
+        # natural velocity^2 -> A^2/ps^2
+        v2unit = (1000.0 / TIME_UNIT_CONVERSION) ** 2
+        sdc = np.zeros_like(vac)
+        for lag in range(1, nc):
+            sdc[lag] = sdc[lag - 1] + (vac[lag - 1] + vac[lag]) * 0.5 * dt_ps
+        with open(os.path.join(session.workdir, "sdc.out"), "a") as f:
+            for i in range(nc):
+                row = [i * dt_ps, *(vac[i] * v2unit), *(sdc[i] * v2unit)]
+                f.write(" ".join(f"{x:g}" for x in row) + "\n")
+
+
+class DOS:
+    """compute_dos sample_interval Nc max_omega [num_dos_points n]
+    -> mvac.out + dos.out (mass-weighted VAC, discrete cosine transform;
+    ref: dos.cu). max_omega in THz (omega = 2 pi nu)."""
+
+    needs_heat = False
+
+    def __init__(self, sample_interval, nc, max_omega_thz, dt, num_points=None):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.max_omega = float(max_omega_thz)
+        self.num_points = int(num_points) if num_points else int(nc)
+        self.dt = dt
+        self.interval = self.sample_interval
+        self.frames: List[np.ndarray] = []
+        self.masses: Optional[np.ndarray] = None
+
+    def sample_state(self, session, state, step):
+        n = session._n
+        if self.masses is None:
+            self.masses = np.asarray(state.mass)[:n].copy()
+        self.frames.append(np.asarray(state.velocity)[:n].copy())
+
+    def postprocess(self, session):
+        v = np.stack(self.frames)  # (Nd, N, 3)
+        nd = len(v)
+        nc = min(self.nc, nd)
+        m = self.masses[None, :, None]
+        vac = np.zeros((nc, 3))
+        for lag in range(nc):
+            vac[lag] = np.mean(m * v[: nd - lag] * v[lag:], axis=(0, 1))
+        vac /= vac[0].sum() / 3.0  # normalized (mvac convention)
+        dt_sample_ps = self.dt * self.sample_interval * TIME_UNIT_CONVERSION / 1000.0
+        t = np.arange(nc) * dt_sample_ps
+        with open(os.path.join(session.workdir, "mvac.out"), "a") as f:
+            for i in range(nc):
+                f.write(" ".join(f"{x:g}" for x in (t[i], *vac[i])) + "\n")
+        omega = np.linspace(
+            self.max_omega / self.num_points, self.max_omega, self.num_points
+        )  # THz angular
+        # DCT with Hann window, normalized to 3N per direction integral
+        hann = 0.5 * (np.cos(np.pi * np.arange(nc) / nc) + 1.0)
+        dos = np.zeros((self.num_points, 3))
+        n3 = session._n
+        for w_i, w in enumerate(omega):
+            c = np.cos(w * t) * hann
+            dos[w_i] = 2.0 * dt_sample_ps * np.sum(vac * c[:, None], axis=0) * n3
+        with open(os.path.join(session.workdir, "dos.out"), "a") as f:
+            for i in range(self.num_points):
+                f.write(" ".join(f"{x:g}" for x in (omega[i], *dos[i])) + "\n")
+
+
+class RDF:
+    """compute_rdf r_cut num_bins sample_interval -> rdf.out
+    (ref: rdf.cu; total g(r) for now, per-pair-type later)."""
+
+    needs_heat = False
+
+    def __init__(self, r_cut, num_bins, sample_interval):
+        self.r_cut = float(r_cut)
+        self.num_bins = int(num_bins)
+        self.sample_interval = int(sample_interval)
+        self.interval = self.sample_interval
+        self.hist = np.zeros(self.num_bins)
+        self.n_samples = 0
+        self.density = None
+
+    def sample_state(self, session, state, step):
+        import jax.numpy as jnp
+
+        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+        from gpumd_tpu.model.box import num_replicas_for_cutoff
+
+        n = session._n
+        pos = state.position[:n]
+        box = state.box
+        reps = num_replicas_for_cutoff(box, self.r_cut)
+        # generous MN for RDF range
+        nbr = neighbor_brute(
+            pos, box, state.mask[:n], rc=self.r_cut, mn=1024, reps=reps
+        )
+        d = np.asarray(jnp.sqrt(jnp.sum(nbr.r12**2, axis=-1)))
+        m = np.asarray(nbr.mask) > 0
+        h, _ = np.histogram(d[m], bins=self.num_bins, range=(0, self.r_cut))
+        self.hist += h
+        self.n_samples += 1
+        if self.density is None:
+            self.density = n / float(box.volume)
+
+    def postprocess(self, session):
+        n = session._n
+        dr = self.r_cut / self.num_bins
+        r = (np.arange(self.num_bins) + 0.5) * dr
+        shell = 4.0 * np.pi * r**2 * dr
+        g = self.hist / max(self.n_samples, 1) / n / (shell * self.density)
+        with open(os.path.join(session.workdir, "rdf.out"), "a") as f:
+            for i in range(self.num_bins):
+                f.write(f"{r[i]:g} {g[i]:g}\n")

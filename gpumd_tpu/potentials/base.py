@@ -49,9 +49,11 @@ def forces_virial_from_partials(p, nbr: NeighborList):
     Returns:
       force (N, 3), virial (N, 3, 3).
     """
+    from gpumd_tpu.neighbor.neighbor import gather_vec3
+
     n, mn = p.shape[0], p.shape[1]
     if nbr.rev is not None:
-        p_rev = p.reshape(-1, 3)[nbr.rev.reshape(-1)].reshape(n, mn, 3)
+        p_rev = gather_vec3(p.reshape(-1, 3), nbr.rev)
         p_rev = p_rev * nbr.mask[..., None]
         force = jnp.sum(p - p_rev, axis=1)
         # Fan2015: W_i = sum_j r12_ij (x) p_ji

@@ -1,0 +1,98 @@
+"""Measure pipeline: HAC/HNEMD/MSD/SDC/DOS/RDF through the app driver."""
+
+import numpy as np
+import pytest
+
+from gpumd_tpu.app.gpumd import Session
+
+from test_app_gpumd import make_argon_dir
+
+
+def test_hac_green_kubo(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 40
+time_step 5
+ensemble nve
+compute_hac 5 20 2
+run 400
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    hac = np.loadtxt(tmp_path / "hac.out")
+    assert hac.shape == (10, 11)  # Nc/output_interval rows; t + 5 hac + 5 rtc
+    assert np.isfinite(hac).all()
+    # HAC at zero-ish lag should be positive for diagonal terms
+    assert hac[0, 1] > 0 and hac[0, 3] > 0 and hac[0, 5] > 0
+
+
+def test_hnemd_kappa(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 40
+time_step 5
+ensemble nvt_lan 40 40 100
+compute_hnemd 100 0.00001 0 0
+run 300
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    kappa = np.loadtxt(tmp_path / "kappa.out")
+    assert kappa.shape == (3, 5)
+    assert np.isfinite(kappa).all()
+    # driving force must be reset after the run
+    assert s.ff.hnemd_fe is None
+
+
+def test_msd_and_sdc(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 60
+time_step 5
+ensemble nve
+compute_msd 5 10
+compute_sdc 5 10
+run 200
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    msd = np.loadtxt(tmp_path / "msd.out")
+    assert msd.shape[1] == 7
+    # MSD grows with lag in a warm crystal
+    assert msd[-1, 1] > 0
+    sdc = np.loadtxt(tmp_path / "sdc.out")
+    assert sdc.shape[1] == 7
+    # VAC(0) = <v_x^2> > 0
+    assert sdc[0, 1] > 0
+
+
+def test_dos_and_rdf(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 60
+time_step 5
+ensemble nve
+compute_dos 5 20 30
+compute_rdf 8.0 50 25
+run 200
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    dos = np.loadtxt(tmp_path / "dos.out")
+    assert dos.shape == (20, 4)
+    assert np.isfinite(dos).all()
+    mvac = np.loadtxt(tmp_path / "mvac.out")
+    assert np.isclose(mvac[0, 1:].sum(), 3.0, atol=0.2)  # normalized VAC(0)
+    rdf = np.loadtxt(tmp_path / "rdf.out")
+    assert rdf.shape == (50, 2)
+    # fcc argon first-shell peak near 3.72 A
+    peak_r = rdf[np.argmax(rdf[:, 1]), 0]
+    assert 3.3 < peak_r < 4.1
+    # g(r) ~ 0 well inside the core
+    assert rdf[rdf[:, 0] < 2.5, 1].max() < 0.1
