@@ -128,6 +128,11 @@ class Session:
         if name == "lj":
             pot = LJ.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "tersoff_1989":
+            from gpumd_tpu.potentials.tersoff import Tersoff1989
+
+            pot = Tersoff1989.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
             self.type_names = list(pot.model.symbols)

@@ -1,0 +1,170 @@
+"""Tersoff bond-order potentials (1989 form; 1988/mini variants follow).
+
+File format (ref: src/force/tersoff1989.cu:28-140):
+    tersoff_1989 <1|2> <syms>
+    A B lambda mu beta n c d h r1 r2          (type 0)
+    [A B lambda mu beta n c d h r1 r2]        (type 1)
+    [chi]                                     (0-1 mixing for B)
+Mixed pair parameters: geometric means for A, B (x chi), r1, r2; arithmetic
+for lambda, mu.  The bond-order angular term uses the CENTER atom's
+(beta, n, c, d, h).
+
+Energy (per ordered pair, halved):
+    E_i = 1/2 sum_j fc(r_ij) [ A e^{-lambda r} - b_ij B e^{-mu r} ]
+    b_ij = (1 + (beta zeta_ij)^n)^{-1/(2n)}
+    zeta_ij = sum_{k != i,j} fc(r_ik) g(cos theta_ijk)
+    g = 1 + c^2/d^2 - c^2/(d^2 + (cos - h)^2)
+
+The reference computes forces with two analytic kernels (bond order then
+force, tersoff1989.cu:337-520); here the same energy expression is written
+once and differentiated (the three-body zeta term makes the backward pass
+an O(MN^2) contraction, which XLA batches onto the MXU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.neighbor.neighbor import NeighborList
+from gpumd_tpu.potentials.base import PotentialOutput, compute_from_pair_energy
+
+
+class Tersoff1989(NamedTuple):
+    # pair-indexed (T, T)
+    a: jnp.ndarray
+    b: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    r1: jnp.ndarray
+    r2: jnp.ndarray
+    # center-type-indexed (T,)
+    beta: jnp.ndarray
+    n: jnp.ndarray
+    c2: jnp.ndarray
+    d2: jnp.ndarray
+    h: jnp.ndarray
+    rc: float
+
+    @staticmethod
+    def from_file(path: str) -> "Tersoff1989":
+        with open(path) as f:
+            tokens = f.read().split()
+        if tokens[0] != "tersoff_1989":
+            raise ValueError(f"{path}: not a tersoff_1989 file")
+        t = int(tokens[1])
+        if t not in (1, 2):
+            raise ValueError("tersoff_1989 supports 1 or 2 types")
+        vals = [float(x) for x in tokens[2 + t :]]
+        rows = [vals[11 * i : 11 * (i + 1)] for i in range(t)]
+        chi = vals[11 * t] if t == 2 else 1.0
+
+        def P(i, j, k):  # parameter k of per-type row
+            return rows[i][k] if i == j else None
+
+        a = np.zeros((t, t)); b = np.zeros((t, t))
+        lam = np.zeros((t, t)); mu = np.zeros((t, t))
+        r1 = np.zeros((t, t)); r2 = np.zeros((t, t))
+        for i in range(t):
+            a[i, i] = rows[i][0]
+            b[i, i] = rows[i][1]
+            lam[i, i] = rows[i][2]
+            mu[i, i] = rows[i][3]
+            r1[i, i] = rows[i][9]
+            r2[i, i] = rows[i][10]
+        if t == 2:
+            a[0, 1] = a[1, 0] = np.sqrt(a[0, 0] * a[1, 1])
+            b[0, 1] = b[1, 0] = np.sqrt(b[0, 0] * b[1, 1]) * chi
+            lam[0, 1] = lam[1, 0] = 0.5 * (lam[0, 0] + lam[1, 1])
+            mu[0, 1] = mu[1, 0] = 0.5 * (mu[0, 0] + mu[1, 1])
+            r1[0, 1] = r1[1, 0] = np.sqrt(r1[0, 0] * r1[1, 1])
+            r2[0, 1] = r2[1, 0] = np.sqrt(r2[0, 0] * r2[1, 1])
+        beta = np.array([rows[i][4] for i in range(t)])
+        nn = np.array([rows[i][5] for i in range(t)])
+        c = np.array([rows[i][6] for i in range(t)])
+        d = np.array([rows[i][7] for i in range(t)])
+        h = np.array([rows[i][8] for i in range(t)])
+        return Tersoff1989(
+            a=jnp.asarray(a), b=jnp.asarray(b), lam=jnp.asarray(lam),
+            mu=jnp.asarray(mu), r1=jnp.asarray(r1), r2=jnp.asarray(r2),
+            beta=jnp.asarray(beta), n=jnp.asarray(nn), c2=jnp.asarray(c * c),
+            d2=jnp.asarray(d * d), h=jnp.asarray(h), rc=float(r2.max()),
+        )
+
+    # ---- energy --------------------------------------------------------------
+
+    def pair_energies(self, r12, t1, t2, block: int = 2048):
+        nloc = r12.shape[0]
+        if nloc <= block:
+            return self._block_energy(r12, t1, t2)
+        blk_fn = jax.checkpoint(self._block_energy)
+        nb = -(-nloc // block)
+        pad = nb * block - nloc
+        r12p = jnp.pad(r12, ((0, pad), (0, 0), (0, 0)), constant_values=1e5)
+        t1p = jnp.pad(t1, (0, pad))
+        t2p = jnp.pad(t2, ((0, pad), (0, 0)))
+        e = jax.lax.map(
+            lambda args: blk_fn(*args),
+            (
+                r12p.reshape(nb, block, *r12.shape[1:]),
+                t1p.reshape(nb, block),
+                t2p.reshape(nb, block, -1),
+            ),
+        )
+        return e.reshape(-1)[:nloc]
+
+    def _block_energy(self, r12, t1, t2):
+        dtype = r12.dtype
+        d = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))  # (B, MN)
+        tp = (t1[:, None], t2)
+        r1p = self.r1[tp].astype(dtype)
+        r2p = self.r2[tp].astype(dtype)
+        # smooth switch (tersoff fc): 1 below r1, cos ramp to r2
+        x = jnp.clip((d - r1p) / jnp.maximum(r2p - r1p, 1e-30), 0.0, 1.0)
+        fc = 0.5 * (1.0 + jnp.cos(jnp.pi * x))
+        in_range = d < r2p
+        fc = jnp.where(in_range, fc, 0.0)
+
+        fr = self.a[tp].astype(dtype) * jnp.exp(
+            -self.lam[tp].astype(dtype) * jnp.minimum(d, r2p)
+        )
+        fa = self.b[tp].astype(dtype) * jnp.exp(
+            -self.mu[tp].astype(dtype) * jnp.minimum(d, r2p)
+        )
+
+        # zeta_ij = sum_k fc_ik g(cos theta_jik), k != j (same list)
+        u = r12 / d[..., None]
+        cosjk = jnp.einsum("pma,pka->pmk", u, u)  # (B, MN, MN)
+        c2 = self.c2[t1].astype(dtype)[:, None, None]
+        d2 = self.d2[t1].astype(dtype)[:, None, None]
+        hh = self.h[t1].astype(dtype)[:, None, None]
+        g = (1.0 + c2 / d2) - c2 / (d2 + (cosjk - hh) ** 2)
+        not_self = 1.0 - jnp.eye(fc.shape[-1], dtype=dtype)
+        zeta = jnp.einsum("pk,pmk,mk->pm", fc, g, not_self)
+
+        beta = self.beta[t1].astype(dtype)[:, None]
+        nn = self.n[t1].astype(dtype)[:, None]
+        # Guard the zeta -> 0 singularity of d(beta zeta)^n/dzeta for n < 1
+        # exactly as the reference (b' = 0 for zeta < 1e-16).
+        zeta_ok = zeta > 1e-16
+        bzn = jnp.where(
+            zeta_ok, (beta * jnp.where(zeta_ok, zeta, 1.0)) ** nn, 0.0
+        )
+        bij = (1.0 + bzn) ** (-0.5 / nn)
+
+        e = 0.5 * fc * (fr - bij * fa)
+        return jnp.sum(e, axis=-1)
+
+    @property
+    def num_types(self) -> int:
+        return self.beta.shape[0]
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )
