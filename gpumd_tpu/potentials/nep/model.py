@@ -257,7 +257,9 @@ class NEP(NamedTuple):
         )
         return e.reshape(-1)[:n]
 
-    def _block_energy(self, r12, t1, t2):
+    def raw_descriptors(self, r12, t1, t2):
+        """Unscaled per-atom descriptor vectors q (B, dim) — used by the
+        trainer to derive q_scaler (ref: find_max_min, main_nep/nep.cu)."""
         model, params = self.model, self.params
         dtype = r12.dtype
         t = model.num_types
@@ -284,7 +286,14 @@ class NEP(NamedTuple):
         s = _angular_components(u, gn_a, model.l_max, dtype)  # (B, NA1, C)
         q_ang = _angular_q(s, model, dtype)  # (B, num_l, NA1)
 
-        q = jnp.concatenate([q_rad, q_ang.reshape(q_ang.shape[0], -1)], axis=-1)
+        return jnp.concatenate(
+            [q_rad, q_ang.reshape(q_ang.shape[0], -1)], axis=-1
+        ), d
+
+    def _block_energy(self, r12, t1, t2):
+        model, params = self.model, self.params
+        dtype = r12.dtype
+        q, d = self.raw_descriptors(r12, t1, t2)
         q = q * params.q_scaler.astype(dtype)
 
         # --- ANN: all type branches, select own (MXU-friendly)

@@ -257,6 +257,124 @@ def load_nep_txt(path: str, dtype=jnp.float32) -> Tuple[NepModel, NepParams]:
     return model, params
 
 
+def num_trainable(model: NepModel) -> int:
+    """Trainable parameter count (ANN + descriptor c; excludes q_scaler)."""
+    return model.num_ann_params() + model.num_descriptor_params()
+
+
+def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
+    """Traceable flat-vector -> NepParams (exact reference file ordering:
+    per-type ANN blocks, global bias, then c basis-major type-pair-minor).
+    Used by the SNES population evaluation (vmapped over theta)."""
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
+    p = 0
+    w0 = []
+    b0 = []
+    w1 = []
+    b1_type = []
+    for ty in range(t):
+        w0.append(theta[p : p + neu * dim].reshape(neu, dim))
+        p += neu * dim
+        b0.append(theta[p : p + neu])
+        p += neu
+        w1.append(theta[p : p + neu])
+        p += neu
+        if model.version == 5:
+            b1_type.append(theta[p])
+            p += 1
+    b1 = theta[p]
+    p += 1
+    if model.model_type == 2:
+        raise NotImplementedError("polarizability training vectorization")
+    t2 = t * t
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    c = theta[p : p + t2 * (nr + na)]
+    c_rad = (
+        c[: t2 * nr].reshape(nr, t2).T.reshape(
+            t, t, model.n_max_radial + 1, model.basis_size_radial + 1
+        )
+    )
+    c_ang = (
+        c[t2 * nr :].reshape(na, t2).T.reshape(
+            t, t, model.n_max_angular + 1, model.basis_size_angular + 1
+        )
+    )
+    if q_scaler is None:
+        q_scaler = jnp.ones((dim,), theta.dtype)
+    zeros_t = jnp.zeros((t,), theta.dtype)
+    return NepParams(
+        w0=jnp.stack(w0),
+        b0=jnp.stack(b0),
+        w1=jnp.stack(w1),
+        b1=b1,
+        b1_type=jnp.stack(b1_type) if b1_type else zeros_t,
+        c_radial=c_rad,
+        c_angular=c_ang,
+        q_scaler=q_scaler,
+    )
+
+
+def variable_types(model: NepModel) -> np.ndarray:
+    """Element class of each trainable variable (ref: snes.cu
+    find_type_of_variable): ANN block of type t -> t; global bias and
+    shared scalars -> num_types; c parameter -> its t1."""
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    out = []
+    per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
+    for ty in range(t):
+        out += [ty] * per_type
+    out += [t]  # global bias
+    t2 = t * t
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    for nk in range(nr + na):
+        for t1 in range(t):
+            out += [t1] * t
+    return np.asarray(out, dtype=np.int32)
+
+
+def write_nep_txt(path: str, model: NepModel, theta, q_scaler):
+    """Write a nep.txt compatible with the reference MD engine
+    (ref: format in nep.cu:100-395 / SURVEY.md A.4)."""
+    name = f"nep{model.version}"
+    if model.zbl:
+        name += "_zbl"
+    if model.model_type == 1:
+        name += "_dipole"
+    elif model.model_type == 2:
+        name += "_polarizability"
+    elif model.model_type == 3:
+        name += "_temperature"
+    lines = [f"{name} {model.num_types} " + " ".join(model.symbols)]
+    if model.zbl:
+        lines.append(f"zbl {model.zbl_rc_inner} {model.zbl_rc_outer}")
+    # write global cutoffs + raw MN (un-enlarged)
+    mn_r = int(np.ceil(model.mn_radial / 1.25))
+    mn_a = int(np.ceil(model.mn_angular / 1.25))
+    lines.append(
+        f"cutoff {model.rc_radial[0]} {model.rc_angular[0]} {mn_r} {mn_a}"
+    )
+    lines.append(f"n_max {model.n_max_radial} {model.n_max_angular}")
+    lines.append(
+        f"basis_size {model.basis_size_radial} {model.basis_size_angular}"
+    )
+    lines.append(
+        f"l_max {model.l_max} "
+        + " ".join(str(v) for v in model.has_q[:2])
+    )
+    lines.append(f"ANN {model.neurons} 0")
+    theta = np.asarray(theta)
+    q_scaler = np.asarray(q_scaler)
+    for v in theta:
+        lines.append(f"{v:15.7e}")
+    for v in q_scaler:
+        lines.append(f"{v:15.7e}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def random_params(model: NepModel, seed: int = 0, dtype=jnp.float32) -> NepParams:
     """Random NEP parameters with the right shapes (benchmarks, tests,
     trainer initialization)."""
