@@ -44,7 +44,7 @@ def build_pbte(n_cells_x, n_cells_y, n_cells_z, a0=6.57):
     return pos, types, lengths
 
 
-def main():
+def run_once(target_n, n_steps):
     from gpumd_tpu.forcefield import ForceField
     from gpumd_tpu.integrate.ensembles.nve import NVE
     from gpumd_tpu.integrate.run import md_run
@@ -55,8 +55,6 @@ def main():
     from gpumd_tpu.potentials.nep.params import NepModel, random_params
     from gpumd_tpu.units import TIME_UNIT_CONVERSION
 
-    target_n = int(os.environ.get("GPUMD_BENCH_N", 1_000_000))
-    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
     nc = max(2, round((target_n / 8) ** (1 / 3)))
     pos, types, lengths = build_pbte(nc, nc, nc)
     n = len(pos)
@@ -92,7 +90,23 @@ def main():
 
     if not bool(jnp.isfinite(s2.position).all() & jnp.isfinite(s2.velocity).all()):
         raise RuntimeError("benchmark trajectory went non-finite")
+    return n, n_steps, wall
 
+
+def main():
+    target_n = int(os.environ.get("GPUMD_BENCH_N", 256_000))
+    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 10))
+    sizes = [target_n, target_n // 4, target_n // 16]
+    result = None
+    for size in sizes:
+        try:
+            result = run_once(size, n_steps)
+            break
+        except Exception as e:  # OOM / device errors: fall back smaller
+            print(f"# bench at N~{size} failed: {e}", file=sys.stderr)
+    if result is None:
+        raise SystemExit("benchmark failed at all sizes")
+    n, n_steps, wall = result
     value = n * n_steps / wall
     baseline = 1e8
     print(

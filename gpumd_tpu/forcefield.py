@@ -59,7 +59,9 @@ class NeighborConfig:
             return neighbor_brute(
                 position, box, mask, rc=self.rc, mn=self.mn, reps=self.reps
             )
-        return neighbor_cell_list(
+        from gpumd_tpu.neighbor.neighbor import neighbor_cell_dense
+
+        return neighbor_cell_dense(
             position,
             box,
             mask,
@@ -168,9 +170,18 @@ class ForceField:
         # shift = r12 - (raw_j - raw_i), an exact lattice translation.
         from gpumd_tpu.neighbor.neighbor import gather_vec3
 
-        raw_diff = gather_vec3(pos_raw, nbr.idx) - pos_raw[:, None, :]
-        shift_cart = nbr.r12 - raw_diff
-        shift_frac = jnp.round(shift_cart @ state.box.h_inv.T.astype(pos_raw.dtype))
+        hin = state.box.h_inv.astype(pos_raw.dtype)
+        sc = [
+            nbr.r12[..., k] - (pos_raw[:, k][nbr.idx] - pos_raw[:, k][:, None])
+            for k in range(3)
+        ]
+        shift_frac = jnp.stack(
+            [
+                jnp.round(hin[k, 0] * sc[0] + hin[k, 1] * sc[1] + hin[k, 2] * sc[2])
+                for k in range(3)
+            ],
+            axis=-1,
+        )
         shift_frac = jnp.where(
             nbr.mask[..., None] > 0, shift_frac, 0.0
         ).astype(jnp.int8)
@@ -185,18 +196,19 @@ class ForceField:
         )
 
     def cache_r12(self, state: MDState, cache: NeighborCache) -> NeighborList:
-        from gpumd_tpu.neighbor.neighbor import gather_vec3
-
-        dtype = state.position.dtype
-        shift = cache.shift_frac.astype(dtype) @ state.box.h.T
-        r12 = (
-            gather_vec3(state.position, cache.idx)
-            - state.position[:, None, :]
-            + shift
-        )
         from gpumd_tpu.neighbor.neighbor import _FAR
 
-        r12 = jnp.where(cache.mask[..., None] > 0, r12, _FAR)
+        dtype = state.position.dtype
+        h = state.box.h.astype(dtype)
+        pos = state.position
+        valid = cache.mask > 0
+        sf = [cache.shift_frac[..., k].astype(dtype) for k in range(3)]
+        comps = []
+        for k in range(3):
+            shift_k = sf[0] * h[k, 0] + sf[1] * h[k, 1] + sf[2] * h[k, 2]
+            rk = pos[:, k][cache.idx] - pos[:, k][:, None] + shift_k
+            comps.append(jnp.where(valid, rk, _FAR))
+        r12 = jnp.stack(comps, axis=-1)
         return NeighborList(
             idx=cache.idx, r12=r12, mask=cache.mask, count=cache.count,
             rev=cache.rev,

@@ -35,6 +35,18 @@ def det3(h):
     return jnp.sum(a * jnp.cross(b, c), axis=-1)
 
 
+def _matvec3(m, v):
+    """y_k = sum_j m[k, j] v_j with v given as (..., 3) array or a list of
+    three (...,) components; returns a LIST of components (callers stack
+    only when a (..., 3) result is genuinely needed)."""
+    if isinstance(v, (list, tuple)):
+        vx, vy, vz = v
+    else:
+        vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    m = m.astype(vx.dtype)
+    return [m[k, 0] * vx + m[k, 1] * vy + m[k, 2] * vz for k in range(3)]
+
+
 class Box(NamedTuple):
     """Triclinic periodic box.
 
@@ -91,23 +103,26 @@ class Box(NamedTuple):
           r12: (..., 3) Cartesian displacements.
         Returns:
           (..., 3) wrapped displacements. Non-periodic directions untouched.
+
+        Implemented with explicit per-component arithmetic: a (...,3)@(3,3)
+        matmul would be padded to 128 lanes by XLA:TPU (42x the work).
         """
-        s = r12 @ self.h_inv.T  # fractional
-        s = s - jnp.round(s) * self.pbc
-        return s @ self.h.T
+        s = _matvec3(self.h_inv, r12)
+        s = [si - jnp.round(si) * self.pbc[k] for k, si in enumerate(s)]
+        return jnp.stack(_matvec3(self.h, s), axis=-1)
 
     def wrap(self, positions):
         """Wrap positions into the primary cell [0, 1) in fractional space
         along periodic directions (ref: force.cu:424-459 gpu_apply_pbc)."""
-        s = positions @ self.h_inv.T
-        s = s - jnp.floor(s) * self.pbc
-        return s @ self.h.T
+        s = _matvec3(self.h_inv, positions)
+        s = [si - jnp.floor(si) * self.pbc[k] for k, si in enumerate(s)]
+        return jnp.stack(_matvec3(self.h, s), axis=-1)
 
     def fractional(self, positions):
-        return positions @ self.h_inv.T
+        return jnp.stack(_matvec3(self.h_inv, positions), axis=-1)
 
     def cartesian(self, frac):
-        return frac @ self.h.T
+        return jnp.stack(_matvec3(self.h, frac), axis=-1)
 
 
 def num_replicas_for_cutoff(box: Box, rc: float) -> tuple[int, int, int]:

@@ -324,6 +324,200 @@ def neighbor_cell_list(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rc", "mn", "grid", "cell_cap")
+)
+def neighbor_cell_dense(
+    position: jnp.ndarray,
+    box: Box,
+    mask: jnp.ndarray,
+    *,
+    rc: float,
+    mn: int,
+    grid: tuple,
+    cell_cap: int,
+) -> NeighborList:
+    """Roll-based O(N) neighbor build with fully regular memory access.
+
+    TPU redesign of the cell list: atoms are scattered once into a dense
+    (nz, ny, nx, cap) cell-major layout; the 3^3 stencil becomes 27
+    `jnp.roll`s of that regular array (no random gathers), distances are
+    computed cell-against-cell, and only BOOLEAN validity bits are
+    materialized for the 27*cap candidate axis.  After top_k compaction the
+    chosen displacements are recomputed from one (N, MN) gather.
+
+    Periodic wrap enters as a per-cell integer lattice shift (exact), so no
+    minimum-image rounding is involved at all.
+    """
+    n = position.shape[0]
+    dtype = position.dtype
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    nslots = n_cells * cell_cap
+
+    # ---- binning
+    gridf = jnp.asarray([nx, ny, nz], dtype=dtype)
+    s = position @ box.h_inv.T
+    s = s - jnp.floor(s) * box.pbc
+    cell_xyz = jnp.clip(
+        jnp.floor(s * gridf).astype(jnp.int32),
+        0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1]),
+    )
+    cell_id = (cell_xyz[:, 2] * ny + cell_xyz[:, 1]) * nx + cell_xyz[:, 0]
+    cell_id = jnp.where(mask > 0, cell_id, n_cells)  # padding -> overflow cell
+    order = jnp.argsort(cell_id)  # (N,)
+    sorted_cell = cell_id[order]
+    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells + 1))
+    rank = jnp.arange(n, dtype=jnp.int32) - cell_start[
+        jnp.minimum(sorted_cell, n_cells)
+    ].astype(jnp.int32)
+    occupancy = (cell_start[1:] - cell_start[:-1]).astype(jnp.int32)
+    cell_overflow = occupancy.max() > cell_cap
+
+    # ---- dense cell-major arrays (one scatter)
+    dest = sorted_cell * cell_cap + jnp.minimum(rank, cell_cap - 1)
+    dest = jnp.where(
+        (rank < cell_cap) & (sorted_cell < n_cells), dest, nslots
+    )  # dropped rows go to a sink slot
+    pos_sorted = position[order]
+    dense_pos = jnp.full((nslots + 1, 3), _FAR, dtype)
+    dense_pos = dense_pos.at[dest].set(pos_sorted, mode="drop")
+    dense_pos = dense_pos[:nslots]
+    dense_idx = jnp.full((nslots + 1,), 0, jnp.int32)
+    dense_idx = dense_idx.at[dest].set(order.astype(jnp.int32), mode="drop")
+    dense_idx = dense_idx[:nslots]
+    dense_valid = jnp.zeros((nslots + 1,), bool).at[dest].set(True, mode="drop")
+    dense_valid = dense_valid[:nslots]
+
+    grid_pos = dense_pos.reshape(nz, ny, nx, cell_cap, 3)
+    grid_valid = dense_valid.reshape(nz, ny, nx, cell_cap)
+
+    # per-axis cell coordinates for wrap shifts
+    ix = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 0)
+    dims = (nx, ny, nz)
+    coords = (ix, iy, iz)
+    rc2 = rc * rc
+    # Stencil as a lax.scan over the 27 offsets (unrolling blew up XLA
+    # compile time at large N); rolls take traced shifts.
+    offsets = [
+        (ox, oy, oz)
+        for oz in (-1, 0, 1)
+        for oy in (-1, 0, 1)
+        for ox in (-1, 0, 1)
+    ]
+    offs_arr = jnp.asarray(offsets, jnp.int32)  # (27, 3)
+    cap_eye = jnp.eye(cell_cap, dtype=bool)
+
+    def one_offset(_, off):
+        ox, oy, oz = off[0], off[1], off[2]
+        rolled_pos = jnp.roll(grid_pos, shift=(-oz, -oy, -ox), axis=(0, 1, 2))
+        rolled_valid = jnp.roll(
+            grid_valid, shift=(-oz, -oy, -ox), axis=(0, 1, 2)
+        )
+        # integer lattice shift for wrapped cells; invalid if non-periodic
+        shift_fracs = []
+        inbounds = jnp.ones((nz, ny, nx), bool)
+        for axis, (o, coord, dim) in enumerate(
+            zip((ox, oy, oz), coords, dims)
+        ):
+            wrapped_hi = coord + o >= dim
+            wrapped_lo = coord + o < 0
+            shift_fracs.append(
+                jnp.where(wrapped_hi, 1.0, 0.0)
+                + jnp.where(wrapped_lo, -1.0, 0.0)
+            )
+            inbounds = inbounds & (
+                ~(wrapped_hi | wrapped_lo) | (box.pbc[axis] > 0)
+            )
+        h = box.h.astype(dtype)
+        # per-component cart shift (keeps vec3 out of minor dims)
+        shift_cart = [
+            shift_fracs[0] * h[k, 0]
+            + shift_fracs[1] * h[k, 1]
+            + shift_fracs[2] * h[k, 2]
+            for k in range(3)
+        ]
+        d2 = 0.0
+        for k in range(3):
+            diff_k = (
+                rolled_pos[..., None, :, k]
+                + shift_cart[k][..., None, None]
+                - grid_pos[..., :, None, k]
+            )
+            d2 = d2 + diff_k * diff_k  # (nz, ny, nx, cap, cap)
+        ok = (
+            (d2 < rc2)
+            & rolled_valid[..., None, :]
+            & grid_valid[..., :, None]
+            & inbounds[..., None, None]
+        )
+        is_zero = (ox == 0) & (oy == 0) & (oz == 0)
+        ok = ok & ~(is_zero & cap_eye)
+        return None, ok.reshape(nslots, cell_cap)
+
+    _, valid_off = jax.lax.scan(one_offset, None, offs_arr)  # (27, nslots, cap)
+    valid2 = jnp.transpose(valid_off, (1, 0, 2)).reshape(
+        nslots, 27 * cell_cap
+    )
+    count_dense = jnp.sum(valid2, axis=-1).astype(jnp.int32)
+    src, slot_valid = _compact_rows(valid2, mn)  # (nslots, mn)
+
+    # ---- decode selections -> neighbor atom indices + displacements.
+    # Decoding is pure integer arithmetic (the offsets list has ox fastest),
+    # and all vec3 assembly happens per component: XLA pins 128-lane-padded
+    # layouts on gathers/fusions with a minor dim of 3 (42x memory).
+    off_sel = src // cell_cap  # which stencil offset (0..26)
+    slot_sel = src % cell_cap
+    d_ox = off_sel % 3 - 1
+    d_oy = (off_sel // 3) % 3 - 1
+    d_oz = off_sel // 9 - 1
+    cell_lin = jnp.arange(nslots, dtype=jnp.int32) // cell_cap
+    cx = cell_lin % nx
+    cy = (cell_lin // nx) % ny
+    cz = cell_lin // (nx * ny)
+    ncx = cx[:, None] + d_ox
+    ncy = cy[:, None] + d_oy
+    ncz = cz[:, None] + d_oz
+    sfx = (ncx >= nx).astype(dtype) - (ncx < 0).astype(dtype)
+    sfy = (ncy >= ny).astype(dtype) - (ncy < 0).astype(dtype)
+    sfz = (ncz >= nz).astype(dtype) - (ncz < 0).astype(dtype)
+    ncell = (
+        jnp.mod(ncz, nz) * ny + jnp.mod(ncy, ny)
+    ) * nx + jnp.mod(ncx, nx)
+    j_dense = dense_idx[ncell * cell_cap + slot_sel]  # (nslots, mn)
+
+    # ---- map back to atom order
+    row_of_atom_sorted = dest  # position of sorted atom -> dense row
+    inv_order = jnp.argsort(order)
+    row_of_atom = jnp.minimum(row_of_atom_sorted[inv_order], nslots - 1)
+
+    idx = j_dense[row_of_atom]  # (N, MN)
+    sel_valid = slot_valid[row_of_atom] & (mask > 0)[:, None]
+    h = box.h.astype(dtype)
+    sfx_a, sfy_a, sfz_a = (
+        sfx[row_of_atom], sfy[row_of_atom], sfz[row_of_atom]
+    )
+    comps = []
+    for k in range(3):
+        shift_k = sfx_a * h[k, 0] + sfy_a * h[k, 1] + sfz_a * h[k, 2]
+        rk = position[:, k][idx] - position[:, k][:, None] + shift_k
+        comps.append(jnp.where(sel_valid, rk, _FAR))
+    r12 = jnp.stack(comps, axis=-1)
+    idx = jnp.where(sel_valid, idx, jnp.arange(n, dtype=jnp.int32)[:, None])
+    count = jnp.where(mask > 0, count_dense[row_of_atom], 0)
+    # surface cell overflow as a neighbor-count overflow
+    count = jnp.where(cell_overflow, jnp.full_like(count, mn + 1), count)
+    return NeighborList(
+        idx=idx,
+        r12=r12,
+        mask=sel_valid.astype(dtype),
+        count=count,
+    )
+
+
 def choose_grid(box: Box, rc: float) -> Optional[tuple]:
     """Host-side: pick a cell grid with cells >= rc thick, or None if the box
     is too thin for the cell-list path (use brute + images instead)."""
