@@ -18,6 +18,13 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: XLA:TPU compiles of the fused MD scan take
+# minutes at large N; cache them across bench invocations.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,17 +81,25 @@ def run_once(target_n, n_steps):
     ff = ForceField.create([nep], box, n, mn=112, skin=1.0, per_atom_virial=False)
 
     dt = 1.0 / TIME_UNIT_CONVERSION
-    from gpumd_tpu.integrate.run import MDRunner
+    from gpumd_tpu.integrate.run import make_md_step
 
-    runner = MDRunner(ff, NVE(), dt, n_steps)
-    # Warmup: compile.
-    state = jax.jit(ff.compute)(state)
-    cache = jax.jit(ff.refresh_cache)(state)
-    s1, aux, _ = runner(state, cache=cache)
+    # ONE jit for the whole benchmark body (separate compiles of the
+    # initial force pass / cache refresh would each cost minutes).
+    step = make_md_step(ff, NVE(), dt, observer=lambda s: 0)
+
+    @jax.jit
+    def run_block(state):
+        cache = ff.refresh_cache(state)
+        (state, _, cache), _ = jax.lax.scan(
+            step, (state, (), cache), length=n_steps
+        )
+        return state
+
+    s1 = run_block(state)  # compile + warmup
     jax.block_until_ready(s1.position)
 
     t0 = time.time()
-    s2, _, _ = runner(state, cache=cache)
+    s2 = run_block(state)
     jax.block_until_ready(s2.position)
     wall = time.time() - t0
 
@@ -94,8 +109,8 @@ def run_once(target_n, n_steps):
 
 
 def main():
-    target_n = int(os.environ.get("GPUMD_BENCH_N", 256_000))
-    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 10))
+    target_n = int(os.environ.get("GPUMD_BENCH_N", 128_000))
+    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 30))
     sizes = [target_n, target_n // 4, target_n // 16]
     result = None
     for size in sizes:
