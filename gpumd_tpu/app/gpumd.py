@@ -133,6 +133,16 @@ class Session:
 
             pot = Tersoff1989.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "eam_zhou_2004":
+            from gpumd_tpu.potentials.eam import EAMZhou2004
+
+            pot = EAMZhou2004.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "eam_dai_2006":
+            from gpumd_tpu.potentials.eam import EAMDai2006
+
+            pot = EAMDai2006.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
             self.type_names = list(pot.model.symbols)
@@ -387,6 +397,25 @@ class Session:
 
             self.ff = dataclasses.replace(self.ff, hnemd_fe=None)
 
+    def kw_minimize(self, args):
+        self._require_state()
+        from gpumd_tpu.minimize.minimizers import minimize_fire, minimize_sd
+
+        method = args[0]
+        tol = float(args[1])
+        max_steps = int(args[2])
+        fn = {"sd": minimize_sd, "fire": minimize_fire}.get(method)
+        if fn is None:
+            raise ValueError(f"unsupported minimizer {method!r}")
+        runner = jax.jit(
+            lambda st: fn(self.ff, st, tol, max_steps),
+        )
+        self.state, steps = runner(self.state)
+        e = float(jnp.sum(self.state.potential_energy * self.state.mask))
+        self.log(
+            f"minimize {method}: {int(steps)} steps, U = {e:.10f} eV"
+        )
+
     # ------------------------------------------------------- measure keywords
 
     def _ensemble_temperature(self) -> float:
@@ -456,6 +485,7 @@ class Session:
         "dump_position": kw_dump_position,
         "dump_restart": kw_dump_restart,
         "correct_velocity": kw_correct_velocity,
+        "minimize": kw_minimize,
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,
         "compute_msd": kw_compute_msd,
