@@ -84,6 +84,10 @@ class Session:
         self.state: Optional[MDState] = None
         self.dt = 1.0 / TIME_UNIT_CONVERSION  # natural units (default 1 fs)
         self.ensemble = None
+        from gpumd_tpu.model.groups import Groups
+
+        self.groups = Groups(frame.groups, frame.n_atoms)
+        self.mobile_mask = None  # set by `fix`
         self.properties: List[PropertyRequest] = []
         self.measure_props: list = []
         self.global_step = 0
@@ -329,11 +333,13 @@ class Session:
         if self.ensemble is None:
             self.ensemble = NVE()
         ens = self.ensemble
+        import dataclasses
+
         # temperature ramp length = this run's steps
         if hasattr(ens, "n_steps"):
-            import dataclasses
-
             ens = dataclasses.replace(ens, n_steps=n_steps)
+        if self.mobile_mask is not None and hasattr(ens, "mobile"):
+            ens = dataclasses.replace(ens, mobile=self.mobile_mask)
 
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props
@@ -396,6 +402,62 @@ class Session:
             import dataclasses
 
             self.ff = dataclasses.replace(self.ff, hnemd_fe=None)
+
+    def kw_fix(self, args):
+        """fix [grouping_method] group_id: freeze a group
+        (ref: integrate.cu:1272-1300)."""
+        if self.groups.n_methods == 0:
+            raise ValueError("cannot use 'fix' without grouping methods")
+        if len(args) == 2:
+            method, gid = int(args[0]), int(args[1])
+        else:
+            method, gid = 0, int(args[0])
+        fixed = self.groups.mask(method, gid)
+        self.mobile_mask = 1.0 - fixed
+        self.log(f"fix: group {gid} (method {method}) frozen")
+
+    def kw_compute(self, args):
+        """compute <method> <sample_int> <output_int> temperature|potential|
+        force ... -> compute.out (ref: compute.cu:595-660)."""
+        import jax.numpy as jnp_
+
+        method = int(args[0])
+        sample_interval = int(args[1])
+        output_interval = int(args[2])
+        quantities = args[3:]
+        onehot = self.groups.onehot(method)
+        sizes = np.maximum(np.asarray(self.groups.sizes(method)), 1)
+        acc = {"count": 0, "rows": []}
+        f = self._file("compute.out")
+
+        def process(session, state, step):
+            from gpumd_tpu.units import K_B
+
+            row = []
+            m = np.asarray(state.mask)
+            oh = np.asarray(onehot)
+            if "temperature" in quantities:
+                ke = np.asarray(
+                    0.5 * state.mass * jnp_.sum(state.velocity**2, axis=-1)
+                )
+                t_g = 2.0 * (ke @ oh) / (3.0 * sizes * K_B)
+                row += list(t_g)
+            if "potential" in quantities:
+                row += list(np.asarray(state.potential_energy) @ oh)
+            if "force" in quantities:
+                fc = np.asarray(state.force)
+                for k in range(3):
+                    row += list(fc[:, k] @ oh)
+            acc["rows"].append(row)
+            acc["count"] += 1
+            if acc["count"] % max(output_interval // sample_interval, 1) == 0:
+                mean = np.mean(acc["rows"], axis=0)
+                f.write("".join(f"{x:15.6e}" for x in mean) + "\n")
+                f.flush()
+                acc["rows"] = []
+
+        self.properties.append(PropertyRequest(sample_interval, process))
+        self.log(f"compute: method {method} {quantities}")
 
     def kw_minimize(self, args):
         self._require_state()
@@ -485,6 +547,8 @@ class Session:
         "dump_position": kw_dump_position,
         "dump_restart": kw_dump_restart,
         "correct_velocity": kw_correct_velocity,
+        "fix": kw_fix,
+        "compute": kw_compute,
         "minimize": kw_minimize,
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,

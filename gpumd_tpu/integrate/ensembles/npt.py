@@ -42,10 +42,10 @@ class NPTBerendsen(_RampMixin):
         return {"i": jnp.zeros((), jnp.int32)}
 
     def step1(self, state, aux, dt):
-        return velocity_verlet_step1(state, dt), aux
+        return velocity_verlet_step1(state, dt, self.mobile), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt)
+        state = velocity_verlet_step2(state, dt, self.mobile)
         # thermostat
         t_now = state.temperature()
         t0 = self._temp(aux)

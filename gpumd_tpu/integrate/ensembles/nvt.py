@@ -68,6 +68,7 @@ class _RampMixin:
     t1: float = 300.0
     coupling: float = 100.0  # tau / dt
     n_steps: int = 0  # for the ramp; 0 = constant t0
+    mobile: Optional[object] = None  # (N,) mobility mask (1 = free)
 
     def _temp(self, aux):
         if self.n_steps <= 0 or self.t0 == self.t1:
@@ -83,10 +84,10 @@ class NVTBerendsen(_RampMixin):
         return {"i": jnp.zeros((), jnp.int32)}
 
     def step1(self, state, aux, dt):
-        return velocity_verlet_step1(state, dt), aux
+        return velocity_verlet_step1(state, dt, self.mobile), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt)
+        state = velocity_verlet_step2(state, dt, self.mobile)
         t_now = state.temperature()
         t0 = self._temp(aux)
         factor = jnp.sqrt(1.0 + (t0 / t_now - 1.0) / self.coupling)
@@ -112,16 +113,18 @@ class NVTLangevin(_RampMixin):
         c2 = jnp.sqrt((1.0 - c1 * c1) * K_B * t0 / state.mass).astype(dtype)
         noise = jax.random.normal(key, state.velocity.shape, dtype)
         v = c1 * state.velocity + c2[:, None] * noise
+        if self.mobile is not None:
+            v = jnp.where(self.mobile[:, None] > 0, v, state.velocity)
         return state._replace(velocity=v * state.mask[:, None])
 
     def step1(self, state, aux, dt):
         key, sub = jax.random.split(aux["key"])
         state = self._kick(state, sub, self._temp(aux))
         aux = {"i": aux["i"], "key": key}
-        return velocity_verlet_step1(state, dt), aux
+        return velocity_verlet_step1(state, dt, self.mobile), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt)
+        state = velocity_verlet_step2(state, dt, self.mobile)
         key, sub = jax.random.split(aux["key"])
         state = self._kick(state, sub, self._temp(aux))
         return state, {"i": aux["i"] + 1, "key": key}
@@ -138,10 +141,10 @@ class NVTBDP(_RampMixin):
         return {"i": jnp.zeros((), jnp.int32), "key": jax.random.PRNGKey(self.seed)}
 
     def step1(self, state, aux, dt):
-        return velocity_verlet_step1(state, dt), aux
+        return velocity_verlet_step1(state, dt, self.mobile), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt)
+        state = velocity_verlet_step2(state, dt, self.mobile)
         key, k1, k2 = jax.random.split(aux["key"], 3)
         ndeg = _ndof(state)
         kk = 0.5 * _ke2(state)  # current KE
@@ -225,10 +228,10 @@ class NVTNoseHooverChain(_RampMixin):
     def step1(self, state, aux, dt):
         factor, aux = self._chain(state, aux, dt, 0.5 * dt)
         state = state._replace(velocity=state.velocity * factor)
-        return velocity_verlet_step1(state, dt), aux
+        return velocity_verlet_step1(state, dt, self.mobile), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt)
+        state = velocity_verlet_step2(state, dt, self.mobile)
         factor, aux = self._chain(state, aux, dt, 0.5 * dt)
         state = state._replace(velocity=state.velocity * factor)
         return state, {**aux, "i": aux["i"] + 1}
