@@ -403,6 +403,67 @@ class Session:
 
             self.ff = dataclasses.replace(self.ff, hnemd_fe=None)
 
+    def kw_replicate(self, args):
+        """replicate cx cy cz: build a supercell (basis-inner atom order so
+        compute_phonon's label = n %% num_basis convention holds;
+        ref: src/main_gpumd/replicate.cu)."""
+        import dataclasses
+
+        cx, cy, cz = int(args[0]), int(args[1]), int(args[2])
+        f = self.frame
+        lat = np.asarray(f.lattice)
+        cells = np.array(
+            [[i, j, k] for i in range(cx) for j in range(cy) for k in range(cz)]
+        )
+        shifts = cells @ lat  # (C, 3)
+        n0 = f.n_atoms
+        pos = (shifts[:, None, :] + f.positions[None, :, :]).reshape(-1, 3)
+        symbols = [s for _ in range(len(cells)) for s in f.symbols]
+        self.frame = dataclasses.replace(
+            f,
+            positions=pos,
+            symbols=symbols,
+            lattice=lat * np.array([cx, cy, cz])[:, None],
+            velocities=np.tile(f.velocities, (len(cells), 1))
+            if f.velocities is not None else None,
+            groups=np.tile(f.groups, (len(cells), 1))
+            if f.groups is not None else None,
+            masses=np.tile(f.masses, len(cells))
+            if f.masses is not None else None,
+        )
+        self.symbols = symbols
+        self._n = len(pos)
+        self.box = Box.from_lattice(self.frame.lattice, pbc=f.pbc)
+        self.replicate_cxyz = (cx, cy, cz)
+        from gpumd_tpu.model.groups import Groups
+
+        self.groups = Groups(self.frame.groups, self._n)
+        if self.potentials:  # rebuild state with new geometry
+            types = self._types_from_symbols()
+            self.state = make_state(
+                self.frame.positions, self.frame.default_masses(), types,
+                self.box, n_pad=self._n, track_unwrapped=True,
+            )
+            self.ff = ForceField.create(
+                self.potentials, self.box, self._n,
+                mn=_auto_mn(self.potentials), skin=1.0,
+            )
+        self.log(f"replicate: {cx} x {cy} x {cz} -> {self._n} atoms")
+
+    def kw_compute_phonon(self, args):
+        """compute_phonon <displacement>: dispersion along kpoints.in ->
+        omega2.out (ref: hessian.cu:494-507). Requires a prior `replicate`
+        (or a primitive-cell model with cxyz = 1 1 1)."""
+        self._require_state()
+        from gpumd_tpu.phonon.hessian import compute_phonon_dispersion
+
+        displacement = float(args[0])
+        cxyz = getattr(self, "replicate_cxyz", (1, 1, 1))
+        compute_phonon_dispersion(
+            self.ff, self.state, cxyz, displacement, workdir=self.workdir
+        )
+        self.log("compute_phonon: omega2.out written")
+
     def kw_fix(self, args):
         """fix [grouping_method] group_id: freeze a group
         (ref: integrate.cu:1272-1300)."""
@@ -550,6 +611,8 @@ class Session:
         "fix": kw_fix,
         "compute": kw_compute,
         "minimize": kw_minimize,
+        "replicate": kw_replicate,
+        "compute_phonon": kw_compute_phonon,
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,
         "compute_msd": kw_compute_msd,
