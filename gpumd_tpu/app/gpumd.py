@@ -204,6 +204,15 @@ class Session:
                 "nvt_nhc": NVTNoseHooverChain,
             }[name]
             self.ensemble = cls(t0=t1, t1=t2, coupling=tc)
+        elif name == "heat_lan":
+            from gpumd_tpu.integrate.ensembles.heat import HeatLangevin
+
+            t, tc, dt_, src, snk = p[0], p[1], p[2], int(p[3]), int(p[4])
+            self.ensemble = HeatLangevin(
+                temperature=t, coupling=tc, delta_t=dt_,
+                source_mask=np.asarray(self.groups.mask(0, src)),
+                sink_mask=np.asarray(self.groups.mask(0, snk)),
+            )
         elif name == "npt_ber":
             t1, t2, tc = p[0], p[1], p[2]
             rest = p[3:]
@@ -589,6 +598,19 @@ class Session:
                 num_points=num_points)
         )
 
+    def kw_compute_shc(self, args):
+        from gpumd_tpu.measure.properties import SHC
+
+        group_mask = None
+        if len(args) >= 8 and args[5] == "group":
+            method, gid = int(args[6]), int(args[7])
+            group_mask = np.asarray(self.groups.mask(method, gid))
+        self.measure_props.append(
+            SHC(int(args[0]), int(args[1]), int(args[2]), int(args[3]),
+                float(args[4]), self.dt, group_mask=group_mask)
+        )
+        self.log(f"compute_shc {args}")
+
     def kw_compute_rdf(self, args):
         from gpumd_tpu.measure.properties import RDF
 
@@ -619,6 +641,7 @@ class Session:
         "compute_sdc": kw_compute_sdc,
         "compute_dos": kw_compute_dos,
         "compute_rdf": kw_compute_rdf,
+        "compute_shc": kw_compute_shc,
         "run": kw_run,
     }
 

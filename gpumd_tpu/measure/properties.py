@@ -278,6 +278,107 @@ class DOS:
                 f.write(" ".join(f"{x:g}" for x in (omega[i], *dos[i])) + "\n")
 
 
+class SHC:
+    """compute_shc sample_interval Nc direction num_omega max_omega
+    [group method id] -> shc.out (ref: src/measure/shc.cu).
+
+    K(t) = <sum_{i in group} W_i[dir, :2] . v_i[:2](t)> (in-plane, ki) and
+    the out-of-plane ko; +-Nc lags, Hann window, cosine transform to
+    shc_i/o(omega).
+    """
+
+    needs_heat = False
+
+    def __init__(self, sample_interval, nc, direction, num_omega, max_omega,
+                 dt, group_mask=None):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.direction = int(direction)
+        self.num_omega = int(num_omega)
+        self.max_omega = float(max_omega)
+        self.dt = dt
+        self.group_mask = group_mask  # (N,) numpy or None
+        self.interval = self.sample_interval
+        self.s_frames: List[np.ndarray] = []
+        self.v_frames: List[np.ndarray] = []
+
+    def sample_state(self, session, state, step):
+        n = session._n
+        w = np.asarray(state.virial)[:n]  # (N, 3, 3)
+        v = np.asarray(state.velocity)[:n]
+        if self.group_mask is not None:
+            sel = np.asarray(self.group_mask)[:n] > 0
+            w, v = w[sel], v[sel]
+        self.s_frames.append(w[:, self.direction, :].copy())
+        self.v_frames.append(v.copy())
+
+    def postprocess(self, session):
+        s = np.stack(self.s_frames)  # (Nd, G, 3)
+        v = np.stack(self.v_frames)
+        nd = len(s)
+        nc = min(self.nc, nd)
+        # component split: in-plane = the two components != direction's z?
+        # reference: ki = sx vx + sy vy, ko = sz vz (x/y/z of the virial row)
+        ki_pos = np.zeros(nc)
+        ko_pos = np.zeros(nc)
+        ki_neg = np.zeros(nc)
+        ko_neg = np.zeros(nc)
+        for lag in range(nc):
+            a_s = s[: nd - lag]
+            b_v = v[lag:]
+            ki_pos[lag] = np.mean(
+                np.sum(a_s[..., 0] * b_v[..., 0] + a_s[..., 1] * b_v[..., 1],
+                       axis=1), axis=0)
+            ko_pos[lag] = np.mean(
+                np.sum(a_s[..., 2] * b_v[..., 2], axis=1), axis=0)
+            a_s2 = s[lag:]
+            b_v2 = v[: nd - lag]
+            ki_neg[lag] = np.mean(
+                np.sum(a_s2[..., 0] * b_v2[..., 0] + a_s2[..., 1] * b_v2[..., 1],
+                       axis=1), axis=0)
+            ko_neg[lag] = np.mean(
+                np.sum(a_s2[..., 2] * b_v2[..., 2], axis=1), axis=0)
+        # assemble t = -(Nc-1)..(Nc-1)
+        ki = np.concatenate([ki_neg[::-1][:-1], ki_pos])
+        ko = np.concatenate([ko_neg[::-1][:-1], ko_pos])
+        # natural velocity -> A/ps
+        vel_unit = 1000.0 / TIME_UNIT_CONVERSION
+        ki *= vel_unit
+        ko *= vel_unit
+        dt_ps = self.dt * self.sample_interval * TIME_UNIT_CONVERSION / 1000.0
+        t = (np.arange(2 * nc - 1) - (nc - 1)) * dt_ps
+        # Hann window + cosine transform (shc.cu:350-395)
+        hann = 0.5 * (np.cos(np.pi * (np.arange(2 * nc - 1) + 1 - nc) / nc) + 1.0)
+        kiw = ki * hann
+        kow = ko * hann
+        d_omega = self.max_omega / self.num_omega
+        omega = (np.arange(self.num_omega) + 1) * d_omega
+        shc_i = 2.0 * dt_ps * np.array(
+            [np.sum(kiw * np.cos(w * t)) for w in omega]
+        )
+        shc_o = 2.0 * dt_ps * np.array(
+            [np.sum(kow * np.cos(w * t)) for w in omega]
+        )
+        h = np.asarray(session.state.box.h)
+        with open(os.path.join(session.workdir, "shc.out"), "a") as f:
+            f.write(
+                f"# compute_shc {self.sample_interval} {self.nc} "
+                f"{self.direction} {self.num_omega} {self.max_omega:g}\n"
+                "# format_version 1\n"
+                f"# num_atoms {session._n}\n"
+                "# cell " + " ".join(f"{x:.10e}" for x in h.T.ravel()) + "\n"
+                f"# dt_output {dt_ps:.10e} ps\n"
+                f"# num_correlation_rows {2 * nc - 1}\n"
+                f"# num_frequency_rows {self.num_omega}\n"
+                "# columns_correlation time_ps ki ko\n"
+                "# columns_shc omega_THz shc_i shc_o\n"
+            )
+            for i in range(2 * nc - 1):
+                f.write(f"{t[i]:g} {ki[i]:g} {ko[i]:g}\n")
+            for i in range(self.num_omega):
+                f.write(f"{omega[i]:g} {shc_i[i]:g} {shc_o[i]:g}\n")
+
+
 class RDF:
     """compute_rdf r_cut num_bins sample_interval -> rdf.out
     (ref: rdf.cu; total g(r) for now, per-pair-type later)."""

@@ -71,6 +71,31 @@ run 200
     assert sdc[0, 1] > 0
 
 
+def test_shc(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 40
+time_step 5
+ensemble nve
+compute_shc 2 100 0 50 40.0
+run 400
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    lines = (tmp_path / "shc.out").read_text().splitlines()
+    header = [l for l in lines if l.startswith("#")]
+    assert any("columns_shc" in l for l in header)
+    data = np.loadtxt(tmp_path / "shc.out", comments="#")
+    # 2*Nc-1 correlation rows + num_omega spectral rows
+    assert data.shape == (2 * 100 - 1 + 50, 3)
+    assert np.isfinite(data).all()
+    # K(0) row (t=0) should be the largest in-plane correlation magnitude
+    corr = data[: 2 * 100 - 1]
+    i0 = np.argmin(np.abs(corr[:, 0]))
+    assert np.abs(corr[i0, 1]) >= np.abs(corr[:, 1]).max() * 0.5
+
+
 def test_dos_and_rdf(tmp_path):
     make_argon_dir(tmp_path, nc=3)
     (tmp_path / "run.in").write_text(
