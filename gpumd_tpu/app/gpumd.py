@@ -153,6 +153,7 @@ class Session:
         else:
             raise ValueError(f"unsupported potential type {name!r}")
         self.potentials.append(pot)
+        self.observer_mode = getattr(self, "observer_mode", "observe")
         types = self._types_from_symbols()
         state = make_state(
             self.frame.positions,
@@ -170,11 +171,27 @@ class Session:
         if self.state is not None:  # keep velocities etc. from prior state
             state = state._replace(velocity=self.state.velocity)
         self.state = state
-        self.ff = ForceField.create(
-            self.potentials, self.box, self._n, mn=_auto_mn(self.potentials),
+        self._rebuild_ff()
+        self.log(f"potential: {name} ({path})")
+
+    def _rebuild_ff(self):
+        # Multiple potentials: reference semantics are NEP-only 'observe'
+        # (first drives, rest observed by dump_observer) or 'average'
+        # (forces averaged) — ref: force.cu:211-217, dump_observer.cuh.
+        mode = getattr(self, "observer_mode", "observe")
+        if len(self.potentials) > 1 and mode == "observe":
+            driving = [self.potentials[0]]
+        else:
+            driving = list(self.potentials)
+        ff = ForceField.create(
+            driving, self.box, self._n, mn=_auto_mn(self.potentials),
             skin=1.0,
         )
-        self.log(f"potential: {name} ({path})")
+        if len(driving) > 1 and mode == "average":
+            import dataclasses
+
+            ff = dataclasses.replace(ff, average=True)
+        self.ff = ff
 
     def kw_velocity(self, args):
         self._require_state()
@@ -598,6 +615,76 @@ class Session:
                 num_points=num_points)
         )
 
+    def kw_dump_observer(self, args):
+        """dump_observer observe|average thermo_int exyz_int has_vel has_force
+        (ref: dump_observer.cu:81-130): evaluates every loaded potential on
+        the trajectory, writing observer<k>.out thermo rows and
+        observer<k>.xyz frames (active-learning ensemble disagreement)."""
+        mode = args[0]
+        if mode not in ("observe", "average"):
+            raise ValueError("observer mode should be 'observe' or 'average'")
+        self.observer_mode = mode
+        self._rebuild_ff()
+        int_thermo, int_exyz = int(args[1]), int(args[2])
+        with_vel, with_force = args[3] == "1", args[4] == "1"
+        if mode == "average":
+            self.log("dump_observer: average mode (forces averaged)")
+            return
+
+        from gpumd_tpu.integrate.thermo import compute_thermo
+
+        files = {}
+
+        def process(session, state, step):
+            for k, pot in enumerate(session.potentials):
+                out = jax.jit(
+                    lambda st, p=pot: session.ff._evaluate_with(st, p)
+                )(state)
+                th = compute_thermo(out)
+                p = np.asarray(th.pressure) * PRESSURE_UNIT_CONVERSION
+                h = np.asarray(state.box.h)
+                name = f"observer{k}.out"
+                if name not in files:
+                    files[name] = open(
+                        os.path.join(session.workdir, name), "w"
+                    )
+                row = [
+                    float(th.temperature), float(th.kinetic_energy),
+                    float(th.potential_energy),
+                    p[0, 0], p[1, 1], p[2, 2], p[1, 2], p[0, 2], p[0, 1],
+                    h[0, 0], h[1, 0], h[2, 0], h[0, 1], h[1, 1], h[2, 1],
+                    h[0, 2], h[1, 2], h[2, 2],
+                ]
+                files[name].write("".join(f"{x:20.10e}" for x in row) + "\n")
+                files[name].flush()
+
+        def process_exyz(session, state, step):
+            for k, pot in enumerate(session.potentials):
+                out = jax.jit(
+                    lambda st, p=pot: session.ff._evaluate_with(st, p)
+                )(state)
+                n = session._n
+                frame = XYZFrame(
+                    symbols=session.symbols,
+                    positions=np.asarray(state.box.wrap(state.position))[:n],
+                    lattice=np.asarray(state.box.h).T,
+                    pbc=session.frame.pbc,
+                    velocities=(
+                        np.asarray(state.velocity)[:n] / TIME_UNIT_CONVERSION
+                        if with_vel else None
+                    ),
+                    forces=np.asarray(out.force)[:n] if with_force else None,
+                )
+                write_xyz(
+                    os.path.join(session.workdir, f"observer{k}.xyz"), frame,
+                    append=True, with_velocities=with_vel,
+                    with_forces=with_force,
+                )
+
+        self.properties.append(PropertyRequest(int_thermo, process))
+        self.properties.append(PropertyRequest(int_exyz, process_exyz))
+        self.log(f"dump_observer {args}")
+
     def kw_compute_shc(self, args):
         from gpumd_tpu.measure.properties import SHC
 
@@ -642,6 +729,7 @@ class Session:
         "compute_dos": kw_compute_dos,
         "compute_rdf": kw_compute_rdf,
         "compute_shc": kw_compute_shc,
+        "dump_observer": kw_dump_observer,
         "run": kw_run,
     }
 

@@ -112,6 +112,9 @@ class ForceField:
     # HNEMD driving force Fe (1/A): F_i += W_i^T Fe, with net-force zeroing
     # (ref: force.cu:567-608).  None disables.
     hnemd_fe: Optional[tuple] = None
+    # Multi-potential 'average' mode (ref: force.cu:514-565): divide the
+    # summed properties by the number of potentials.
+    average: bool = False
 
     @staticmethod
     def create(
@@ -146,6 +149,9 @@ class ForceField:
             e = e + out.energy
             f = f + out.force
             w = w + out.virial
+        if self.average and len(self.potentials) > 1:
+            inv = 1.0 / len(self.potentials)
+            e, f, w = e * inv, f * inv, w * inv
         if self.hnemd_fe is not None:
             fe = jnp.asarray(self.hnemd_fe, dtype=f.dtype)
             f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
@@ -155,6 +161,18 @@ class ForceField:
         j = jnp.einsum("nab,nb->na", w, state.velocity)
         return state._replace(
             force=f, potential_energy=e, virial=w, heat_current=j
+        )
+
+    def _evaluate_with(self, state: MDState, pot) -> MDState:
+        """Evaluate ONE specific potential on a fresh neighbor list
+        (dump_observer's per-observer pass, ref: dump_observer.cu)."""
+        pos = state.box.wrap(state.position)
+        nbr = self.neighbor.build(pos, state.box, state.mask)
+        out = pot.compute(state.type, nbr, state.mask)
+        j = jnp.einsum("nab,nb->na", out.virial, state.velocity)
+        return state._replace(
+            position=pos, force=out.force, potential_energy=out.energy,
+            virial=out.virial, heat_current=j,
         )
 
     # ---- Verlet-skin cached path (the hot loop) ------------------------------

@@ -1,0 +1,49 @@
+"""dump_observer: multi-NEP observation (active-learning disagreement)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpumd_tpu.app.gpumd import Session
+from gpumd_tpu.io.xyz import XYZFrame, read_xyz_frames, write_xyz
+
+from conftest import requires_reference
+
+MODELS = "/root/reference/tests_pytest/fixtures/models"
+STRUCTS = "/root/reference/tests_pytest/fixtures/structures"
+
+
+@requires_reference
+def test_observe_mode_two_potentials(tmp_path):
+    import shutil
+
+    from gpumd_tpu.io.xyz import read_xyz
+
+    f = read_xyz(f"{STRUCTS}/BaZrO3-nat40-rattled.xyz")
+    write_xyz(str(tmp_path / "model.xyz"), f)
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep0.txt")
+    # second observer: same architecture, perturbed params — emulate an
+    # ensemble member by reusing the same file (legal: observe mode just
+    # evaluates each potential)
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep1.txt")
+    (tmp_path / "run.in").write_text(
+        """potential nep0.txt
+potential nep1.txt
+velocity 300
+time_step 1
+ensemble nve
+dump_observer observe 10 20 1 1
+run 40
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    o0 = np.loadtxt(tmp_path / "observer0.out")
+    o1 = np.loadtxt(tmp_path / "observer1.out")
+    assert o0.shape == (4, 18) and o1.shape == (4, 18)
+    # identical models -> identical observed thermo
+    assert np.allclose(o0, o1, rtol=1e-8)
+    frames = read_xyz_frames(str(tmp_path / "observer0.xyz"))
+    assert len(frames) == 2
+    assert frames[0].forces is not None
