@@ -325,6 +325,114 @@ class Session:
 
         self.properties.append(PropertyRequest(interval, process))
 
+    def kw_dump_velocity(self, args):
+        """velocity.out: one row per atom per frame, A/fs."""
+        interval = int(args[0])
+        f = self._file("velocity.out")
+
+        def process(session, state, step):
+            v = np.asarray(state.velocity)[: session._n] / TIME_UNIT_CONVERSION
+            for row in v:
+                f.write(" ".join(f"{x:g}" for x in row) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+
+    def kw_dump_force(self, args):
+        interval = int(args[0])
+        f = self._file("force.out")
+
+        def process(session, state, step):
+            fc = np.asarray(state.force)[: session._n]
+            for row in fc:
+                f.write(" ".join(f"{x:g}" for x in row) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+
+    def kw_compute_cohesive(self, args):
+        """compute_cohesive start end d: energy vs isotropic/uniaxial scale
+        factor -> cohesive.out (ref: cohesive.cu:110-240). 1000 points per
+        unit factor."""
+        self._require_state()
+        start, end, d = float(args[0]), float(args[1]), int(args[2])
+        num_points = round((end - start) * 1000) + 1
+        factors = np.linspace(start, end, num_points)
+        base_h = np.asarray(self.state.box.h)
+        base_pos = np.asarray(self.state.position)
+        # one neighbor plan sized for the most-compressed geometry
+        smallest = self.state.box.with_h(jnp.asarray(base_h * start))
+        ff = ForceField.create(
+            self.potentials, smallest, self._n, mn=_auto_mn(self.potentials)
+        )
+        state0 = self.state
+
+        def energy_of(fac):
+            scale = (
+                jnp.full((3,), fac)
+                if d == 0
+                else jnp.ones(3).at[(d - 1) % 3].set(fac)
+            )
+            box = state0.box.with_h(jnp.asarray(base_h) * scale[None, :])
+            pos = jnp.asarray(base_pos) * scale[None, :]
+            out = ff.compute(state0._replace(position=pos, box=box))
+            return jnp.sum(out.potential_energy * out.mask)
+
+        energies = jax.jit(lambda fs: jax.lax.map(energy_of, fs))(
+            jnp.asarray(factors, base_pos.dtype)
+        )
+        f = self._file("cohesive.out")
+        for fac, e in zip(factors, np.asarray(energies)):
+            f.write(f"{fac:15.7e}{e:15.7e}\n")
+        f.flush()
+        self.log(f"compute_cohesive: {num_points} points written")
+
+    def kw_compute_elastic(self, args):
+        """compute_elastic strain cubic: C11/C12/C44 from energy-strain
+        curvature (ref: cohesive.cu:151-340) -> elastic.out."""
+        self._require_state()
+        strain = float(args[0])
+        base_h = np.asarray(self.state.box.h)
+        base_pos = np.asarray(self.state.position)
+        v0 = float(self.state.box.volume)
+
+        def energy(defm):
+            h = jnp.asarray(defm @ base_h)
+            box = self.state.box.with_h(h)
+            pos = jnp.asarray(base_pos @ defm.T)
+            ff = ForceField.create(
+                self.potentials, box, self._n, mn=_auto_mn(self.potentials)
+            )
+            out = jax.jit(ff.compute)(
+                self.state._replace(position=pos, box=box)
+            )
+            return float(jnp.sum(out.potential_energy * out.mask))
+
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION as P_GPA
+
+        e0 = energy(np.eye(3))
+
+        def curvature(d_plus, d_minus):
+            return (energy(d_plus) + energy(d_minus) - 2 * e0) / strain**2
+
+        # uniaxial: d2E/de_xx^2 = C11 V
+        dp = np.eye(3); dp[0, 0] += strain
+        dm = np.eye(3); dm[0, 0] -= strain
+        c11 = curvature(dp, dm) / v0 * P_GPA
+        # biaxial xx+yy: V (2 C11 + 2 C12)
+        dp = np.eye(3); dp[0, 0] += strain; dp[1, 1] += strain
+        dm = np.eye(3); dm[0, 0] -= strain; dm[1, 1] -= strain
+        c12 = (curvature(dp, dm) / v0 * P_GPA - 2 * c11) / 2.0
+        # shear xy: V (4 C44) for engineering strain gamma = 2 e_xy
+        dp = np.eye(3); dp[0, 1] += strain; dp[1, 0] += strain
+        dm = np.eye(3); dm[0, 1] -= strain; dm[1, 0] -= strain
+        c44 = curvature(dp, dm) / v0 * P_GPA / 4.0
+        f = self._file("elastic.out")
+        f.write("# Elastic Constants (GPa): C11 C12 C44\n")
+        f.write(f"{c11:10.3f} {c12:10.3f} {c44:10.3f}\n")
+        f.flush()
+        self.log(f"compute_elastic: C11={c11:.1f} C12={c12:.1f} C44={c44:.1f} GPa")
+
     def kw_dump_restart(self, args):
         interval = int(args[0])
 
@@ -716,6 +824,10 @@ class Session:
         "dump_exyz": kw_dump_exyz,
         "dump_position": kw_dump_position,
         "dump_restart": kw_dump_restart,
+        "dump_velocity": kw_dump_velocity,
+        "dump_force": kw_dump_force,
+        "compute_cohesive": kw_compute_cohesive,
+        "compute_elastic": kw_compute_elastic,
         "correct_velocity": kw_correct_velocity,
         "fix": kw_fix,
         "compute": kw_compute,
