@@ -137,6 +137,11 @@ class Session:
 
             pot = Tersoff1989.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "tersoff_mini":
+            from gpumd_tpu.potentials.tersoff import TersoffMini
+
+            pot = TersoffMini.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name == "eam_zhou_2004":
             from gpumd_tpu.potentials.eam import EAMZhou2004
 
@@ -484,10 +489,16 @@ class Session:
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props
         )
-        if needs_heat:
-            from gpumd_tpu.measure.properties import heat_current_5
+        needs_stress = any(
+            getattr(m, "needs_stress", False) for m in self.measure_props
+        )
+        from gpumd_tpu.measure.properties import heat_current_5, stress_6
 
-            observer = lambda s: heat_current_5(s)  # noqa: E731
+        if needs_heat or needs_stress:
+            observer = lambda s: (  # noqa: E731
+                heat_current_5(s) if needs_heat else 0,
+                stress_6(s) if needs_stress else 0,
+            )
         else:
             observer = lambda s: 0  # noqa: E731
 
@@ -505,13 +516,16 @@ class Session:
             done += chunk
             self.global_step += chunk
             self.state = state
-            if needs_heat:
-                j5 = np.asarray(obs)  # (chunk, 5)
+            if needs_heat or needs_stress:
+                j5 = np.asarray(obs[0]) if needs_heat else None
+                s6 = np.asarray(obs[1]) if needs_stress else None
                 for m in self.measure_props:
                     if getattr(m, "needs_heat", False):
                         m.consume_heat(j5, step0)
                         if hasattr(m, "maybe_output"):
                             m.maybe_output(self)
+                    if getattr(m, "needs_stress", False):
+                        m.consume_stress(s6, step0)
             for m in self.measure_props:
                 if hasattr(m, "sample_state") and done % m.interval == 0:
                     m.sample_state(self, state, self.global_step)
@@ -793,6 +807,15 @@ class Session:
         self.properties.append(PropertyRequest(int_exyz, process_exyz))
         self.log(f"dump_observer {args}")
 
+    def kw_compute_viscosity(self, args):
+        from gpumd_tpu.measure.properties import Viscosity
+
+        self.measure_props.append(
+            Viscosity(int(args[0]), int(args[1]), self.dt,
+                      self._ensemble_temperature())
+        )
+        self.log(f"compute_viscosity {args}")
+
     def kw_compute_shc(self, args):
         from gpumd_tpu.measure.properties import SHC
 
@@ -841,6 +864,7 @@ class Session:
         "compute_dos": kw_compute_dos,
         "compute_rdf": kw_compute_rdf,
         "compute_shc": kw_compute_shc,
+        "compute_viscosity": kw_compute_viscosity,
         "dump_observer": kw_dump_observer,
         "run": kw_run,
     }

@@ -33,6 +33,108 @@ from gpumd_tpu.neighbor.neighbor import NeighborList
 from gpumd_tpu.potentials.base import PotentialOutput, compute_from_pair_energy
 
 
+class TersoffMini(NamedTuple):
+    """Mini-Tersoff (Fan 2019), 1-2 elements.
+
+    File (ref: src/force/tersoff_mini.cu:30-85): per pair-class entry
+    (2T-1 entries indexed by t1+t2):  D0 alpha r0 S beta n h r1 r2
+    converted to A/B/lambda/mu form; angular g = (h - cos)^2.
+    """
+
+    a: jnp.ndarray  # (P,) pair-class arrays, P = 2T-1
+    b: jnp.ndarray
+    lam: jnp.ndarray
+    mu: jnp.ndarray
+    beta: jnp.ndarray
+    n: jnp.ndarray
+    h: jnp.ndarray
+    r1: jnp.ndarray
+    r2: jnp.ndarray
+    rc: float
+
+    @staticmethod
+    def from_file(path: str) -> "TersoffMini":
+        with open(path) as f:
+            tokens = f.read().split()
+        if tokens[0] != "tersoff_mini":
+            raise ValueError(f"{path}: not a tersoff_mini file")
+        t = int(tokens[1])
+        n_entries = 2 * t - 1
+        vals = np.array(
+            [float(x) for x in tokens[2 + t : 2 + t + 9 * n_entries]]
+        ).reshape(n_entries, 9)
+        d0, alpha, r0, s = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+        return TersoffMini(
+            a=jnp.asarray(d0 / (s - 1) * np.exp(np.sqrt(2 * s) * alpha * r0)),
+            b=jnp.asarray(
+                s * d0 / (s - 1) * np.exp(np.sqrt(2 / s) * alpha * r0)
+            ),
+            lam=jnp.asarray(np.sqrt(2 * s) * alpha),
+            mu=jnp.asarray(np.sqrt(2 / s) * alpha),
+            beta=jnp.asarray(vals[:, 4]),
+            n=jnp.asarray(vals[:, 5]),
+            h=jnp.asarray(vals[:, 6]),
+            r1=jnp.asarray(vals[:, 7]),
+            r2=jnp.asarray(vals[:, 8]),
+            rc=float(vals[:, 8].max()),
+        )
+
+    def pair_energies(self, r12, t1, t2, block: int = 2048):
+        nloc = r12.shape[0]
+        if nloc <= block:
+            return self._block_energy(r12, t1, t2)
+        blk_fn = jax.checkpoint(self._block_energy)
+        nb = -(-nloc // block)
+        pad = nb * block - nloc
+        r12p = jnp.pad(r12, ((0, pad), (0, 0), (0, 0)), constant_values=1e5)
+        t1p = jnp.pad(t1, (0, pad))
+        t2p = jnp.pad(t2, ((0, pad), (0, 0)))
+        e = jax.lax.map(
+            lambda args: blk_fn(*args),
+            (
+                r12p.reshape(nb, block, *r12.shape[1:]),
+                t1p.reshape(nb, block),
+                t2p.reshape(nb, block, -1),
+            ),
+        )
+        return e.reshape(-1)[:nloc]
+
+    def _block_energy(self, r12, t1, t2):
+        dtype = r12.dtype
+        d = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+        tp = t1[:, None] + t2  # pair-class index (ref: type12 = t1 + t2)
+        r1p = self.r1[tp].astype(dtype)
+        r2p = self.r2[tp].astype(dtype)
+        x = jnp.clip((d - r1p) / jnp.maximum(r2p - r1p, 1e-30), 0.0, 1.0)
+        fc = jnp.where(d < r2p, 0.5 * (1.0 + jnp.cos(jnp.pi * x)), 0.0)
+        dsafe = jnp.minimum(d, r2p)
+        fr = self.a[tp].astype(dtype) * jnp.exp(-self.lam[tp].astype(dtype) * dsafe)
+        fa = self.b[tp].astype(dtype) * jnp.exp(-self.mu[tp].astype(dtype) * dsafe)
+
+        u = r12 / d[..., None]
+        cosjk = jnp.einsum("pma,pka->pmk", u, u)
+        hh = self.h[tp].astype(dtype)[..., None]  # h of the i-j pair
+        g = (hh - cosjk) ** 2
+        not_self = 1.0 - jnp.eye(fc.shape[-1], dtype=dtype)
+        zeta = jnp.einsum("pk,pmk,mk->pm", fc, g, not_self)
+
+        beta = self.beta[tp].astype(dtype)
+        nn = self.n[tp].astype(dtype)
+        zeta_ok = zeta > 1e-16
+        bzn = jnp.where(
+            zeta_ok, (beta * jnp.where(zeta_ok, zeta, 1.0)) ** nn, 0.0
+        )
+        bij = (1.0 + bzn) ** (-0.5 / nn)
+        return jnp.sum(0.5 * fc * (fr - bij * fa), axis=-1)
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )
+
+
 class Tersoff1989(NamedTuple):
     # pair-indexed (T, T)
     a: jnp.ndarray

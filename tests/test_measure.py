@@ -121,3 +121,22 @@ run 200
     assert 3.3 < peak_r < 4.1
     # g(r) ~ 0 well inside the core
     assert rdf[rdf[:, 0] < 2.5, 1].max() < 0.1
+
+
+def test_viscosity(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 60
+time_step 5
+ensemble nvt_ber 60 60 100
+compute_viscosity 5 20
+run 300
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    data = np.loadtxt(tmp_path / "viscosity.out")
+    assert data.shape == (20, 13)
+    assert np.isfinite(data).all()
+    # shear correlation at lag 0 positive
+    assert data[0, 4] > 0

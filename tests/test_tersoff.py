@@ -115,3 +115,27 @@ def test_nve_conservation_tersoff(si_potential):
     etot = np.asarray(th.kinetic_energy + th.potential_energy)
     # smooth cutoff -> tight conservation
     assert np.max(np.abs(etot - e0)) < 2e-4 * n
+
+
+@requires_reference
+def test_tersoff_mini_silicon():
+    from gpumd_tpu.potentials.tersoff import TersoffMini
+
+    pot = TersoffMini.from_file(
+        "/root/reference/potentials/tersoff/Si_Fan_2019.txt"
+    )
+    pos, lengths = diamond(2, rattle=0.05)
+    n = len(pos)
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.full(n, 28.085), np.zeros(n, int), box)
+    ff = ForceField.create([pot], box, n, mn=32)
+    out = ff.compute(state)
+    e = float(jnp.sum(out.potential_energy)) / n
+    assert -5.0 < e < -3.5, e  # cohesive-scale energy
+    f = np.asarray(out.force)
+    h = 1e-5
+    pp = pos.copy(); pp[4, 1] += h
+    pm = pos.copy(); pm[4, 1] -= h
+    ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
+    em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
+    assert np.isclose(f[4, 1], -(ep - em) / (2 * h), rtol=1e-5, atol=1e-8)
