@@ -807,6 +807,55 @@ class Session:
         self.properties.append(PropertyRequest(int_exyz, process_exyz))
         self.log(f"dump_observer {args}")
 
+    def kw_active(self, args):
+        """active check_interval has_velocity has_force has_uncertainty
+        threshold (ref: active.cu:118-170): per-atom force uncertainty
+        across the loaded NEP ensemble; frames exceeding the threshold go
+        to active.xyz (on-the-fly active learning)."""
+        interval = int(args[0])
+        with_vel = args[1] == "1"
+        with_force = args[2] == "1"
+        threshold = float(args[4])
+        if len(self.potentials) < 2:
+            raise ValueError("active learning needs >= 2 potentials")
+
+        def process(session, state, step):
+            forces = []
+            for pot in session.potentials:
+                out = jax.jit(
+                    lambda st, p=pot: session.ff._evaluate_with(st, p)
+                )(state)
+                forces.append(np.asarray(out.force)[: session._n])
+            fstack = np.stack(forces)  # (M, N, 3)
+            var = fstack.var(axis=0).sum(axis=-1)  # population variance
+            unc = np.sqrt(var)
+            max_unc = float(unc.max())
+            if max_unc > threshold:
+                n = session._n
+                frame = XYZFrame(
+                    symbols=session.symbols,
+                    positions=np.asarray(state.box.wrap(state.position))[:n],
+                    lattice=np.asarray(state.box.h).T,
+                    pbc=session.frame.pbc,
+                    velocities=(
+                        np.asarray(state.velocity)[:n] / TIME_UNIT_CONVERSION
+                        if with_vel else None
+                    ),
+                    forces=fstack[0] if with_force else None,
+                )
+                write_xyz(
+                    os.path.join(session.workdir, "active.xyz"), frame,
+                    append=True, with_velocities=with_vel,
+                    with_forces=with_force,
+                    extra_info={"uncertainty": f"{max_unc:.6f}"},
+                )
+            f = self._file("active.out")
+            f.write(f"{step} {max_unc:g}\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"active {args}")
+
     def kw_compute_viscosity(self, args):
         from gpumd_tpu.measure.properties import Viscosity
 
@@ -866,6 +915,7 @@ class Session:
         "compute_shc": kw_compute_shc,
         "compute_viscosity": kw_compute_viscosity,
         "dump_observer": kw_dump_observer,
+        "active": kw_active,
         "run": kw_run,
     }
 

@@ -47,3 +47,32 @@ run 40
     frames = read_xyz_frames(str(tmp_path / "observer0.xyz"))
     assert len(frames) == 2
     assert frames[0].forces is not None
+
+
+@requires_reference
+def test_active_learning(tmp_path):
+    import shutil
+
+    from gpumd_tpu.io.xyz import read_xyz
+
+    f = read_xyz(f"{STRUCTS}/BaZrO3-nat40-rattled.xyz")
+    write_xyz(str(tmp_path / "model.xyz"), f)
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep0.txt")
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep1.txt")
+    (tmp_path / "run.in").write_text(
+        """potential nep0.txt
+potential nep1.txt
+velocity 300
+time_step 1
+ensemble nve
+active 10 0 1 0 0.001
+run 30
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    out = np.loadtxt(tmp_path / "active.out")
+    assert out.shape == (3, 2)
+    # identical potentials -> zero uncertainty -> no dumped frames
+    assert np.all(out[:, 1] < 1e-5)
+    assert not (tmp_path / "active.xyz").exists()
