@@ -226,6 +226,14 @@ class Session:
                 "nvt_nhc": NVTNoseHooverChain,
             }[name]
             self.ensemble = cls(t0=t1, t1=t2, coupling=tc)
+        elif name in ("pimd", "rpmd", "trpmd"):
+            # ensemble pimd <nbeads> T1 T2 Tc | rpmd/trpmd <nbeads>
+            nbeads = int(p[0])
+            if name == "pimd":
+                self.ensemble = ("pimd", nbeads, p[1], p[3] if len(p) > 3 else 100.0)
+            else:
+                t = getattr(self, "_last_velocity_t", 300.0)
+                self.ensemble = (name, nbeads, t, 100.0)
         elif name == "heat_lan":
             from gpumd_tpu.integrate.ensembles.heat import HeatLangevin
 
@@ -471,6 +479,8 @@ class Session:
         n_steps = int(args[0])
         if self.ensemble is None:
             self.ensemble = NVE()
+        if isinstance(self.ensemble, tuple):  # PIMD family
+            return self._run_pimd(n_steps)
         ens = self.ensemble
         import dataclasses
 
@@ -685,6 +695,35 @@ class Session:
         e = float(jnp.sum(self.state.potential_energy * self.state.mask))
         self.log(
             f"minimize {method}: {int(steps)} steps, U = {e:.10f} eV"
+        )
+
+    def _run_pimd(self, n_steps):
+        """Run a PIMD/RPMD/TRPMD block (ref: run.cu:222-246 bead loop);
+        beads ride a vmap axis here."""
+        from gpumd_tpu.integrate.pimd import PIMDRunner
+
+        mode, nbeads, t, tc = self.ensemble
+        runner = PIMDRunner(
+            ff=self.ff, base=self.state, n_beads=nbeads,
+            temperature=t, coupling=tc, mode=mode,
+        )
+        st = runner.init(seed=7)
+        t0 = time.time()
+        st, obs = runner.run(st, self.dt, n_steps)
+        jax.block_until_ready(st.position)
+        wall = time.time() - t0
+        self.global_step += n_steps
+        # fold the centroid back into the classical state for dumps
+        self.state = self.state._replace(
+            position=jnp.mean(st.position, axis=0),
+            velocity=jnp.mean(st.velocity, axis=0),
+        )
+        self._pimd_obs = {k: np.asarray(v) for k, v in obs.items()}
+        rate = self._n * n_steps * nbeads / max(wall, 1e-9)
+        self.log(
+            f"PIMD({mode}, {nbeads} beads): bead-T "
+            f"{float(self._pimd_obs['t_beads'][-1]):.1f} K; "
+            f"Speed of this run = {rate:.5g} atom*step/second"
         )
 
     # ------------------------------------------------------- measure keywords
