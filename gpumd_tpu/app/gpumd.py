@@ -493,6 +493,15 @@ class Session:
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props
         ]
+        mc = getattr(self, "mc", None)
+        if mc is not None:
+            intervals.append(mc.num_steps_md)
+            mc_trials = mc.make_trials(self.ff)
+            import jax as _jax
+
+            mc_key = _jax.random.PRNGKey(mc.seed)
+            mc_accept_total = 0
+            mc_trials_total = 0
         chunk = math.gcd(*intervals) if intervals else n_steps
         chunk = max(1, min(chunk, n_steps))
 
@@ -539,6 +548,21 @@ class Session:
             for m in self.measure_props:
                 if hasattr(m, "sample_state") and done % m.interval == 0:
                     m.sample_state(self, state, self.global_step)
+            if mc is not None and done % mc.num_steps_md == 0:
+                frac = done / max(n_steps, 1)
+                t_now = mc.t_initial + (mc.t_final - mc.t_initial) * frac
+                state, mc_key, na = mc_trials(state, mc_key, t_now)
+                # type changes require fresh per-type energies next step;
+                # the neighbor cache is geometric and stays valid.
+                self.state = state
+                mc_accept_total += int(na)
+                mc_trials_total += mc.num_steps_mc
+                fmc = self._file("mcmd.out")
+                fmc.write(
+                    f"{self.global_step} "
+                    f"{mc_accept_total / max(mc_trials_total, 1):.6f}\n"
+                )
+                fmc.flush()
             for prop in self.properties:
                 if done % prop.interval == 0:
                     prop.process(self, state, self.global_step)
@@ -696,6 +720,28 @@ class Session:
         self.log(
             f"minimize {method}: {int(steps)} steps, U = {e:.10f} eV"
         )
+
+    def kw_mc(self, args):
+        """mc canonical|sgc n_md n_mc T1 T2 [num_types (sym mu)...]
+        (ref: mc.cu:206-280)."""
+        from gpumd_tpu.mc.mcmd import MCMD
+
+        kind = args[0]
+        n_md, n_mc = int(args[1]), int(args[2])
+        t1, t2 = float(args[3]), float(args[4])
+        sgc_types, sgc_mu = (), ()
+        if kind in ("sgc", "vcsgc"):
+            ntypes = int(args[5])
+            syms = args[6 : 6 + 2 * ntypes : 2]
+            mus = args[7 : 7 + 2 * ntypes : 2]
+            sgc_types = tuple(self.type_names.index(s) for s in syms)
+            sgc_mu = tuple(float(m) for m in mus)
+            kind = "sgc"
+        self.mc = MCMD(
+            kind=kind, num_steps_md=n_md, num_steps_mc=n_mc,
+            t_initial=t1, t_final=t2, sgc_types=sgc_types, sgc_mu=sgc_mu,
+        )
+        self.log(f"mc {args}")
 
     def _run_pimd(self, n_steps):
         """Run a PIMD/RPMD/TRPMD block (ref: run.cu:222-246 bead loop);
@@ -955,6 +1001,7 @@ class Session:
         "compute_viscosity": kw_compute_viscosity,
         "dump_observer": kw_dump_observer,
         "active": kw_active,
+        "mc": kw_mc,
         "run": kw_run,
     }
 
