@@ -152,6 +152,11 @@ class Session:
 
             pot = EAMDai2006.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name.startswith("nep") and "charge" in name:
+            from gpumd_tpu.potentials.nep.charge import NEPCharge
+
+            pot = NEPCharge.from_file(path)
+            self.type_names = list(pot.model.symbols)
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
             self.type_names = list(pot.model.symbols)

@@ -143,9 +143,13 @@ class ForceField:
         f = jnp.zeros_like(state.force)
         w = jnp.zeros_like(state.virial)
         for pot in self.potentials:
-            out = pot.compute(
-                state.type, nbr, state.mask, per_atom_virial=self.per_atom_virial
-            )
+            if hasattr(pot, "compute_with_state"):
+                out = pot.compute_with_state(state, nbr)
+            else:
+                out = pot.compute(
+                    state.type, nbr, state.mask,
+                    per_atom_virial=self.per_atom_virial,
+                )
             e = e + out.energy
             f = f + out.force
             w = w + out.virial

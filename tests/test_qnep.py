@@ -1,0 +1,109 @@
+"""qNEP (charge_mode 1): charges, Ewald electrostatics, BEC golden."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpumd_tpu.forcefield import ForceField
+from gpumd_tpu.io.xyz import read_xyz
+from gpumd_tpu.model.box import Box, num_replicas_for_cutoff
+from gpumd_tpu.model.state import make_state
+from gpumd_tpu.neighbor.neighbor import neighbor_brute
+from gpumd_tpu.potentials.nep.charge import NEPCharge
+
+from conftest import requires_reference
+
+MODELS = "/root/reference/tests_pytest/fixtures/models"
+STRUCTS = "/root/reference/tests_pytest/fixtures/structures"
+GOLDEN = "/root/reference/tests_pytest/fixtures/golden"
+
+
+@pytest.fixture(scope="module")
+def batio3():
+    nep = NEPCharge.from_file(f"{MODELS}/qnep_mode1_BaTiO3.txt")
+    frame = read_xyz(f"{STRUCTS}/BaTiO3-nat40-rattled.xyz")
+    types = np.array([nep.model.symbols.index(s) for s in frame.symbols])
+    box = Box.from_lattice(frame.lattice, pbc=frame.pbc)
+    state = make_state(frame.positions, frame.default_masses(), types, box)
+    ff = ForceField.create([nep], box, frame.n_atoms, mn=512)
+    return nep, frame, state, ff
+
+
+@requires_reference
+def test_charges_neutral_and_physical(batio3):
+    nep, frame, state, ff = batio3
+    nbr = ff.neighbor.build(state.position, state.box, state.mask)
+    q = np.asarray(nep.charges(state, nbr))
+    assert abs(q.sum()) < 1e-10
+    # Oxygen negative, Ba/Ti positive in a perovskite
+    sym = np.array(frame.symbols)
+    assert q[sym == "O"].mean() < 0
+    assert q[sym == "Ba"].mean() > 0
+
+
+@requires_reference
+def test_forces_match_fd(batio3):
+    """FD validation covers every chain: ANN charge head, neutrality
+    shift, real-space erfc, and reciprocal Ewald."""
+    nep, frame, state, ff = batio3
+    out = ff.compute(state)
+    f = np.asarray(out.force)
+    h = 1e-5
+    for atom, comp in [(0, 0), (11, 1), (29, 2)]:
+        pp = frame.positions.copy(); pp[atom, comp] += h
+        pm = frame.positions.copy(); pm[atom, comp] -= h
+        ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
+        em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
+        fd = -(ep - em) / (2 * h)
+        assert np.isclose(f[atom, comp], fd, rtol=2e-4, atol=1e-6), (
+            atom, comp, f[atom, comp], fd,
+        )
+
+
+@requires_reference
+def test_bec_matches_golden(batio3):
+    nep, frame, state, ff = batio3
+    nbr = ff.neighbor.build(state.position, state.box, state.mask)
+    bec = np.asarray(nep.born_effective_charges(state, nbr)).reshape(-1, 9)
+    gold = np.load(f"{GOLDEN}/bec_bulk_perovskite_qnep_mode1_ewald.npz")["bec"]
+    assert np.allclose(bec, gold, rtol=1e-4, atol=1e-4), np.abs(bec - gold).max()
+
+
+@requires_reference
+def test_rotation_invariance(batio3):
+    nep, frame, state, ff = batio3
+    out0 = ff.compute(state)
+    axis = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+    th = 0.5
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    box_r = Box.from_lattice(frame.lattice @ R.T, pbc=frame.pbc)
+    state_r = state._replace(
+        position=jnp.asarray(frame.positions @ R.T), box=box_r
+    )
+    ff_r = ForceField.create([nep], box_r, frame.n_atoms, mn=512)
+    out1 = ff_r.compute(state_r)
+    assert np.isclose(
+        float(jnp.sum(out0.potential_energy)),
+        float(jnp.sum(out1.potential_energy)),
+        rtol=1e-8,
+    )
+    assert np.allclose(
+        np.asarray(out0.force) @ R.T, np.asarray(out1.force), atol=1e-6
+    )
+
+
+@requires_reference
+def test_water_qnep_runs():
+    nep = NEPCharge.from_file(f"{MODELS}/qnep_mode1_water.txt")
+    frame = read_xyz(f"{STRUCTS}/water-nat63-from-md.xyz")
+    types = np.array([nep.model.symbols.index(s) for s in frame.symbols])
+    box = Box.from_lattice(frame.lattice, pbc=frame.pbc)
+    state = make_state(frame.positions, frame.default_masses(), types, box)
+    ff = ForceField.create([nep], box, frame.n_atoms, mn=768)
+    out = ff.compute(state)
+    assert np.isfinite(float(jnp.sum(out.potential_energy)))
+    assert np.isfinite(np.asarray(out.force)).all()
