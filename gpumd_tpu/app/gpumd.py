@@ -222,13 +222,16 @@ class Session:
         p = [float(x) for x in args[1:]]
         if name == "nve":
             self.ensemble = NVE()
-        elif name in ("nvt_ber", "nvt_lan", "nvt_bdp", "nvt_nhc"):
+        elif name in ("nvt_ber", "nvt_lan", "nvt_bdp", "nvt_nhc", "nvt_bao"):
+            from gpumd_tpu.integrate.ensembles.nvt import NVTBAOAB
+
             t1, t2, tc = p[0], p[1], p[2]
             cls = {
                 "nvt_ber": NVTBerendsen,
                 "nvt_lan": NVTLangevin,
                 "nvt_bdp": NVTBDP,
                 "nvt_nhc": NVTNoseHooverChain,
+                "nvt_bao": NVTBAOAB,
             }[name]
             self.ensemble = cls(t0=t1, t1=t2, coupling=tc)
         elif name in ("pimd", "rpmd", "trpmd"):

@@ -87,7 +87,17 @@ def main(argv=None):
     if cfg.prediction:
         run_prediction(cfg, model, batches, workdir)
         return
-    trainer = SNESTrainer(model, cfg, batches, workdir=workdir)
+    test_batches = []
+    test_path = os.path.join(workdir, "test.xyz")
+    if os.path.exists(test_path):
+        test_frames = read_xyz_frames(test_path)
+        test_batches = build_batches(
+            test_frames, cfg.symbols, rc=model.rc_radial_max,
+            batch_size=cfg.batch_size,
+        )
+    trainer = SNESTrainer(
+        model, cfg, batches, workdir=workdir, test_batches=test_batches
+    )
     trainer.train()
 
 

@@ -166,6 +166,58 @@ class NVTBDP(_RampMixin):
 
 
 @dataclass(frozen=True)
+class NVTBAOAB(_RampMixin):
+    """BAOAB Langevin splitting (ref: ensemble_bao.cu): B half-kick,
+    A half-drift, O full Ornstein-Uhlenbeck, A half-drift; B half-kick.
+    Superior configurational sampling at large dt (Leimkuhler-Matthews).
+    """
+
+    seed: int = 12345
+
+    def init(self, state):
+        return {"i": jnp.zeros((), jnp.int32), "key": jax.random.PRNGKey(self.seed)}
+
+    def step1(self, state, aux, dt):
+        inv_m = 1.0 / state.mass
+        mob = self.mobile
+        v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
+        if mob is not None:
+            v = v * mob[:, None]
+        x = state.position + 0.5 * dt * v
+        # O step: full OU with friction gamma = 1/(tau) = 1/(coupling dt)
+        c1 = jnp.exp(-1.0 / self.coupling)
+        t0 = self._temp(aux)
+        dtype = v.dtype
+        c2 = jnp.sqrt((1.0 - c1 * c1) * K_B * t0 / state.mass).astype(dtype)
+        key, sub = jax.random.split(aux["key"])
+        noise = jax.random.normal(sub, v.shape, dtype)
+        v = c1 * v + c2[:, None] * noise
+        if mob is not None:
+            v = v * mob[:, None]
+        v = v * state.mask[:, None]
+        x = x + 0.5 * dt * v
+        unwrapped = (
+            state.unwrapped_position + (x - state.position)
+            if state.unwrapped_position is not None
+            else None
+        )
+        return (
+            state._replace(position=x, velocity=v, unwrapped_position=unwrapped),
+            {"i": aux["i"], "key": key},
+        )
+
+    def step2(self, state, aux, dt):
+        inv_m = 1.0 / state.mass
+        v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
+        if self.mobile is not None:
+            v = v * self.mobile[:, None]
+        return (
+            state._replace(velocity=v, step=state.step + 1),
+            {"i": aux["i"] + 1, "key": aux["key"]},
+        )
+
+
+@dataclass(frozen=True)
 class NVTNoseHooverChain(_RampMixin):
     """Nose-Hoover chain of 4 integrated with the SY(7) x n_respa=4
     factorization, all on device (ref: ensemble_nhc.cu:100-150)."""

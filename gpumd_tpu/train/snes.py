@@ -158,10 +158,12 @@ class SNESTrainer:
         batches: List[StructureBatch],
         workdir: str = ".",
         dtype=jnp.float32,
+        test_batches: List[StructureBatch] = (),
     ):
         self.model = model
         self.cfg = cfg
         self.batches = batches
+        self.test_batches = list(test_batches)
         self.workdir = workdir
         d = num_trainable(model)
         self.d = d
@@ -190,6 +192,27 @@ class SNESTrainer:
             )
         )
         self.best_theta = np.asarray(self.state.mu)
+
+        def _theta_rmses(theta, batch):
+            from gpumd_tpu.train.nep_train import batched_forward
+            from gpumd_tpu.potentials.nep.params import params_from_vector
+
+            params = params_from_vector(model, theta, self.q_scaler)
+            out = batched_forward(model, params, batch)
+            na = jnp.maximum(batch.n_atoms.astype(out.energy.dtype), 1.0)
+            de = (out.energy - batch.energy_ref) / na
+            df = (out.force - batch.force_ref) * batch.mask[..., None]
+            per_f = jnp.sum(df * df, axis=(1, 2)) / (3.0 * na)
+            dv = (out.virial - batch.virial_ref) / na[:, None]
+            per_v = jnp.mean(dv * dv, axis=1) * batch.has_virial
+            denom = jnp.maximum(jnp.sum(batch.has_virial), 1e-12)
+            return (
+                jnp.sqrt(jnp.mean(de * de)),
+                jnp.sqrt(jnp.mean(per_f)),
+                jnp.sqrt(jnp.sum(per_v) / denom),
+            )
+
+        self._theta_rmses = jax.jit(_theta_rmses)
 
     def save_restart(self):
         arr = np.stack(
@@ -223,6 +246,11 @@ class SNESTrainer:
                     float(metrics["rmse_f"]),
                     float(metrics["rmse_v"]),
                 ]
+                if self.test_batches:
+                    te, tf_, tv = self._theta_rmses(
+                        jnp.asarray(self.best_theta), self.test_batches[0]
+                    )
+                    row += [float(te), float(tf_), float(tv)]
                 with open(loss_path, "a") as f:
                     f.write(
                         f"{row[0]:<8d}"

@@ -7,6 +7,7 @@ import pytest
 
 from gpumd_tpu.forcefield import ForceField
 from gpumd_tpu.integrate.ensembles.nvt import (
+    NVTBAOAB,
     NVTBDP,
     NVTBerendsen,
     NVTLangevin,
@@ -43,8 +44,9 @@ def argon(nc=3, t_init=30.0):
         NVTLangevin(t0=40.0, t1=40.0, coupling=100.0, seed=3),
         NVTBDP(t0=40.0, t1=40.0, coupling=100.0, seed=3),
         NVTNoseHooverChain(t0=40.0, t1=40.0, coupling=100.0),
+        NVTBAOAB(t0=40.0, t1=40.0, coupling=100.0, seed=3),
     ],
-    ids=["ber", "lan", "bdp", "nhc"],
+    ids=["ber", "lan", "bdp", "nhc", "bao"],
 )
 def test_holds_target_temperature(ens):
     state, ff = argon()
