@@ -251,25 +251,28 @@ class Session:
                 source_mask=np.asarray(self.groups.mask(0, src)),
                 sink_mask=np.asarray(self.groups.mask(0, snk)),
             )
-        elif name == "npt_ber":
+        elif name in ("npt_ber", "npt_scr"):
+            from gpumd_tpu.integrate.ensembles.npt import NPTSCR
+
+            cls2 = NPTBerendsen if name == "npt_ber" else NPTSCR
             t1, t2, tc = p[0], p[1], p[2]
             rest = p[3:]
             if len(rest) == 3:  # isotropic: p C tau_p
-                ens = NPTBerendsen(
+                ens = cls2(
                     t0=t1, t1=t2, coupling=tc,
                     target_pressure=(rest[0],) * 3,
                     elastic_modulus=(rest[1],) * 3,
                     tau_p=rest[2], isotropic=True,
                 )
             elif len(rest) == 7:  # px py pz Cx Cy Cz tau_p
-                ens = NPTBerendsen(
+                ens = cls2(
                     t0=t1, t1=t2, coupling=tc,
                     target_pressure=tuple(rest[0:3]),
                     elastic_modulus=tuple(rest[3:6]),
                     tau_p=rest[6],
                 )
             else:
-                raise ValueError("npt_ber needs 6 or 10 parameters")
+                raise ValueError(f"{name} needs 6 or 10 parameters")
             self.ensemble = ens
         else:
             raise ValueError(f"unsupported ensemble {name!r}")

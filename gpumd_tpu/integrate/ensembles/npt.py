@@ -24,6 +24,85 @@ from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
 
 
 @dataclass(frozen=True)
+class NPTSCR(_RampMixin):
+    """NPT with stochastic cell rescaling (Bernetti-Bussi) + BDP velocity
+    rescaling (ref: ensemble_npt_scr.cu:87-130, npt_utilities.cuh):
+      scale_k = 1 - pc (p0 - p) + sqrt(2 pc kB T / V) xi
+    with pc = 1/(tau_p 3 C) per direction (GPa convention as npt_ber)."""
+
+    target_pressure: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # GPa
+    elastic_modulus: Tuple[float, float, float] = (50.0, 50.0, 50.0)  # GPa
+    tau_p: float = 1000.0
+    isotropic: bool = False
+    seed: int = 12345
+
+    def _p_coupling(self):
+        return tuple(
+            0.0 if c > 2.0e3 else 1.0 / (self.tau_p * 3.0 * c)
+            for c in self.elastic_modulus
+        )
+
+    def init(self, state):
+        import jax
+
+        return {"i": jnp.zeros((), jnp.int32), "key": jax.random.PRNGKey(self.seed)}
+
+    def step1(self, state, aux, dt):
+        return velocity_verlet_step1(state, dt, self.mobile), aux
+
+    def step2(self, state, aux, dt):
+        import jax
+
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        key, k1, k2 = jax.random.split(aux["key"], 3)
+        # BDP thermostat (stochastic velocity rescaling)
+        from gpumd_tpu.units import K_B
+
+        ndeg = 3.0 * jnp.sum(state.mask)
+        kk = state.kinetic_energy()
+        t0 = self._temp(aux)
+        sigma = 0.5 * ndeg * K_B * t0
+        factor = jnp.exp(-1.0 / self.coupling)
+        rr = jax.random.normal(k1, (), kk.dtype)
+        sumn = 2.0 * jax.random.gamma(k1, 0.5 * (ndeg - 1.0), dtype=kk.dtype)
+        kk_new = (
+            kk + (1.0 - factor) * (sigma * (sumn + rr * rr) / ndeg - kk)
+            + 2.0 * rr * jnp.sqrt(kk * sigma / ndeg * (1.0 - factor) * factor)
+        )
+        state = state._replace(velocity=state.velocity * jnp.sqrt(kk_new / kk))
+
+        # SCR barostat
+        m = state.mask
+        kin = jnp.einsum(
+            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+        )
+        w = jnp.einsum("nab,n->ab", state.virial, m)
+        vol = state.box.volume
+        p = (kin + w) / vol * PRESSURE_UNIT_CONVERSION
+        diag = jnp.diagonal(p)
+        if self.isotropic:
+            diag = jnp.full((3,), jnp.trace(p) / 3.0, p.dtype)
+        pc = jnp.asarray(self._p_coupling(), p.dtype)
+        p0 = jnp.asarray(self.target_pressure, p.dtype)
+        xi = jax.random.normal(k2, (3,), p.dtype)
+        if self.isotropic:
+            xi = jnp.full((3,), xi[0], p.dtype)
+        kbt_gpa = K_B * t0 / vol * PRESSURE_UNIT_CONVERSION
+        scale = 1.0 - pc * (p0 - diag) + jnp.sqrt(2.0 * pc * kbt_gpa) * xi
+        h = state.box.h * scale[None, :]
+        box = state.box.with_h(h)
+        pos = state.position * scale[None, :]
+        unwrapped = (
+            state.unwrapped_position * scale[None, :]
+            if state.unwrapped_position is not None else None
+        )
+        return (
+            state._replace(position=pos, box=box, unwrapped_position=unwrapped),
+            {"i": aux["i"] + 1, "key": key},
+        )
+
+
+@dataclass(frozen=True)
 class NPTBerendsen(_RampMixin):
     """Berendsen NPT: NVT-Berendsen thermostat + per-direction box rescale."""
 

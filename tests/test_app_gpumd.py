@@ -109,3 +109,21 @@ def test_reference_example_inputs_parse():
     toks = parse_run_in("/root/reference/examples/gpumd_dynamic/run.in")
     assert toks[0][0] == "potential"
     assert any(t[0] == "run" for t in toks)
+
+
+def test_npt_scr(tmp_path):
+    make_argon_dir(tmp_path, nc=3)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 40
+time_step 5
+ensemble npt_scr 40 40 100 0 2 1000
+dump_thermo 50
+run 400
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    thermo = np.loadtxt(tmp_path / "thermo.out")
+    assert np.isfinite(thermo).all()
+    # box fluctuates but stays near the original scale
+    assert 0.9 * 3 * 5.26 < thermo[-1, 9] < 1.1 * 3 * 5.26
