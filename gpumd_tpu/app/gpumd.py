@@ -500,6 +500,13 @@ class Session:
             ens = dataclasses.replace(ens, n_steps=n_steps)
         if self.mobile_mask is not None and hasattr(ens, "mobile"):
             ens = dataclasses.replace(ens, mobile=self.mobile_mask)
+        if getattr(self, "move_pin", None) is not None and hasattr(ens, "pinned"):
+            ens = dataclasses.replace(ens, pinned=self.move_pin)
+        deform = getattr(self, "deform", None)
+        if deform is not None:
+            from gpumd_tpu.integrate.ensembles.deform import DeformWrapper
+
+            ens = DeformWrapper(inner=ens, rate=deform)
 
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props
@@ -669,6 +676,34 @@ class Session:
         fixed = self.groups.mask(method, gid)
         self.mobile_mask = 1.0 - fixed
         self.log(f"fix: group {gid} (method {method}) frozen")
+
+    def kw_move(self, args):
+        """move [method] group vx vy vz (A/fs): constant-velocity group
+        (ref: integrate.cu:1315-1378). Requires a fixed group too."""
+        if len(args) == 5:
+            method, gid = int(args[0]), int(args[1])
+            v = [float(x) for x in args[2:5]]
+        else:
+            method, gid = 0, int(args[0])
+            v = [float(x) for x in args[1:4]]
+        mask = np.asarray(self.groups.mask(method, gid))
+        vel = np.asarray(v) * TIME_UNIT_CONVERSION  # A/fs -> natural
+        self.move_pin = (mask, vel)
+        self.log(f"move: group {gid} at {v} A/fs")
+
+    def kw_deform(self, args):
+        """deform rate [rx ry rz] dx dy dz: box strain rate in A/step on the
+        flagged directions (ref: integrate.cu:1381-1420)."""
+        if len(args) == 4:
+            rates = [float(args[0])] * 3
+            flags = [int(x) for x in args[1:4]]
+        else:
+            rates = [float(x) for x in args[0:3]]
+            flags = [int(x) for x in args[3:6]]
+        self.deform = tuple(
+            r if f else 0.0 for r, f in zip(rates, flags)
+        )
+        self.log(f"deform: {self.deform} A/step")
 
     def kw_compute(self, args):
         """compute <method> <sample_int> <output_int> temperature|potential|
@@ -1013,6 +1048,8 @@ class Session:
         "dump_observer": kw_dump_observer,
         "active": kw_active,
         "mc": kw_mc,
+        "move": kw_move,
+        "deform": kw_deform,
         "run": kw_run,
     }
 

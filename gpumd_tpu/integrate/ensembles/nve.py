@@ -19,12 +19,13 @@ from gpumd_tpu.model.state import MDState
 @dataclass(frozen=True)
 class NVE:
     mobile: Optional[object] = None  # optional (N,) mobility mask
+    pinned: Optional[tuple] = None  # (mask, velocity) constant-velocity group
 
     def init(self, state: MDState):
         return ()
 
     def step1(self, state: MDState, aux, dt):
-        return velocity_verlet_step1(state, dt, self.mobile), aux
+        return velocity_verlet_step1(state, dt, self.mobile, self.pinned), aux
 
     def step2(self, state: MDState, aux, dt):
-        return velocity_verlet_step2(state, dt, self.mobile), aux
+        return velocity_verlet_step2(state, dt, self.mobile, self.pinned), aux

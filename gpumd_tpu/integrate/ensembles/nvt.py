@@ -69,6 +69,7 @@ class _RampMixin:
     coupling: float = 100.0  # tau / dt
     n_steps: int = 0  # for the ramp; 0 = constant t0
     mobile: Optional[object] = None  # (N,) mobility mask (1 = free)
+    pinned: Optional[tuple] = None  # (mask, velocity) constant-velocity group
 
     def _temp(self, aux):
         if self.n_steps <= 0 or self.t0 == self.t1:
@@ -84,10 +85,10 @@ class NVTBerendsen(_RampMixin):
         return {"i": jnp.zeros((), jnp.int32)}
 
     def step1(self, state, aux, dt):
-        return velocity_verlet_step1(state, dt, self.mobile), aux
+        return velocity_verlet_step1(state, dt, self.mobile, self.pinned), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt, self.mobile)
+        state = velocity_verlet_step2(state, dt, self.mobile, self.pinned)
         t_now = state.temperature()
         t0 = self._temp(aux)
         factor = jnp.sqrt(1.0 + (t0 / t_now - 1.0) / self.coupling)
@@ -121,10 +122,10 @@ class NVTLangevin(_RampMixin):
         key, sub = jax.random.split(aux["key"])
         state = self._kick(state, sub, self._temp(aux))
         aux = {"i": aux["i"], "key": key}
-        return velocity_verlet_step1(state, dt, self.mobile), aux
+        return velocity_verlet_step1(state, dt, self.mobile, self.pinned), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt, self.mobile)
+        state = velocity_verlet_step2(state, dt, self.mobile, self.pinned)
         key, sub = jax.random.split(aux["key"])
         state = self._kick(state, sub, self._temp(aux))
         return state, {"i": aux["i"] + 1, "key": key}
@@ -141,10 +142,10 @@ class NVTBDP(_RampMixin):
         return {"i": jnp.zeros((), jnp.int32), "key": jax.random.PRNGKey(self.seed)}
 
     def step1(self, state, aux, dt):
-        return velocity_verlet_step1(state, dt, self.mobile), aux
+        return velocity_verlet_step1(state, dt, self.mobile, self.pinned), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt, self.mobile)
+        state = velocity_verlet_step2(state, dt, self.mobile, self.pinned)
         key, k1, k2 = jax.random.split(aux["key"], 3)
         ndeg = _ndof(state)
         kk = 0.5 * _ke2(state)  # current KE
@@ -280,10 +281,10 @@ class NVTNoseHooverChain(_RampMixin):
     def step1(self, state, aux, dt):
         factor, aux = self._chain(state, aux, dt, 0.5 * dt)
         state = state._replace(velocity=state.velocity * factor)
-        return velocity_verlet_step1(state, dt, self.mobile), aux
+        return velocity_verlet_step1(state, dt, self.mobile, self.pinned), aux
 
     def step2(self, state, aux, dt):
-        state = velocity_verlet_step2(state, dt, self.mobile)
+        state = velocity_verlet_step2(state, dt, self.mobile, self.pinned)
         factor, aux = self._chain(state, aux, dt, 0.5 * dt)
         state = state._replace(velocity=state.velocity * factor)
         return state, {**aux, "i": aux["i"] + 1}

@@ -16,11 +16,21 @@ import jax.numpy as jnp
 from gpumd_tpu.model.state import MDState
 
 
-def velocity_verlet_step1(state: MDState, dt, mobile=None) -> MDState:
+def _apply_pin(v, pinned):
+    if pinned is None:
+        return v
+    import jax.numpy as _jnp
+
+    mask, vel = pinned
+    return _jnp.where(mask[:, None] > 0, _jnp.asarray(vel, v.dtype)[None, :], v)
+
+
+def velocity_verlet_step1(state: MDState, dt, mobile=None, pinned=None) -> MDState:
     inv_m = 1.0 / state.mass
     v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
     if mobile is not None:
         v = v * mobile[:, None]
+    v = _apply_pin(v, pinned)
     dx = dt * v
     pos = state.position + dx
     unwrapped = (
@@ -31,9 +41,10 @@ def velocity_verlet_step1(state: MDState, dt, mobile=None) -> MDState:
     return state._replace(position=pos, velocity=v, unwrapped_position=unwrapped)
 
 
-def velocity_verlet_step2(state: MDState, dt, mobile=None) -> MDState:
+def velocity_verlet_step2(state: MDState, dt, mobile=None, pinned=None) -> MDState:
     inv_m = 1.0 / state.mass
     v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
     if mobile is not None:
         v = v * mobile[:, None]
+    v = _apply_pin(v, pinned)
     return state._replace(velocity=v, step=state.step + 1)
