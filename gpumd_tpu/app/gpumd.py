@@ -147,6 +147,11 @@ class Session:
 
             pot = EAMZhou2004.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "eam/alloy":
+            from gpumd_tpu.potentials.eam import EAMAlloy
+
+            pot = EAMAlloy.from_file(path)
+            self.type_names = list(pot.symbols)
         elif name == "eam_dai_2006":
             from gpumd_tpu.potentials.eam import EAMDai2006
 

@@ -166,6 +166,125 @@ class EAMZhou2004(NamedTuple):
         )
 
 
+def _hermite_coeffs(y: np.ndarray) -> np.ndarray:
+    """LAMMPS-style cubic Hermite spline coefficients per knot interval
+    (ref: eam_alloy.cu:29-70): derivatives from centered differences.
+    Returns (n, 4) [a, b, c, d] with f(i+t) = a + b t + c t^2 + d t^3."""
+    n = len(y)
+    d = np.zeros(n)
+    d[1:-1] = 0.5 * (y[2:] - y[:-2])
+    d[0] = y[1] - y[0]
+    d[-1] = y[-1] - y[-2]
+    a = y[:-1]
+    b = d[:-1]
+    c = 3.0 * (y[1:] - y[:-1]) - 2.0 * d[:-1] - d[1:]
+    e = -2.0 * (y[1:] - y[:-1]) + d[:-1] + d[1:]
+    coef = np.stack([a, b, c, e], axis=1)
+    return np.concatenate([coef, coef[-1:]], axis=0)  # pad last knot
+
+
+def _spline_eval(coef, x, h):
+    """Evaluate a Hermite spline table.
+
+    coef: (..., n, 4) batched per evaluation point (leading dims match x);
+    x: (...,) in physical units.
+    """
+    n = coef.shape[-2]
+    t = x / h
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    dt = t - i.astype(t.dtype)
+    c = jnp.take_along_axis(coef, i[..., None, None], axis=-2)[..., 0, :]
+    return c[..., 0] + dt * (c[..., 1] + dt * (c[..., 2] + dt * c[..., 3]))
+
+
+class EAMAlloy(NamedTuple):
+    """Tabulated eam/alloy (setfl) potential with cubic Hermite splines
+    (ref: src/force/eam_alloy.cu; format: 3 comment lines, `Nelem syms`,
+    `nrho drho nr dr cutoff`, per element [Z mass lat struct, F(rho),
+    rho(r)], then r*phi(r) for the (i >= j) pair triangle)."""
+
+    f_coef: jnp.ndarray  # (T, nrho, 4) embedding F(rho)
+    rho_coef: jnp.ndarray  # (T, nr, 4) density rho(r)
+    phi_coef: jnp.ndarray  # (T, T, nr, 4) r*phi(r), symmetric
+    drho: float
+    dr: float
+    rc: float
+    symbols: tuple
+
+    @staticmethod
+    def from_file(path: str) -> "EAMAlloy":
+        with open(path) as f:
+            lines = f.readlines()
+        # skip 3 comment lines
+        words = " ".join(lines[3:]).split()
+        i = 0
+        t = int(words[i]); i += 1
+        symbols = tuple(words[i : i + t]); i += t
+        nrho = int(words[i]); drho = float(words[i + 1])
+        nr = int(words[i + 2]); dr = float(words[i + 3])
+        rc = float(words[i + 4]); i += 5
+        f_tab = np.zeros((t, nrho))
+        rho_tab = np.zeros((t, nr))
+        for e in range(t):
+            i += 4  # Z mass lattice structure
+            f_tab[e] = [float(w) for w in words[i : i + nrho]]; i += nrho
+            rho_tab[e] = [float(w) for w in words[i : i + nr]]; i += nr
+        phi_tab = np.zeros((t, t, nr))
+        for a in range(t):
+            for b in range(a + 1):
+                vals = [float(w) for w in words[i : i + nr]]; i += nr
+                phi_tab[a, b] = vals
+                phi_tab[b, a] = vals
+        return EAMAlloy(
+            f_coef=jnp.asarray(
+                np.stack([_hermite_coeffs(f_tab[e]) for e in range(t)])
+            ),
+            rho_coef=jnp.asarray(
+                np.stack([_hermite_coeffs(rho_tab[e]) for e in range(t)])
+            ),
+            phi_coef=jnp.asarray(
+                np.stack(
+                    [
+                        np.stack([_hermite_coeffs(phi_tab[a, b]) for b in range(t)])
+                        for a in range(t)
+                    ]
+                )
+            ),
+            drho=drho, dr=dr, rc=rc, symbols=symbols,
+        )
+
+    def pair_energies(self, r12, t1, t2):
+        dtype = r12.dtype
+        d = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+        in_rc = (d < self.rc).astype(dtype)
+        dc = jnp.minimum(d, self.rc)
+
+        # density from neighbors (tables indexed by the NEIGHBOR type)
+        rho_c = self.rho_coef.astype(dtype)
+        rho_j = _spline_eval(rho_c[t2], dc, self.dr) * in_rc
+        rho = jnp.sum(rho_j, axis=-1)
+
+        # embedding
+        f_c = self.f_coef.astype(dtype)
+        nrho = f_c.shape[1]
+        rho_cl = jnp.minimum(rho, (nrho - 1) * self.drho)
+        emb = _spline_eval(f_c[t1], rho_cl, self.drho)
+
+        # pair term: tables store r*phi
+        phi_c = self.phi_coef.astype(dtype)
+        t1b = jnp.broadcast_to(t1[:, None], t2.shape)
+        rphi = _spline_eval(phi_c[t1b, t2], dc, self.dr)
+        phi = jnp.where(d > 1e-6, rphi / jnp.maximum(d, 1e-6), 0.0) * in_rc
+        return emb + 0.5 * jnp.sum(phi, axis=-1)
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )
+
+
 class EAMDai2006(NamedTuple):
     """Finnis-Sinclair-type EAM (Dai 2006), single element
     (ref: eam.cu:97-128, 234-287):

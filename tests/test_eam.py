@@ -106,3 +106,32 @@ def test_dai_2006_loads_and_fd():
     ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
     em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
     assert np.isclose(f[9, 2], -(ep - em) / (2 * h), rtol=1e-5, atol=1e-8)
+
+
+@requires_reference
+def test_eam_alloy_cuni():
+    from gpumd_tpu.potentials.eam import EAMAlloy
+
+    pot = EAMAlloy.from_file("/root/reference/potentials/eam/CuNi.eam.alloy")
+    assert pot.symbols == ("Cu", "Ni")
+    pos, lengths = fcc(2, 3.56)
+    n = len(pos)
+    types = np.array([i % 2 for i in range(n)])
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 0, 63.546, 58.6934), types, box)
+    ff = ForceField.create([pot], box, n, mn=96)
+    out = ff.compute(state)
+    e = float(jnp.sum(out.potential_energy)) / n
+    # CuNi alloy cohesive energy in the -3.5..-4.5 eV/atom ballpark
+    assert -5.5 < e < -3.0, e
+    # rattled FD check
+    pos2 = pos + np.random.default_rng(0).normal(0, 0.05, pos.shape)
+    state2 = state._replace(position=jnp.asarray(pos2))
+    out2 = ff.compute(state2)
+    f = np.asarray(out2.force)
+    h = 1e-5
+    pp = pos2.copy(); pp[7, 0] += h
+    pm = pos2.copy(); pm[7, 0] -= h
+    ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
+    em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
+    assert np.isclose(f[7, 0], -(ep - em) / (2 * h), rtol=1e-4, atol=1e-6)
