@@ -137,6 +137,11 @@ class Session:
 
             pot = Tersoff1989.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "tersoff_1988":
+            from gpumd_tpu.potentials.tersoff import Tersoff1988
+
+            pot = Tersoff1988.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name == "tersoff_mini":
             from gpumd_tpu.potentials.tersoff import TersoffMini
 

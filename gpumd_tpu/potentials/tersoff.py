@@ -135,6 +135,121 @@ class TersoffMini(NamedTuple):
         )
 
 
+class Tersoff1988(NamedTuple):
+    """Full-parameter Tersoff (1988), triple-indexed.
+
+    File (ref: src/force/tersoff1988.cu:57-180): `tersoff_1988 T syms`,
+    then T^3 entries of 14 values:
+        A B lambda mu beta n c d h r1 r2 m alpha gamma
+    zeta_ij = sum_k fc^{ijk}(r13) gamma^{ijk} g^{ijk}(cos) e^{ijk},
+    e = exp(alpha (d12-d13)^m) (m = 1 or 3; alpha < eps -> 1),
+    g = gamma (1 + c^2/d^2 - c^2/(d^2 + (h-cos)^2)),
+    pair terms and (beta, n) indexed by the (i, j, j) entry.
+    """
+
+    p: jnp.ndarray  # (T^3, 14) raw parameter table
+    num_types: int
+    rc: float
+
+    _A, _B, _LAM, _MU, _BETA, _EN, _C, _D, _H, _R1, _R2, _M, _ALPHA, _GAMMA = range(14)
+
+    @staticmethod
+    def from_file(path: str) -> "Tersoff1988":
+        with open(path) as f:
+            tokens = f.read().split()
+        if tokens[0] != "tersoff_1988":
+            raise ValueError(f"{path}: not a tersoff_1988 file")
+        t = int(tokens[1])
+        n_entries = t * t * t
+        vals = np.array(
+            [float(x) for x in tokens[2 + t : 2 + t + 14 * n_entries]]
+        ).reshape(n_entries, 14)
+        return Tersoff1988(
+            p=jnp.asarray(vals), num_types=t, rc=float(vals[:, 10].max())
+        )
+
+    def pair_energies(self, r12, t1, t2, block: int = 2048):
+        nloc = r12.shape[0]
+        if nloc <= block:
+            return self._block_energy(r12, t1, t2)
+        blk_fn = jax.checkpoint(self._block_energy)
+        nb = -(-nloc // block)
+        pad = nb * block - nloc
+        r12p = jnp.pad(r12, ((0, pad), (0, 0), (0, 0)), constant_values=1e5)
+        t1p = jnp.pad(t1, (0, pad))
+        t2p = jnp.pad(t2, ((0, pad), (0, 0)))
+        e = jax.lax.map(
+            lambda args: blk_fn(*args),
+            (
+                r12p.reshape(nb, block, *r12.shape[1:]),
+                t1p.reshape(nb, block),
+                t2p.reshape(nb, block, -1),
+            ),
+        )
+        return e.reshape(-1)[:nloc]
+
+    def _fc(self, idx, d, dtype):
+        r1 = self.p[idx, self._R1].astype(dtype)
+        r2 = self.p[idx, self._R2].astype(dtype)
+        x = jnp.clip((d - r1) / jnp.maximum(r2 - r1, 1e-30), 0.0, 1.0)
+        return jnp.where(d < r2, 0.5 * (1.0 + jnp.cos(jnp.pi * x)), 0.0)
+
+    def _block_energy(self, r12, t1, t2):
+        dtype = r12.dtype
+        t = self.num_types
+        d = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))  # (B, MN)
+        # pair entry (i, j, j)
+        ijj = (t1[:, None] * t + t2) * t + t2
+        fc12 = self._fc(ijj, d, dtype)
+        dsafe = jnp.minimum(d, self.p[ijj, self._R2].astype(dtype))
+        fr = self.p[ijj, self._A].astype(dtype) * jnp.exp(
+            -self.p[ijj, self._LAM].astype(dtype) * dsafe
+        )
+        fa = self.p[ijj, self._B].astype(dtype) * jnp.exp(
+            -self.p[ijj, self._MU].astype(dtype) * dsafe
+        )
+
+        # triple entry (i, j(m), k(slot)) -> (B, MN, MN)
+        ijk = (t1[:, None, None] * t + t2[:, :, None]) * t + t2[:, None, :]
+        u = r12 / d[..., None]
+        cosjk = jnp.einsum("pma,pka->pmk", u, u)
+        c2 = self.p[ijk, self._C].astype(dtype) ** 2
+        d2 = self.p[ijk, self._D].astype(dtype) ** 2
+        hh = self.p[ijk, self._H].astype(dtype)
+        gam = self.p[ijk, self._GAMMA].astype(dtype)
+        g = gam * (
+            1.0 + c2 / d2 - c2 / (d2 + (cosjk - hh) ** 2)
+        )
+        alpha = self.p[ijk, self._ALPHA].astype(dtype)
+        mm = self.p[ijk, self._M].astype(dtype)
+        dr = d[:, :, None] - d[:, None, :]
+        # clamp dr to keep exp bounded on padded far slots (fc13 = 0 there)
+        drc = jnp.clip(dr, -10.0, 10.0)
+        e_fac = jnp.where(
+            alpha < 1e-10, 1.0,
+            jnp.where(mm > 2.0, jnp.exp(alpha * drc**3), jnp.exp(alpha * drc)),
+        )
+        fc13 = self._fc(ijk, d[:, None, :] * jnp.ones_like(cosjk), dtype)
+        not_self = 1.0 - jnp.eye(fc12.shape[-1], dtype=dtype)
+        zeta = jnp.einsum("pmk,mk->pm", fc13 * g * e_fac, not_self)
+
+        beta = self.p[ijj, self._BETA].astype(dtype)
+        nn = self.p[ijj, self._EN].astype(dtype)
+        zeta_ok = zeta > 1e-16
+        bzn = jnp.where(
+            zeta_ok, (beta * jnp.where(zeta_ok, zeta, 1.0)) ** nn, 0.0
+        )
+        bij = (1.0 + bzn) ** (-0.5 / nn)
+        return jnp.sum(0.5 * fc12 * (fr - bij * fa), axis=-1)
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )
+
+
 class Tersoff1989(NamedTuple):
     # pair-indexed (T, T)
     a: jnp.ndarray

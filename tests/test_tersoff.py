@@ -139,3 +139,29 @@ def test_tersoff_mini_silicon():
     ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
     em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
     assert np.isclose(f[4, 1], -(ep - em) / (2 * h), rtol=1e-5, atol=1e-8)
+
+
+@requires_reference
+def test_tersoff_1988_tin():
+    from gpumd_tpu.potentials.tersoff import Tersoff1988
+
+    pot = Tersoff1988.from_file(
+        "/root/reference/potentials/tersoff/Sn_Cherukara_2016.txt"
+    )
+    # beta-tin-like test on a diamond lattice (just physics sanity + FD)
+    pos, lengths = diamond(2, a0=6.5, rattle=0.06)
+    n = len(pos)
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.full(n, 118.71), np.zeros(n, int), box)
+    ff = ForceField.create([pot], box, n, mn=64)
+    out = ff.compute(state)
+    e = float(jnp.sum(out.potential_energy)) / n
+    assert -5.0 < e < -1.0, e
+    f = np.asarray(out.force)
+    h = 1e-5
+    for atom, comp in [(3, 0), (20, 2)]:
+        pp = pos.copy(); pp[atom, comp] += h
+        pm = pos.copy(); pm[atom, comp] -= h
+        ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
+        em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
+        assert np.isclose(f[atom, comp], -(ep - em) / (2 * h), rtol=1e-5, atol=1e-8)
