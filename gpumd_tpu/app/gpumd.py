@@ -152,6 +152,11 @@ class Session:
 
             pot = EAMZhou2004.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "adp":
+            from gpumd_tpu.potentials.eam import ADP
+
+            pot = ADP.from_file(path)
+            self.type_names = list(pot.symbols)
         elif name == "eam/alloy":
             from gpumd_tpu.potentials.eam import EAMAlloy
 

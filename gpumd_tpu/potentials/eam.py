@@ -285,6 +285,128 @@ class EAMAlloy(NamedTuple):
         )
 
 
+class ADP(NamedTuple):
+    """Angular-dependent potential: EAM + dipole/quadrupole distortion
+    terms (Mishin ADP; ref: src/force/adp.cu).
+
+    File: `adp T syms`, comment lines, setfl body (F, rho per element;
+    then r*phi, u, w pair tables for the j <= i triangle).
+
+    E_i = F(rho_i) + 1/2 sum phi + 1/2 |mu_i|^2 + 1/2 sum_ab lambda_ab^2
+          - nu_i^2 / 6,
+    mu_ia = sum_j u(r) r_a,  lambda_iab = sum_j w(r) r_a r_b, nu = tr lambda.
+    """
+
+    f_coef: jnp.ndarray  # (T, nrho, 4)
+    rho_coef: jnp.ndarray  # (T, nr, 4)
+    phi_coef: jnp.ndarray  # (T, T, nr, 4) r*phi
+    u_coef: jnp.ndarray  # (T, T, nr, 4)
+    w_coef: jnp.ndarray  # (T, T, nr, 4)
+    drho: float
+    dr: float
+    rc: float
+    symbols: tuple
+
+    @staticmethod
+    def from_file(path: str) -> "ADP":
+        with open(path) as f:
+            lines = f.readlines()
+        head = lines[0].split()
+        if head[0] != "adp":
+            raise ValueError(f"{path}: not an adp file")
+        # "comment n": the header block occupies n lines starting at the
+        # `comment` line itself (Ta.adp.txt: `comment 2` + 1 text line).
+        idx = 1
+        if lines[1].split() and lines[1].split()[0] == "comment":
+            n_comments = int(lines[1].split()[1])
+            idx = 1 + n_comments
+        words = " ".join(lines[idx:]).split()
+        i = 0
+        t = int(words[i]); i += 1
+        symbols = tuple(words[i : i + t]); i += t
+        nrho = int(words[i]); drho = float(words[i + 1])
+        nr = int(words[i + 2]); dr = float(words[i + 3])
+        rc = float(words[i + 4]); i += 5
+        f_tab = np.zeros((t, nrho)); rho_tab = np.zeros((t, nr))
+        for e in range(t):
+            i += 4
+            f_tab[e] = [float(w) for w in words[i : i + nrho]]; i += nrho
+            rho_tab[e] = [float(w) for w in words[i : i + nr]]; i += nr
+
+        def read_pairs():
+            nonlocal i
+            tab = np.zeros((t, t, nr))
+            for a in range(t):
+                for b in range(a + 1):
+                    vals = [float(w) for w in words[i : i + nr]]; i += nr
+                    tab[a, b] = vals
+                    tab[b, a] = vals
+            return tab
+
+        phi_tab = read_pairs()
+        u_tab = read_pairs()
+        w_tab = read_pairs()
+
+        def pair_coeffs(tab):
+            return jnp.asarray(
+                np.stack(
+                    [
+                        np.stack([_hermite_coeffs(tab[a, b]) for b in range(t)])
+                        for a in range(t)
+                    ]
+                )
+            )
+
+        return ADP(
+            f_coef=jnp.asarray(
+                np.stack([_hermite_coeffs(f_tab[e]) for e in range(t)])
+            ),
+            rho_coef=jnp.asarray(
+                np.stack([_hermite_coeffs(rho_tab[e]) for e in range(t)])
+            ),
+            phi_coef=pair_coeffs(phi_tab),
+            u_coef=pair_coeffs(u_tab),
+            w_coef=pair_coeffs(w_tab),
+            drho=drho, dr=dr, rc=rc, symbols=symbols,
+        )
+
+    def pair_energies(self, r12, t1, t2):
+        dtype = r12.dtype
+        d = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+        in_rc = (d < self.rc).astype(dtype)
+        dc = jnp.minimum(d, self.rc)
+        t1b = jnp.broadcast_to(t1[:, None], t2.shape)
+
+        rho_j = _spline_eval(self.rho_coef.astype(dtype)[t2], dc, self.dr) * in_rc
+        rho = jnp.sum(rho_j, axis=-1)
+        f_c = self.f_coef.astype(dtype)
+        rho_cl = jnp.minimum(rho, (f_c.shape[1] - 1) * self.drho)
+        emb = _spline_eval(f_c[t1], rho_cl, self.drho)
+
+        rphi = _spline_eval(self.phi_coef.astype(dtype)[t1b, t2], dc, self.dr)
+        phi = jnp.where(d > 1e-6, rphi / jnp.maximum(d, 1e-6), 0.0) * in_rc
+
+        u = _spline_eval(self.u_coef.astype(dtype)[t1b, t2], dc, self.dr) * in_rc
+        w = _spline_eval(self.w_coef.astype(dtype)[t1b, t2], dc, self.dr) * in_rc
+        r12m = jnp.where(in_rc[..., None] > 0, r12, 0.0)
+        mu = jnp.einsum("pm,pma->pa", u, r12m)  # (N, 3)
+        lam = jnp.einsum("pm,pma,pmb->pab", w, r12m, r12m)  # (N, 3, 3)
+        nu = jnp.trace(lam, axis1=-2, axis2=-1)
+        e_ang = (
+            0.5 * jnp.sum(mu * mu, axis=-1)
+            + 0.5 * jnp.sum(lam * lam, axis=(-2, -1))
+            - nu * nu / 6.0
+        )
+        return emb + 0.5 * jnp.sum(phi, axis=-1) + e_ang
+
+    def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
+        t2 = type_[nbr.idx]
+        return compute_from_pair_energy(
+            lambda r12: self.pair_energies(r12, type_, t2), nbr, mask,
+            per_atom_virial=per_atom_virial,
+        )
+
+
 class EAMDai2006(NamedTuple):
     """Finnis-Sinclair-type EAM (Dai 2006), single element
     (ref: eam.cu:97-128, 234-287):

@@ -135,3 +135,40 @@ def test_eam_alloy_cuni():
     ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
     em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
     assert np.isclose(f[7, 0], -(ep - em) / (2 * h), rtol=1e-4, atol=1e-6)
+
+
+@requires_reference
+def test_adp_tantalum():
+    from gpumd_tpu.potentials.eam import ADP
+
+    pot = ADP.from_file("/root/reference/potentials/adp/Ta.adp.txt")
+    assert pot.symbols == ("Ta",)
+    # bcc Ta, a0 = 3.31
+    a0 = 3.31
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(3) for j in range(3) for k in range(3)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    box = Box.orthogonal([3 * a0] * 3)
+    state = make_state(pos, np.full(n, 180.95), np.zeros(n, int), box)
+    ff = ForceField.create([pot], box, n, mn=96)
+    out = ff.compute(state)
+    e = float(jnp.sum(out.potential_energy)) / n
+    # Ta cohesive energy ~ -8.1 eV/atom
+    assert np.isclose(e, -8.1, atol=0.3), e
+    assert np.max(np.abs(np.asarray(out.force))) < 1e-6
+
+    # FD on a rattled cell (exercises mu/lambda angular chains)
+    pos2 = pos + np.random.default_rng(2).normal(0, 0.06, pos.shape)
+    state2 = state._replace(position=jnp.asarray(pos2))
+    out2 = ff.compute(state2)
+    f = np.asarray(out2.force)
+    h = 1e-5
+    for atom, comp in [(0, 1), (23, 2)]:
+        pp = pos2.copy(); pp[atom, comp] += h
+        pm = pos2.copy(); pm[atom, comp] -= h
+        ep = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pp))).potential_energy))
+        em = float(jnp.sum(ff.compute(state._replace(position=jnp.asarray(pm))).potential_energy))
+        assert np.isclose(f[atom, comp], -(ep - em) / (2 * h), rtol=1e-4, atol=1e-6)
