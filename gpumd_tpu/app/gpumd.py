@@ -1011,6 +1011,57 @@ class Session:
         )
         self.log(f"compute_viscosity {args}")
 
+    def kw_dump_dipole(self, args):
+        """dump_dipole interval -> dipole.out using the second loaded
+        potential (the TNEP dipole observer, ref: dump_dipole.cu)."""
+        interval = int(args[0])
+        tnep = next(
+            (p for p in self.potentials
+             if getattr(getattr(p, "model", None), "model_type", 0) == 1),
+            None,
+        )
+        if tnep is None:
+            raise ValueError("dump_dipole needs a loaded *_dipole potential")
+        f = self._file("dipole.out")
+
+        def process(session, state, step):
+            nbr = session.ff.neighbor.build(
+                state.box.wrap(state.position), state.box, state.mask
+            )
+            mu = np.asarray(tnep.dipole(state.type, nbr, state.mask))
+            f.write(f"{step}" + "".join(f"{x:20.10e}" for x in mu) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"dump_dipole every {interval}")
+
+    def kw_dump_polarizability(self, args):
+        """dump_polarizability interval -> polarizability.out (6 Voigt
+        components) from the loaded *_polarizability observer."""
+        interval = int(args[0])
+        tnep = next(
+            (p for p in self.potentials
+             if getattr(getattr(p, "model", None), "model_type", 0) == 2),
+            None,
+        )
+        if tnep is None:
+            raise ValueError(
+                "dump_polarizability needs a *_polarizability potential"
+            )
+        f = self._file("polarizability.out")
+
+        def process(session, state, step):
+            nbr = session.ff.neighbor.build(
+                state.box.wrap(state.position), state.box, state.mask
+            )
+            p = np.asarray(tnep.polarizability(state.type, nbr, state.mask))
+            row = [p[0, 0], p[1, 1], p[2, 2], p[0, 1], p[1, 2], p[0, 2]]
+            f.write(f"{step}" + "".join(f"{x:20.10e}" for x in row) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"dump_polarizability every {interval}")
+
     def kw_compute_shc(self, args):
         from gpumd_tpu.measure.properties import SHC
 
@@ -1061,6 +1112,8 @@ class Session:
         "compute_shc": kw_compute_shc,
         "compute_viscosity": kw_compute_viscosity,
         "dump_observer": kw_dump_observer,
+        "dump_dipole": kw_dump_dipole,
+        "dump_polarizability": kw_dump_polarizability,
         "active": kw_active,
         "mc": kw_mc,
         "move": kw_move,

@@ -314,6 +314,54 @@ class NEP(NamedTuple):
             e = e + jnp.sum(uz, axis=-1)
         return e
 
+    # ---- tensorial observables (TNEP) ----------------------------------------
+
+    def dipole(self, type_, nbr: NeighborList, mask):
+        """Global dipole vector of a nep*_dipole model (ref: nep.cu:737-742:
+        mu_alpha = sum_i sum_j -|r12|^2 f21_alpha, f21 = mirror partial)."""
+        if self.model.model_type != 1:
+            raise ValueError("dipole() needs a _dipole model")
+        t2 = type_[nbr.idx]
+        e_atom, vjp = jax.vjp(
+            lambda r12: self.per_atom_energy(r12, type_, t2), nbr.r12
+        )
+        (p,) = vjp(mask.astype(nbr.r12.dtype))
+        # gather mirror partials
+        from gpumd_tpu.neighbor.neighbor import gather_vec3
+
+        n, mn = nbr.idx.shape
+        if nbr.rev is not None:
+            p_rev = gather_vec3(p.reshape(-1, 3), nbr.rev) * nbr.mask[..., None]
+            r2 = jnp.sum(nbr.r12**2, axis=-1) * nbr.mask
+            return -jnp.einsum("nm,nma->a", r2, p_rev)
+        # pair-mirror symmetry: identical sum over ordered pairs
+        r2 = jnp.sum(nbr.r12**2, axis=-1) * nbr.mask
+        return -jnp.einsum("nm,nma->a", r2, p)
+
+    def polarizability(self, type_, nbr: NeighborList, mask):
+        """Polarizability tensor of a nep*_polarizability model
+        (ref: find_descriptor is_polarizability: diagonal from the second
+        ANN head + the standard r12 (x) f21 virial terms)."""
+        if self.model.model_type != 2:
+            raise ValueError("polarizability() needs a _polarizability model")
+        t2 = type_[nbr.idx]
+        out = compute_from_pair_energy(
+            lambda r12: self.per_atom_energy(r12, type_, t2), nbr, mask
+        )
+        w_total = jnp.sum(out.virial * mask[:, None, None], axis=0)
+        # second-head per-atom scalar on the diagonal
+        dtype = nbr.r12.dtype
+        q, _ = self.raw_descriptors(nbr.r12, type_, t2)
+        q = q * self.params.q_scaler.astype(dtype)
+        x1 = jnp.tanh(
+            jnp.einsum("pd,tud->ptu", q, self.params.w0_pol.astype(dtype))
+            - self.params.b0_pol.astype(dtype)[None]
+        )
+        f_t = jnp.einsum("ptu,tu->pt", x1, self.params.w1_pol.astype(dtype))
+        f_pol = jnp.take_along_axis(f_t, type_[:, None], axis=1)[:, 0]
+        f_pol = (f_pol - self.params.b1_pol.astype(dtype)) * mask
+        return w_total + jnp.sum(f_pol) * jnp.eye(3, dtype=dtype)
+
     # ---- Potential interface -------------------------------------------------
 
     def compute(self, type_, nbr: NeighborList, mask, per_atom_virial=True) -> PotentialOutput:
