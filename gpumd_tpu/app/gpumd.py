@@ -1092,6 +1092,7 @@ class Session:
         "dump_thermo": kw_dump_thermo,
         "dump_exyz": kw_dump_exyz,
         "dump_position": kw_dump_position,
+        "dump_xyz": kw_dump_exyz,
         "dump_restart": kw_dump_restart,
         "dump_velocity": kw_dump_velocity,
         "dump_force": kw_dump_force,
