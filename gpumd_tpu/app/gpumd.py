@@ -356,6 +356,92 @@ class Session:
         self.properties.append(PropertyRequest(interval, process))
         self.log(f"dump_exyz every {interval}")
 
+    def kw_dump_xyz(self, args):
+        """dump_xyz grouping_method group_id interval filename [quantities…]
+
+        Group-selective extended-XYZ dump (ref: dump_xyz.cu:73-160).
+        grouping_method < 0 dumps the whole system; a trailing '*' on the
+        filename writes one file per frame.  Quantities: velocity, force,
+        mass, potential, unwrapped_position.
+        """
+        if len(args) < 4:
+            raise ValueError("dump_xyz needs at least 4 parameters")
+        gm, gid, interval = int(args[0]), int(args[1]), int(args[2])
+        filename = args[3]
+        if interval <= 0:
+            raise ValueError("dump interval should be > 0")
+        if gm >= 0:
+            if gm >= self.groups.n_methods:
+                raise ValueError("grouping method exceeds the bound")
+            if not 0 <= gid < self.groups.num_groups(gm):
+                raise ValueError("group id exceeds the bound")
+        quantities = set(args[4:])
+        known = {
+            "velocity", "force", "mass", "potential", "unwrapped_position",
+            "charge", "bec", "group", "virial",
+        }
+        unknown = quantities - known
+        if unknown:
+            raise ValueError(f"unknown dump_xyz quantities {sorted(unknown)}")
+        separated = filename.endswith("*")
+        base = filename[:-1] if separated else filename
+        first = [True]
+
+        def process(session, state, step):
+            n = session._n
+            if gm >= 0:
+                sel = np.where(session.groups.labels[:n, gm] == gid)[0]
+            else:
+                sel = np.arange(n)
+            pos = np.asarray(state.box.wrap(state.position))[:n][sel]
+            prop = "species:S:1:pos:R:3"
+            cols = [pos]
+            if "mass" in quantities:
+                prop += ":mass:R:1"
+                cols.append(np.asarray(state.mass)[:n][sel, None])
+            if "velocity" in quantities:
+                prop += ":vel:R:3"
+                cols.append(
+                    np.asarray(state.velocity)[:n][sel] / TIME_UNIT_CONVERSION
+                )
+            if "force" in quantities:
+                prop += ":forces:R:3"
+                cols.append(np.asarray(state.force)[:n][sel])
+            if "potential" in quantities:
+                prop += ":energy_atom:R:1"
+                cols.append(np.asarray(state.potential_energy)[:n][sel, None])
+            if "unwrapped_position" in quantities:
+                prop += ":unwrapped_position:R:3"
+                up = (
+                    state.unwrapped_position
+                    if state.unwrapped_position is not None
+                    else state.position
+                )
+                cols.append(np.asarray(up)[:n][sel])
+            h = np.asarray(state.box.h)
+            lat = " ".join(f"{x:.15g}" for x in h.T.ravel())
+            pb = " ".join("T" if p else "F" for p in session.frame.pbc)
+            path = os.path.join(
+                session.workdir, f"{base}{step}" if separated else base
+            )
+            mode = "w" if separated or first[0] else "a"
+            first[0] = False
+            with open(path, mode) as f:
+                f.write(f"{len(sel)}\n")
+                f.write(f'Lattice="{lat}" Properties={prop} pbc="{pb}"\n')
+                data = np.concatenate(cols, axis=1)
+                for k, i in enumerate(sel):
+                    f.write(
+                        f"{session.symbols[i]:<2s} "
+                        + " ".join(f"{x:.15g}" for x in data[k])
+                        + "\n"
+                    )
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(
+            f"dump_xyz group {gm}/{gid} every {interval} into {filename}"
+        )
+
     def kw_dump_position(self, args):
         interval = int(args[0])
 
@@ -1092,7 +1178,7 @@ class Session:
         "dump_thermo": kw_dump_thermo,
         "dump_exyz": kw_dump_exyz,
         "dump_position": kw_dump_position,
-        "dump_xyz": kw_dump_exyz,
+        "dump_xyz": kw_dump_xyz,
         "dump_restart": kw_dump_restart,
         "dump_velocity": kw_dump_velocity,
         "dump_force": kw_dump_force,

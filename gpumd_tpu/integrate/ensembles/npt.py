@@ -54,7 +54,7 @@ class NPTSCR(_RampMixin):
         import jax
 
         state = velocity_verlet_step2(state, dt, self.mobile)
-        key, k1, k2 = jax.random.split(aux["key"], 3)
+        key, k1, k2, k3 = jax.random.split(aux["key"], 4)
         # BDP thermostat (stochastic velocity rescaling)
         from gpumd_tpu.units import K_B
 
@@ -64,7 +64,8 @@ class NPTSCR(_RampMixin):
         sigma = 0.5 * ndeg * K_B * t0
         factor = jnp.exp(-1.0 / self.coupling)
         rr = jax.random.normal(k1, (), kk.dtype)
-        sumn = 2.0 * jax.random.gamma(k1, 0.5 * (ndeg - 1.0), dtype=kk.dtype)
+        # independent key: reusing k1 correlates the chi^2 and gaussian draws
+        sumn = 2.0 * jax.random.gamma(k2, 0.5 * (ndeg - 1.0), dtype=kk.dtype)
         kk_new = (
             kk + (1.0 - factor) * (sigma * (sumn + rr * rr) / ndeg - kk)
             + 2.0 * rr * jnp.sqrt(kk * sigma / ndeg * (1.0 - factor) * factor)
@@ -84,7 +85,7 @@ class NPTSCR(_RampMixin):
             diag = jnp.full((3,), jnp.trace(p) / 3.0, p.dtype)
         pc = jnp.asarray(self._p_coupling(), p.dtype)
         p0 = jnp.asarray(self.target_pressure, p.dtype)
-        xi = jax.random.normal(k2, (3,), p.dtype)
+        xi = jax.random.normal(k3, (3,), p.dtype)
         if self.isotropic:
             xi = jnp.full((3,), xi[0], p.dtype)
         kbt_gpa = K_B * t0 / vol * PRESSURE_UNIT_CONVERSION

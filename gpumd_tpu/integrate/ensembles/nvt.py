@@ -116,6 +116,14 @@ class NVTLangevin(_RampMixin):
         v = c1 * state.velocity + c2[:, None] * noise
         if self.mobile is not None:
             v = jnp.where(self.mobile[:, None] > 0, v, state.velocity)
+        else:
+            # The random kicks impart net momentum; the reference removes it
+            # after every half-kick (ref: ensemble_lan.cu:111-124
+            # gpu_find_momentum/gpu_correct_momentum) so the center of mass
+            # does not random-walk (contaminates MSD/diffusion).
+            from gpumd_tpu.integrate.velocity import _zero_linear_momentum
+
+            v = _zero_linear_momentum(v, state.mass, state.mask)
         return state._replace(velocity=v * state.mask[:, None])
 
     def step1(self, state, aux, dt):

@@ -94,9 +94,19 @@ def build_reverse_map(nbr: NeighborList, shift_frac: jnp.ndarray) -> jnp.ndarray
     a = jnp.minimum(i, j)
     b = jnp.maximum(i, j)
     s = shift_frac.astype(jnp.int32)
-    s = jnp.where((i < j)[..., None], s, -s)
+
     # shifts are small integers (|s| < 16 by construction)
-    enc = (s[..., 0] + 16) + 33 * (s[..., 1] + 16) + 1089 * (s[..., 2] + 16)
+    def _enc(sv):
+        return (sv[..., 0] + 16) + 33 * (sv[..., 1] + 16) + 1089 * (sv[..., 2] + 16)
+
+    # Canonical orientation: atom order for i != j; shift sign for self-image
+    # pairs (i == j via periodic images), where both mirror slots must share
+    # one key — choosing by atom order alone would give slot (+s) the key
+    # enc(-s) and slot (-s) the key enc(+s), mispairing mirrors when several
+    # self-image shifts coexist (box edge < rc along >= 2 axes).
+    keep = (i < j) | ((i == j) & (_enc(s) > _enc(-s)))
+    s = jnp.where(keep[..., None], s, -s)
+    enc = _enc(s)
     valid = nbr.mask.reshape(-1) > 0
     flat = jnp.arange(n * mn, dtype=jnp.int32)
     # Invalid slots sort to the tail with unique keys (valid pair count is

@@ -127,3 +127,54 @@ run 400
     assert np.isfinite(thermo).all()
     # box fluctuates but stays near the original scale
     assert 0.9 * 3 * 5.26 < thermo[-1, 9] < 1.1 * 3 * 5.26
+
+
+def test_dump_xyz_group_selection(tmp_path):
+    """dump_xyz grouping_method group_id interval filename [quantities]
+    (ref: dump_xyz.cu:73-160) — not an alias of dump_exyz."""
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(2) for j in range(2) for k in range(2)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    groups = (pos[:, 2] > a0).astype(int)[:, None]
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos, lattice=np.diag([2 * a0] * 3),
+        pbc=(True, True, True), groups=groups,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity  30
+time_step 5
+ensemble  nve
+dump_xyz 0 1 10 sel.xyz velocity force
+run 20
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    frames = read_xyz_frames(str(tmp_path / "sel.xyz"))
+    assert len(frames) == 2
+    assert frames[0].n_atoms == int(groups.sum())
+    assert frames[0].velocities is not None and frames[0].forces is not None
+
+
+def test_dump_xyz_whole_system_separated(tmp_path):
+    n = make_argon_dir(tmp_path, nc=2)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity  30
+time_step 5
+ensemble  nve
+dump_xyz -1 0 10 frames.xyz*
+run 20
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    assert (tmp_path / "frames.xyz10").exists()
+    assert (tmp_path / "frames.xyz20").exists()
+    frames = read_xyz_frames(str(tmp_path / "frames.xyz20"))
+    assert frames[0].n_atoms == n

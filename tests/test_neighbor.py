@@ -119,3 +119,87 @@ def test_dispatch(rng):
     pos_j, box, mask, _ = _random_system(rng, 300, [40.0, 40.0, 40.0])
     nbr = build_neighbor_list(pos_j, box, mask, rc=6.0, mn=64)
     assert nbr.idx.shape == (300, 64)
+
+
+def _shift_frac_of(nbr, box, pos):
+    """Integer lattice shift per pair from the image-resolved r12."""
+    hin = np.linalg.inv(np.asarray(box.h))
+    idx = np.asarray(nbr.idx)
+    r12 = np.asarray(nbr.r12)
+    raw = np.asarray(pos)[idx] - np.asarray(pos)[:, None, :]
+    sc = r12 - raw
+    sf = np.einsum("ka,nma->nmk", hin, sc)
+    sf = np.where(np.asarray(nbr.mask)[..., None] > 0, np.round(sf), 0.0)
+    return jnp.asarray(sf.astype(np.int32))
+
+
+def test_reverse_map_self_image_pairs(rng):
+    """Regression (ADVICE r1): boxes with edge < rc along >= 2 periodic axes
+    produce i==i pairs via several image shifts; each slot's mirror must be
+    the SAME atom pair with the opposite shift."""
+    from gpumd_tpu.neighbor.neighbor import build_reverse_map
+
+    lengths = [2.1, 2.3, 9.0]
+    n = 6
+    pos = rng.uniform(0, 1, (n, 3)) * np.array(lengths)
+    box = Box.orthogonal(lengths)
+    rc = 3.0
+    reps = num_replicas_for_cutoff(box, rc)
+    nbr = neighbor_brute(jnp.asarray(pos), box, jnp.ones(n), rc=rc, mn=128,
+                         reps=reps)
+    assert not bool(nbr.overflowed())
+    sf = _shift_frac_of(nbr, box, pos)
+    rev = np.asarray(build_reverse_map(nbr, sf))
+    mn = nbr.idx.shape[1]
+    idx = np.asarray(nbr.idx)
+    sfn = np.asarray(sf)
+    mask = np.asarray(nbr.mask) > 0
+    # some self-image pairs must exist for this test to bite
+    ii = np.arange(n)[:, None] == idx
+    assert np.any(ii & mask)
+    for i in range(n):
+        for m in range(mn):
+            if not mask[i, m]:
+                continue
+            f = rev[i, m]
+            i2, m2 = f // mn, f % mn
+            assert i2 == idx[i, m], (i, m, i2)
+            assert idx[i2, m2] == i
+            assert np.array_equal(sfn[i2, m2], -sfn[i, m])
+
+
+def test_reverse_virial_matches_scatter_small_box(rng):
+    """Per-atom virial from the rev-gather path == scatter path on a box
+    with self-image pairs (the r1 mispairing corrupted this)."""
+    from gpumd_tpu.neighbor.neighbor import build_reverse_map
+    from gpumd_tpu.potentials.base import forces_virial_from_partials
+
+    lengths = [2.1, 2.3, 9.0]
+    n = 6
+    pos = rng.uniform(0, 1, (n, 3)) * np.array(lengths)
+    box = Box.orthogonal(lengths)
+    rc = 3.0
+    reps = num_replicas_for_cutoff(box, rc)
+    nbr = neighbor_brute(jnp.asarray(pos), box, jnp.ones(n), rc=rc, mn=128,
+                         reps=reps)
+    sf = _shift_frac_of(nbr, box, pos)
+    rev = build_reverse_map(nbr, sf)
+
+    def pair_energy(r12):
+        d2 = jnp.sum(r12 * r12, axis=-1)
+        d = jnp.sqrt(d2)
+        x = jnp.clip(d / rc, 0.0, 1.0)
+        fc = jnp.where(d < rc, 0.5 * (1 + jnp.cos(jnp.pi * x)), 0.0)
+        return 0.5 * jnp.sum(fc / jnp.maximum(d, 0.1), axis=-1)
+
+    import jax
+
+    _, vjp = jax.vjp(pair_energy, nbr.r12)
+    (p,) = vjp(jnp.ones(n))
+    f_scatter, w_scatter = forces_virial_from_partials(p, nbr)
+    nbr_rev = nbr._replace(rev=rev)
+    f_rev, w_rev = forces_virial_from_partials(p, nbr_rev)
+    np.testing.assert_allclose(np.asarray(f_rev), np.asarray(f_scatter),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w_rev), np.asarray(w_scatter),
+                               atol=1e-10)
