@@ -1,0 +1,177 @@
+"""Fused MD loop on the dense cell-grid state (the throughput path).
+
+The reference's hot loop launches a kernel chain per step from the host
+(ref: src/main_gpumd/run.cu:252-318); here one `lax.scan` carries the
+slot-ordered MDState, a drift-triggered re-sort replaces neighbor-list
+rebuilds, and the force pass is the fused Pallas engine (nep_dense.py).
+
+State lives PERMUTED (sorted by cell) between rebins: integration is
+elementwise so it does not care, rebinning is one gather of the state
+arrays every ~skin/(2 v_max dt) steps, and `orig_id` rides along so
+observers can map back to input order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.engine.grid import DenseGridPlan, apply_perm, bin_dense, plan_grid
+from gpumd_tpu.engine.nep_dense import dense_nep_compute
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import MDState, make_state
+from gpumd_tpu.potentials.nep.model import NEP
+
+
+class DenseCarry(NamedTuple):
+    state: MDState  # slot-ordered, n_slots rows
+    orig_id: jnp.ndarray  # (n_slots,) int32 input-order index (or n for empty)
+    ref_position: jnp.ndarray  # (n_slots, 3) positions at last rebin
+    overflow: jnp.ndarray  # sticky bool: a cell exceeded cap (results invalid)
+
+
+class DenseNEPMD:
+    """NEP MD driver on the dense grid. Build once per (box shape, N)."""
+
+    def __init__(
+        self,
+        nep: NEP,
+        box: Box,
+        n_atoms: int,
+        position: Optional[np.ndarray] = None,
+        skin: float = 1.0,
+        cap: Optional[int] = None,
+        interpret: Optional[bool] = None,
+    ):
+        self.nep = nep
+        self.plan = plan_grid(
+            box, nep.model.rc_radial_max, skin, n_atoms,
+            position=position, cap=cap,
+        )
+        if self.plan is None:
+            raise ValueError("box too thin for the dense engine (needs >= 3 "
+                             "cells of rc+skin per periodic direction)")
+        self.skin = skin
+        self.interpret = interpret
+
+    # ---- state management ----------------------------------------------------
+
+    def init_carry(self, state: MDState) -> DenseCarry:
+        """Input-order MDState (N rows) -> slot-ordered carry."""
+        n = state.position.shape[0]
+        sstate, orig_id, overflow = self._rebin_arrays(
+            state, jnp.arange(n, dtype=jnp.int32), state.box
+        )
+        return DenseCarry(
+            state=sstate,
+            orig_id=orig_id,
+            ref_position=sstate.position,
+            overflow=overflow,
+        )
+
+    def _rebin_arrays(self, state: MDState, orig_id, box):
+        pos_w = box.wrap(state.position)
+        perm, slot_mask, overflow = bin_dense(pos_w, box, state.mask, self.plan)
+        g = lambda a, fill=0.0: apply_perm(a, perm, fill)
+        sstate = state._replace(
+            position=g(pos_w, 0.0),
+            velocity=g(state.velocity),
+            force=g(state.force),
+            mass=g(state.mass, 1.0),
+            type=g(state.type.astype(jnp.int32), 0),
+            potential_energy=g(state.potential_energy),
+            virial=g(state.virial),
+            heat_current=g(state.heat_current),
+            mask=slot_mask,
+            unwrapped_position=(
+                g(state.unwrapped_position)
+                if state.unwrapped_position is not None else None
+            ),
+        )
+        new_id = apply_perm(orig_id, perm, fill=0)
+        new_id = jnp.where(slot_mask > 0, new_id, orig_id.shape[0])
+        return sstate, new_id, overflow
+
+    # ---- force pass ----------------------------------------------------------
+
+    def compute(self, state: MDState) -> MDState:
+        out = dense_nep_compute(
+            state.position, state.type, state.mask, state.box,
+            self.plan, self.nep.model, self.nep.params,
+            interpret=self.interpret,
+        )
+        # total virial spread uniformly over real atoms: pressure/thermo are
+        # exact; per-atom heat-current observables need the list path.
+        n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+        w = (out.virial_total / n_real) * state.mask[:, None, None]
+        return state._replace(
+            force=out.force, potential_energy=out.energy * state.mask,
+            virial=w,
+        )
+
+    # ---- MD step -------------------------------------------------------------
+
+    def make_step(self, ensemble, dt):
+        half_skin_sq = (0.5 * self.skin) ** 2
+
+        def step(carry: DenseCarry, _):
+            state, aux = carry[0].state, carry[1]
+            c: DenseCarry = carry[0]
+            state, aux = ensemble.step1(state, aux, dt)
+            disp = state.box.minimum_image(state.position - c.ref_position)
+            need = jnp.max(jnp.sum(disp * disp, axis=-1) * state.mask) > half_skin_sq
+
+            def rebin(args):
+                st, oid = args
+                sst, noid, ov = self._rebin_arrays(st, oid, st.box)
+                return sst, noid, sst.position, ov
+
+            def keep(args):
+                st, oid = args
+                return st, oid, c.ref_position, jnp.asarray(False)
+
+            state, orig_id, refp, ov = jax.lax.cond(
+                need, rebin, keep, (state, c.orig_id)
+            )
+            state = self.compute(state)
+            state, aux = ensemble.step2(state, aux, dt)
+            new_c = DenseCarry(
+                state=state, orig_id=orig_id, ref_position=refp,
+                overflow=c.overflow | ov,
+            )
+            return (new_c, aux), None
+
+        return step
+
+    def run(self, state: MDState, ensemble, dt, n_steps: int):
+        """One-shot block; returns (carry, aux). jit externally for loops."""
+        carry = self.init_carry(state)
+        carry = carry._replace(state=self.compute(carry.state))
+        aux = ensemble.init(carry.state)
+        step = self.make_step(ensemble, dt)
+        (carry, aux), _ = jax.lax.scan(step, (carry, aux), length=n_steps)
+        return carry, aux
+
+    def to_input_order(self, carry: DenseCarry, n: int) -> MDState:
+        """Slot state -> input atom order (host-side helper for dumps)."""
+        s = carry.state
+        oid = np.asarray(carry.orig_id)
+        valid = oid < n
+        inv = np.zeros(n, np.int64)
+        inv[oid[valid]] = np.nonzero(valid)[0]
+        take = lambda a: jnp.asarray(np.asarray(a)[inv]) if a is not None else None
+        return s._replace(
+            position=take(s.position),
+            velocity=take(s.velocity),
+            force=take(s.force),
+            mass=take(s.mass),
+            type=take(s.type),
+            potential_energy=take(s.potential_energy),
+            virial=take(s.virial),
+            heat_current=take(s.heat_current),
+            mask=take(s.mask),
+            unwrapped_position=take(s.unwrapped_position),
+        )

@@ -1,0 +1,246 @@
+"""Dense cell-grid state layout for the fused MD engine.
+
+TPU-native redesign of the reference's cell list + neighbor list
+(ref: src/force/neighbor.cu:42-220): instead of compacting neighbors into a
+padded (N, MN) index matrix (whose per-step gathers are the TPU wall), atoms
+LIVE in a dense (nz, ny, nx, cap) cell grid between occasional re-sorts.
+Every hot-loop memory access then becomes a static window slice:
+
+  * pair candidates of cell (z, y, x) = the 27 adjacent cells, i.e. a
+    contiguous (3, 3, 3*cap) window of a ghost-padded grid -> regular DMA,
+    no gathers at all;
+  * "neighbor list rebuild" degenerates to a re-sort of atoms by cell id
+    when any atom has drifted more than skin/2 (Verlet criterion), instead
+    of the reference's per-step rebuild;
+  * periodic boundaries are one layer of ghost cells whose positions carry
+    the exact lattice shift (ref small-box ExpandedBox semantics,
+    nep.cu:1141+, generalized to the bulk path).
+
+Layout notes (TPU): all per-slot arrays are kept as separate x/y/z
+components with the flattened (nx*cap) axis minor, so the wide dimension is
+the 128-lane axis and no (..., 3) minor-dim padding blowups occur.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.model.box import Box
+
+FAR = 1.0e5
+
+
+@dataclass(frozen=True)
+class DenseGridPlan:
+    """Static (jit-time) description of the dense cell grid."""
+
+    grid: Tuple[int, int, int]  # (nx, ny, nz) cells
+    cap: int  # slots per cell
+    rc: float  # interaction cutoff the stencil must cover
+    skin: float  # Verlet skin: rebin when max drift > skin/2
+    pbc: Tuple[bool, bool, bool]
+
+    @property
+    def n_cells(self) -> int:
+        nx, ny, nz = self.grid
+        return nx * ny * nz
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_cells * self.cap
+
+    @property
+    def row_lanes(self) -> int:
+        """Lane count of one interior x-row: nx * cap."""
+        return self.grid[0] * self.cap
+
+    @property
+    def ghost_row_lanes(self) -> int:
+        """Lane count of one ghost-padded x-row: (nx + 2) * cap."""
+        return (self.grid[0] + 2) * self.cap
+
+
+def plan_grid(
+    box: Box,
+    rc: float,
+    skin: float,
+    n_atoms: int,
+    position: Optional[np.ndarray] = None,
+    cap: Optional[int] = None,
+    cap_margin: float = 1.3,
+) -> Optional[DenseGridPlan]:
+    """Host-side planning: cell counts and per-cell capacity.
+
+    Cells are fractional slabs of the box, at least (rc + skin) thick in
+    Cartesian space so the 3^3 stencil covers the cutoff sphere (same
+    geometric requirement as the reference cell list with >=3 bins,
+    ref: neighbor.cu:316-320 scaled to full-cutoff cells).
+    Returns None when the box is too thin for the dense path.
+    """
+    t = np.asarray(box.thickness(), dtype=np.float64)
+    w = rc + skin
+    grid = []
+    for d in range(3):
+        nd = int(np.floor(float(t[d]) / w))
+        if nd < 3:
+            return None
+        grid.append(nd)
+    grid = tuple(grid)
+    if cap is None:
+        if position is None:
+            density = n_atoms / float(box.volume)
+            vol_cell = float(box.volume) / (grid[0] * grid[1] * grid[2])
+            occ = density * vol_cell
+        else:
+            occ = _max_occupancy(np.asarray(position), box, grid)
+        cap = int(np.ceil(occ * cap_margin / 8.0)) * 8
+        cap = max(cap, 8)
+    pbc = tuple(bool(p) for p in np.asarray(box.pbc) > 0)
+    return DenseGridPlan(grid=grid, cap=cap, rc=rc, skin=skin, pbc=pbc)
+
+
+def _max_occupancy(position: np.ndarray, box: Box, grid) -> int:
+    hinv = np.asarray(box.h_inv, dtype=np.float64)
+    s = position @ hinv.T
+    s -= np.floor(s)
+    idx = np.minimum((s * np.asarray(grid)).astype(np.int64),
+                     np.asarray(grid) - 1)
+    nx, ny, nz = grid
+    cid = (idx[:, 2] * ny + idx[:, 1]) * nx + idx[:, 0]
+    return int(np.bincount(cid, minlength=nx * ny * nz).max())
+
+
+def cell_ids(position, box: Box, mask, plan: DenseGridPlan):
+    """(N,) int32 cell id per atom (padding atoms -> virtual overflow cell)."""
+    nx, ny, nz = plan.grid
+    dtype = position.dtype
+    hinv = box.h_inv.astype(dtype)
+    s = position @ hinv.T
+    s = s - jnp.floor(s)
+    gridf = jnp.asarray([nx, ny, nz], dtype)
+    cxyz = jnp.clip(
+        jnp.floor(s * gridf).astype(jnp.int32),
+        0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1]),
+    )
+    cid = (cxyz[:, 2] * ny + cxyz[:, 1]) * nx + cxyz[:, 0]
+    return jnp.where(mask > 0, cid, plan.n_cells)
+
+
+def bin_dense(position, box: Box, mask, plan: DenseGridPlan):
+    """Sort atoms into the dense slot layout.
+
+    Args:
+      position: (R, 3) rows (R = N or N_slots when re-binning slot state).
+      mask: (R,) 1.0 for real atoms.
+    Returns:
+      perm: (n_slots,) int32 — row index feeding each slot; empty slots point
+        at row R (callers append one pad row before gathering).
+      slot_mask: (n_slots,) occupancy.
+      overflow: scalar bool — some cell exceeded cap (slots are DROPPED;
+        callers must treat this like the reference's neighbor-overflow abort).
+    """
+    r = position.shape[0]
+    cid = cell_ids(position, box, mask, plan)
+    order = jnp.argsort(cid)  # stable radix sort in XLA
+    sorted_cid = cid[order]
+    starts = jnp.searchsorted(sorted_cid, jnp.arange(plan.n_cells + 1))
+    rank = jnp.arange(r, dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_cid, plan.n_cells)
+    ].astype(jnp.int32)
+    occ = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    overflow = jnp.any(occ > plan.cap)
+
+    dest = sorted_cid * plan.cap + jnp.minimum(rank, plan.cap - 1)
+    ok = (rank < plan.cap) & (sorted_cid < plan.n_cells)
+    dest = jnp.where(ok, dest, plan.n_slots)  # dropped -> sink
+    perm = jnp.full((plan.n_slots + 1,), r, jnp.int32)
+    perm = perm.at[dest].set(order.astype(jnp.int32), mode="drop")[: plan.n_slots]
+    slot_mask = jnp.zeros((plan.n_slots + 1,), position.dtype)
+    slot_mask = slot_mask.at[dest].set(1.0, mode="drop")[: plan.n_slots]
+    return perm, slot_mask, overflow
+
+
+def apply_perm(arr, perm, fill=0.0):
+    """Gather rows of `arr` into slot order; out-of-range perm rows -> fill."""
+    pad_row = jnp.full((1,) + arr.shape[1:], fill, arr.dtype)
+    return jnp.concatenate([arr, pad_row], axis=0)[perm]
+
+
+def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
+               plan: DenseGridPlan):
+    """Dense slot state -> ghost-padded (4, nzg, nyg, (nx+2)*cap) f-array.
+
+    Channels: x, y, z (Cartesian, ghosts carry the exact lattice shift) and
+    type (as float). Empty slots are parked at FAR so distance masks kill
+    them with no explicit mask channel; non-periodic ghost layers are FAR.
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    dtype = position_slots.dtype
+    h = box.h.astype(dtype)
+
+    pos = jnp.where(slot_mask[:, None] > 0, position_slots, FAR)
+    t = jnp.where(slot_mask > 0, type_slots.astype(dtype), -1.0)
+    comps = [pos[:, k].reshape(nz, ny, nx * cap) for k in range(3)]
+    comps.append(t.reshape(nz, ny, nx * cap))
+
+    def pad_axis(arrs, axis, shift_col, periodic):
+        """Ghost-pad one grid axis (axis: 0=z, 1=y, 2=x-cells)."""
+        out = []
+        for k, a in enumerate(arrs):
+            shift = shift_col[k] if k < 3 else 0.0
+            if axis == 2:  # x: slice cap-sized lane groups
+                lo, hi = a[..., -cap:], a[..., :cap]
+            else:
+                ax = axis
+                lo = jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax)
+                hi = jax.lax.slice_in_dim(a, 0, 1, axis=ax)
+            if periodic:
+                lo, hi = lo + shift, hi - shift
+            else:
+                lo = jnp.full_like(lo, FAR if k < 3 else -1.0)
+                hi = jnp.full_like(hi, FAR if k < 3 else -1.0)
+            out.append(jnp.concatenate([lo, a, hi], axis=2 if axis == 2 else axis))
+        return out
+
+    # order: x (lanes), then y, then z — corner ghosts compose shifts exactly
+    comps = pad_axis(comps, 2, -h[:, 0], plan.pbc[0])
+    comps = pad_axis(comps, 1, -h[:, 1], plan.pbc[1])
+    comps = pad_axis(comps, 0, -h[:, 2], plan.pbc[2])
+    return jnp.stack(comps, axis=0)  # (4, nz+2, ny+2, (nx+2)*cap)
+
+
+def fold_ghost_grad(dg, plan: DenseGridPlan):
+    """Adjoint of pack_ghost on the position channels: fold ghost-layer
+    cotangents back onto their interior source cells (the lattice shift is
+    additive, so gradients pass through unchanged).
+
+    dg: (3, nz+2, ny+2, (nx+2)*cap) -> (n_slots, 3).
+    """
+    cap = plan.cap
+    # reverse order of pack_ghost: z, then y, then x — each fold consumes
+    # the PREVIOUS fold's result so corner-ghost contributions compose.
+    g = dg
+    core = g[:, 1:-1] + 0.0
+    if plan.pbc[2]:
+        core = core.at[:, -1].add(g[:, 0])
+        core = core.at[:, 0].add(g[:, -1])
+    g = core
+    core = g[:, :, 1:-1] + 0.0
+    if plan.pbc[1]:
+        core = core.at[:, :, -1].add(g[:, :, 0])
+        core = core.at[:, :, 0].add(g[:, :, -1])
+    g = core
+    inner = g[:, :, :, cap:-cap] + 0.0
+    if plan.pbc[0]:
+        inner = inner.at[:, :, :, -cap:].add(g[:, :, :, :cap])
+        inner = inner.at[:, :, :, :cap].add(g[:, :, :, -cap:])
+    return jnp.stack(
+        [inner[k].reshape(-1) for k in range(3)], axis=-1
+    )  # (n_slots, 3)

@@ -1,0 +1,503 @@
+"""Fused dense-grid NEP evaluation: the TPU hot path.
+
+Replaces the (N, MN) neighbor-list pipeline for large-box NEP MD.  The
+reference evaluates NEP with one CUDA thread per atom walking a compacted
+neighbor list (ref: src/force/nep.cu:488-861); on TPU the equivalent random
+gathers run ~1000x below the VPU roofline, so this engine reorganizes the
+whole evaluation around the dense cell grid of engine/grid.py:
+
+  K1 (Pallas): for every cell, pair math against the 27-cell window —
+     distances, cutoff, Chebyshev bases, real spherical harmonics — and
+     accumulation of per-atom *type-resolved basis sums*
+        S[t, k]      = sum_{j: type_j = t} f_k(r_ij)                (radial)
+        A[t, k, lm]  = sum_{j: type_j = t} f_k(r_ij) Y_lm(r_ij)     (angular)
+     plus the ZBL pair energy.  All memory access is static window slices;
+     the per-(t,k)-channel x Y_lm contraction is one batched MXU matmul.
+
+  middle (XLA): per-atom contraction with the type-pair c tensors
+     (q_n = c[t_i, t, n, k] S[t, k], s_nlm likewise), rotation invariants,
+     and the per-element ANN — reusing the exact functions the list path
+     uses (potentials/nep/model.py), so both paths share golden coverage.
+
+  K2 (Pallas): the custom vjp of K1.  Recomputes the pair tiles and applies
+     jax.vjp *inside the kernel*, emitting position cotangents into
+     per-(window-row, component) accumulation buffers that XLA folds with 9
+     shifted adds — forces with zero scatters and zero reverse-pair gathers
+     (the list path's two big gathers are gone entirely).
+
+Total virial is exact via the ghost-coordinate identity
+W = -sum_g x_g (x) dE/dx_g (ghost coordinates include their lattice shift).
+Per-atom virials (heat-current observables) are not produced by this engine
+yet — use the list path for those runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpumd_tpu.engine.grid import DenseGridPlan, FAR, fold_ghost_grad, pack_ghost
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.potentials.nep import tables
+from gpumd_tpu.potentials.nep.model import _ZBL_UNIVERSAL, _angular_q, ann_energy
+from gpumd_tpu.potentials.nep.params import NepModel, NepParams
+from gpumd_tpu.units import K_C
+
+_EPS2 = 1.0e-6  # d^2 below this = self/parked-slot pair -> masked
+
+
+class DenseNepSpec(NamedTuple):
+    """Static tile-math constants extracted from a NepModel (hashable)."""
+
+    num_types: int
+    kr1: int  # basis_size_radial + 1
+    ka1: int  # basis_size_angular + 1
+    l_max: int
+    rc_radial: Tuple[float, ...]
+    rc_angular: Tuple[float, ...]
+    zbl: bool
+    zbl_rc_inner: float
+    zbl_rc_outer: float
+    atomic_numbers: Tuple[int, ...]
+
+    @property
+    def nlm(self) -> int:
+        return self.l_max * (self.l_max + 2)
+
+    @property
+    def ch_r(self) -> int:
+        return self.num_types * self.kr1
+
+    @property
+    def ch_a(self) -> int:
+        return self.num_types * self.ka1
+
+    @property
+    def s_width(self) -> int:
+        return self.ch_r + 1  # + ZBL energy channel
+
+    @property
+    def a_width(self) -> int:
+        return self.ch_a * self.nlm
+
+    @staticmethod
+    def from_model(model: NepModel) -> "DenseNepSpec":
+        if model.model_type != 0:
+            raise NotImplementedError("dense engine: potential models only")
+        if model.num_types > 4:
+            raise NotImplementedError("dense engine: <= 4 species (use list path)")
+        if model.zbl and (model.zbl_flexible or model.zbl_typewise_factor):
+            raise NotImplementedError("dense engine: universal ZBL only")
+        return DenseNepSpec(
+            num_types=model.num_types,
+            kr1=model.basis_size_radial + 1,
+            ka1=model.basis_size_angular + 1,
+            l_max=model.l_max,
+            rc_radial=tuple(model.rc_radial),
+            rc_angular=tuple(model.rc_angular),
+            zbl=bool(model.zbl),
+            zbl_rc_inner=float(model.zbl_rc_inner),
+            zbl_rc_outer=float(model.zbl_rc_outer),
+            atomic_numbers=tuple(model.atomic_numbers),
+        )
+
+
+# --------------------------------------------------------------------------
+# tile math (pure jnp: shared by the Pallas kernels and interpret mode)
+# --------------------------------------------------------------------------
+
+
+def _by_type(tcode, values):
+    """Select values[t] where round(tcode) == t; tcode is a float type code
+    (types ride the packed position array).  Unrolled over the (static,
+    small) type count — no gathers."""
+    out = values[0] * jnp.ones_like(tcode)
+    for t in range(1, len(values)):
+        out = jnp.where(jnp.abs(tcode - t) < 0.5, values[t], out)
+    return out
+
+
+def _chebyshev_tile(d, rcp, fc, k_max: int):
+    """f_0 = fc; f_k = (T_k(x)+1)/2 * fc (ref: find_fn) on a pair tile."""
+    x = jnp.clip(2.0 * (d / rcp - 1.0) ** 2 - 1.0, -1.0, 1.0)
+    fs = [fc]
+    if k_max >= 1:
+        t_prev, t_cur = jnp.ones_like(x), x
+        fs.append(0.5 * (t_cur + 1.0) * fc)
+        for _ in range(2, k_max + 1):
+            t_prev, t_cur = t_cur, 2.0 * x * t_cur - t_prev
+            fs.append(0.5 * (t_cur + 1.0) * fc)
+    return fs
+
+
+def _ylm_tile(ux, uy, uz, l_max: int, dtype):
+    """Real spherical-harmonic components on a pair tile, in the reference's
+    s ordering: per L = 1..l_max -> [m=0, m=1 re, m=1 im, ...]
+    (ref: accumulate_s, nep_utilities.cuh; matches _angular_components)."""
+    zp = [jnp.ones_like(uz)]
+    for _ in range(l_max):
+        zp.append(zp[-1] * uz)
+    cr = [jnp.ones_like(ux)]
+    ci = [jnp.zeros_like(ux)]
+    for _ in range(l_max):
+        cr_new = cr[-1] * ux - ci[-1] * uy
+        ci_new = cr[-1] * uy + ci[-1] * ux
+        cr.append(cr_new)
+        ci.append(ci_new)
+    comps = []
+    for L in range(1, l_max + 1):
+        ztab = np.asarray(tables.z_coefficient_table(L))
+        for m in range(L + 1):
+            q_lm = None
+            for k in range(L + 1):
+                c = float(ztab[m, k])
+                if c == 0.0:
+                    continue
+                term = zp[k] * c
+                q_lm = term if q_lm is None else q_lm + term
+            if q_lm is None:
+                q_lm = jnp.zeros_like(uz)
+            if m == 0:
+                comps.append(q_lm)
+            else:
+                comps.append(q_lm * cr[m])
+                comps.append(q_lm * ci[m])
+    return comps  # list of NLM tiles
+
+
+def _tile_chunk(cx, cy, cz, wx, wy, wz, ct, wt, spec: DenseNepSpec):
+    """Pair math of one center cell (cap atoms) against one candidate chunk.
+
+    Args:
+      cx, cy, cz: (cap, 1) center coordinates; ct (cap, 1) float type codes.
+      wx, wy, wz, wt: (1, L) candidate row.
+    Returns:
+      s_out: (cap, ch_r + 1) radial type-resolved basis sums + ZBL energy.
+      a_out: (cap, ch_a, NLM) angular basis x Y_lm sums.
+    """
+    dtype = cx.dtype
+    t = spec.num_types
+    dx = wx - cx
+    dy = wy - cy
+    dz = wz - cz
+    d2 = dx * dx + dy * dy + dz * dz
+    pair_ok = d2 > _EPS2
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, _EPS2))
+    d = d2 * inv_d
+
+    rc_r = [jnp.asarray(v, dtype) for v in spec.rc_radial]
+    rc_a = [jnp.asarray(v, dtype) for v in spec.rc_angular]
+    rcp_r = 0.5 * (_by_type(ct, rc_r) + _by_type(wt, rc_r))
+    rcp_a = 0.5 * (_by_type(ct, rc_a) + _by_type(wt, rc_a))
+
+    # neighbor type one-hots (parked slots have wt = -1 -> all zeros)
+    m_t = [jnp.where(jnp.abs(wt - tt) < 0.5, 1.0, 0.0).astype(dtype)
+           for tt in range(t)]
+
+    # radial channels
+    xr = d / rcp_r
+    fc_r = jnp.where(pair_ok & (xr < 1.0),
+                     0.5 * jnp.cos(jnp.pi * xr) + 0.5, 0.0)
+    fn_r = _chebyshev_tile(d, rcp_r, fc_r, spec.kr1 - 1)
+    s_cols = []
+    for tt in range(t):
+        for k in range(spec.kr1):
+            s_cols.append(jnp.sum(fn_r[k] * m_t[tt], axis=1))  # (cap,)
+
+    # ZBL pair energy channel
+    if spec.zbl:
+        zn = [jnp.asarray(float(z), dtype) for z in spec.atomic_numbers]
+        zi = _by_type(ct, zn)
+        zj = _by_type(wt, zn)
+        a_inv = (zi**0.23 + zj**0.23) * 2.134563
+        x = d * a_inv
+        zp = _ZBL_UNIVERSAL
+        phi = (
+            zp[0] * jnp.exp(-zp[1] * x)
+            + zp[2] * jnp.exp(-zp[3] * x)
+            + zp[4] * jnp.exp(-zp[5] * x)
+            + zp[6] * jnp.exp(-zp[7] * x)
+        )
+        rc1, rc2 = spec.zbl_rc_inner, spec.zbl_rc_outer
+        frac = (d - rc1) / max(rc2 - rc1, 1e-30)
+        sw = jnp.where(
+            d < rc1, 1.0,
+            jnp.where(d < rc2, 0.5 * jnp.cos(jnp.pi * frac) + 0.5, 0.0),
+        )
+        sw = jnp.where(pair_ok, sw, 0.0)
+        ez = 0.5 * K_C * zi * zj * inv_d * phi * sw
+        # neighbor one-hots are zero on parked slots; real neighbors of any
+        # type contribute, so gate on the sum of one-hots.
+        real = sum(m_t)
+        s_cols.append(jnp.sum(ez * real, axis=1))
+    else:
+        s_cols.append(jnp.zeros_like(s_cols[0]))
+    s_out = jnp.stack(s_cols, axis=1)  # (cap, ch_r + 1)
+
+    # angular channels
+    xa = d / rcp_a
+    fc_a = jnp.where(pair_ok & (xa < 1.0),
+                     0.5 * jnp.cos(jnp.pi * xa) + 0.5, 0.0)
+    fn_a = _chebyshev_tile(d, rcp_a, fc_a, spec.ka1 - 1)
+    ux, uy, uz = dx * inv_d, dy * inv_d, dz * inv_d
+    ylm = _ylm_tile(ux, uy, uz, spec.l_max, dtype)
+
+    f_ang = jnp.stack(
+        [fn_a[k] * m_t[tt] for tt in range(t) for k in range(spec.ka1)],
+        axis=1,
+    )  # (cap, ch_a, L)
+    y_stack = jnp.stack(ylm, axis=1)  # (cap, NLM, L)
+    a_out = jax.lax.dot_general(
+        f_ang,
+        y_stack,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=dtype,
+    )  # (cap, ch_a, NLM)
+    return s_out, a_out
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels
+# --------------------------------------------------------------------------
+
+
+def _window_specs(plan: DenseGridPlan):
+    """Nine (dz, dy) ghost-row input specs of the packed ghost array."""
+    wxg = plan.ghost_row_lanes
+    specs = []
+    for dz in range(3):
+        for dy in range(3):
+            specs.append(
+                pl.BlockSpec(
+                    (4, 1, 1, wxg),
+                    lambda z, y, dz=dz, dy=dy: (0, z + dz, y + dy, 0),
+                )
+            )
+    return specs
+
+
+def _row_views(wrefs, cap, cx):
+    """Center (cap, 1) views + per-dz candidate (1, 3cap) rows at cell cx."""
+    sl_c = slice((cx + 1) * cap, (cx + 2) * cap)
+    sl_w = slice(cx * cap, (cx + 3) * cap)
+    center = wrefs[4][:, 0, 0, sl_c]  # (4, cap): dz=1, dy=1 row
+    cands = []
+    for dz in range(3):
+        rows = [wrefs[dz * 3 + dy][:, 0, 0, sl_w] for dy in range(3)]
+        cands.append(jnp.concatenate(rows, axis=1))  # (4, 9cap)
+    return center, cands
+
+
+def _k1_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+    wrefs = refs[:9]
+    s_ref, a_ref = refs[9], refs[10]
+    cap = plan.cap
+    nx = plan.grid[0]
+    for cx in range(nx):
+        center, cands = _row_views(wrefs, cap, cx)
+        cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+        s_acc = None
+        a_acc = None
+        for chunk in cands:
+            ws = [chunk[k : k + 1, :] for k in range(4)]
+            s, a = _tile_chunk(
+                cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2], cxs[3], ws[3],
+                spec,
+            )
+            s_acc = s if s_acc is None else s_acc + s
+            a_acc = a if a_acc is None else a_acc + a
+        sl = slice(cx * cap, (cx + 1) * cap)
+        s_ref[0, 0, sl, :] = s_acc
+        a_ref[0, 0, sl, :] = a_acc.reshape(cap, spec.a_width)
+
+
+def _k2_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+    wrefs = refs[:9]
+    cs_ref, ca_ref = refs[9], refs[10]
+    g_ref = refs[11]
+    cap = plan.cap
+    nx = plan.grid[0]
+    dtype = g_ref.dtype
+    acc = jnp.zeros(g_ref.shape[2:], dtype)  # (27, wxg)
+    for cx in range(nx):
+        center, cands = _row_views(wrefs, cap, cx)
+        cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+        sl = slice(cx * cap, (cx + 1) * cap)
+        cot_s = cs_ref[0, 0, sl, :]
+        cot_a = ca_ref[0, 0, sl, :].reshape(cap, spec.ch_a, spec.nlm)
+        for dz in range(3):
+            chunk = cands[dz]
+            ws = [chunk[k : k + 1, :] for k in range(4)]
+
+            def chunk_fn(cx_, cy_, cz_, wx_, wy_, wz_):
+                return _tile_chunk(
+                    cx_, cy_, cz_, wx_, wy_, wz_, cxs[3], ws[3], spec
+                )
+
+            _, vjp = jax.vjp(chunk_fn, cxs[0], cxs[1], cxs[2],
+                             ws[0], ws[1], ws[2])
+            grads = vjp((cot_s, cot_a))
+            # center cotangents -> window row (dz=1, dy=1), component k
+            for k in range(3):
+                row = (1 * 3 + 1) * 3 + k
+                lane = slice((cx + 1) * cap, (cx + 2) * cap)
+                acc = acc.at[row, lane].add(grads[k][:, 0])
+            # candidate cotangents -> rows (dz, dy), split back into thirds
+            for k in range(3):
+                g = grads[3 + k]  # (1, 9cap)
+                for dy in range(3):
+                    row = (dz * 3 + dy) * 3 + k
+                    lane = slice(cx * cap, (cx + 3) * cap)
+                    acc = acc.at[row, lane].add(
+                        g[0, dy * 3 * cap : (dy + 1) * 3 * cap]
+                    )
+    g_ref[0, 0, :, :] = acc
+
+
+def k1_call(garr, plan: DenseGridPlan, spec: DenseNepSpec, interpret: bool):
+    nx, ny, nz = plan.grid
+    nxc = plan.row_lanes
+    dtype = garr.dtype
+    return pl.pallas_call(
+        functools.partial(_k1_kernel, plan, spec),
+        grid=(nz, ny),
+        in_specs=_window_specs(plan),
+        out_specs=[
+            pl.BlockSpec((1, 1, nxc, spec.s_width), lambda z, y: (z, y, 0, 0)),
+            pl.BlockSpec((1, 1, nxc, spec.a_width), lambda z, y: (z, y, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, nxc, spec.s_width), dtype),
+            jax.ShapeDtypeStruct((nz, ny, nxc, spec.a_width), dtype),
+        ],
+        interpret=interpret,
+    )(*([garr] * 9))
+
+
+def k2_call(garr, cot_s, cot_a, plan: DenseGridPlan, spec: DenseNepSpec,
+            interpret: bool):
+    nx, ny, nz = plan.grid
+    nxc = plan.row_lanes
+    wxg = plan.ghost_row_lanes
+    dtype = garr.dtype
+    return pl.pallas_call(
+        functools.partial(_k2_kernel, plan, spec),
+        grid=(nz, ny),
+        in_specs=_window_specs(plan)
+        + [
+            pl.BlockSpec((1, 1, nxc, spec.s_width), lambda z, y: (z, y, 0, 0)),
+            pl.BlockSpec((1, 1, nxc, spec.a_width), lambda z, y: (z, y, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 27, wxg), lambda z, y: (z, y, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, 27, wxg), dtype),
+        interpret=interpret,
+    )(*([garr] * 9), cot_s, cot_a)
+
+
+# --------------------------------------------------------------------------
+# middle (per-atom XLA) + full evaluation
+# --------------------------------------------------------------------------
+
+
+def middle_energy(s_cat, a_cat, ti, model: NepModel, params: NepParams):
+    """Per-slot energies from the kernel's basis sums: c-tensor contraction,
+    rotation invariants, ANN, ZBL (ref: find_descriptor nep.cu:488-659)."""
+    dtype = s_cat.dtype
+    t = model.num_types
+    kr1 = model.basis_size_radial + 1
+    ka1 = model.basis_size_angular + 1
+    nlm = model.l_max * (model.l_max + 2)
+    ns = s_cat.shape[0]
+    s_rad = s_cat[:, : t * kr1].reshape(ns, t, kr1)
+    e_zbl = s_cat[:, t * kr1]
+    a = a_cat.reshape(ns, t, ka1, nlm)
+
+    c_r = params.c_radial.astype(dtype)  # (T, T, NR1, KR1)
+    c_a = params.c_angular.astype(dtype)  # (T, T, NA1, KA1)
+    q_rad = 0.0
+    s_ang = 0.0
+    for a_t in range(t):
+        own = (ti == a_t)[:, None]
+        q_rad = q_rad + jnp.where(
+            own,
+            jnp.einsum("ptk,tnk->pn", s_rad, c_r[a_t],
+                       preferred_element_type=dtype),
+            0.0,
+        )
+        s_ang = s_ang + jnp.where(
+            own[..., None],
+            jnp.einsum("ptkl,tnk->pnl", a, c_a[a_t],
+                       preferred_element_type=dtype),
+            0.0,
+        )
+    q_ang = _angular_q(s_ang, model, dtype)  # (Ns, num_l, NA1)
+    q = jnp.concatenate([q_rad, q_ang.reshape(ns, -1)], axis=-1)
+    q = q * params.q_scaler.astype(dtype)
+    return ann_energy(q, ti, params, dtype) + e_zbl
+
+
+class DenseNepOutput(NamedTuple):
+    energy: jnp.ndarray  # (n_slots,)
+    force: jnp.ndarray  # (n_slots, 3)
+    virial_total: jnp.ndarray  # (3, 3), reference sign convention
+
+
+def dense_nep_compute(
+    position_slots,
+    type_slots,
+    slot_mask,
+    box: Box,
+    plan: DenseGridPlan,
+    model: NepModel,
+    params: NepParams,
+    interpret: Optional[bool] = None,
+) -> DenseNepOutput:
+    """Full fused NEP evaluation on dense slot state.
+
+    Contract: `position_slots` must hold the box-wrapped representative of
+    each atom, consistent with its cell assignment at the last rebin (atoms
+    may since have drifted up to skin/2 outside their cell — the stencil
+    still covers them, exactly the Verlet-list criterion)."""
+    spec = DenseNepSpec.from_model(model)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan)
+    s_cat, a_cat = k1_call(garr, plan, spec, interpret)
+    ns = plan.n_slots
+    s_flat = s_cat.reshape(ns, spec.s_width)
+    a_flat = a_cat.reshape(ns, spec.a_width)
+
+    def mid(s, a):
+        e = middle_energy(s, a, type_slots, model, params)
+        return e * slot_mask
+
+    e_atom, vjp_mid = jax.vjp(mid, s_flat, a_flat)
+    cot_s, cot_a = vjp_mid(jnp.ones_like(e_atom))
+
+    nz, ny, nx = plan.grid[2], plan.grid[1], plan.grid[0]
+    g = k2_call(
+        garr,
+        cot_s.reshape(nz, ny, plan.row_lanes, spec.s_width),
+        cot_a.reshape(nz, ny, plan.row_lanes, spec.a_width),
+        plan,
+        spec,
+        interpret,
+    )
+    # fold the 9 window rows back onto the ghost grid (regular shifted adds)
+    wxg = plan.ghost_row_lanes
+    dg = jnp.zeros((3, nz + 2, ny + 2, wxg), garr.dtype)
+    for dz in range(3):
+        for dy in range(3):
+            for k in range(3):
+                row = (dz * 3 + dy) * 3 + k
+                dg = dg.at[k, dz : dz + nz, dy : dy + ny, :].add(g[:, :, row, :])
+    # total virial: W_ab = - sum_g x_g,a dE/dx_g,b (ghost coords carry shifts)
+    w_total = -jnp.einsum("agyx,bgyx->ab", garr[:3], dg)
+    force = -fold_ghost_grad(dg, plan) * slot_mask[:, None]
+    return DenseNepOutput(energy=e_atom, force=force, virial_total=w_total)

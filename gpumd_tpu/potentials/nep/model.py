@@ -200,6 +200,22 @@ def _zbl_energy(d, t1, t2, model: NepModel, params: NepParams, dtype):
     return 0.5 * zizj / d * phi * fc
 
 
+def ann_energy(q_scaled, t1, params: NepParams, dtype):
+    """Per-atom ANN energy from scaled descriptors (ref: apply_ann_one_layer
+    / _nep5, nep_utilities.cuh): all type branches evaluated then selected —
+    MXU-friendly for small type counts."""
+    w0 = params.w0.astype(dtype)
+    b0 = params.b0.astype(dtype)
+    w1 = params.w1.astype(dtype)
+    x1 = jnp.tanh(
+        jnp.einsum("pd,tud->ptu", q_scaled, w0, preferred_element_type=dtype)
+        - b0[None]
+    )
+    e_t = jnp.einsum("ptu,tu->pt", x1, w1) - params.b1_type.astype(dtype)[None]
+    e = jnp.take_along_axis(e_t, t1[:, None], axis=1)[:, 0]
+    return e - params.b1.astype(dtype)
+
+
 class NEP(NamedTuple):
     """NEP potential (pytree of params + static model config)."""
 
@@ -295,18 +311,7 @@ class NEP(NamedTuple):
         dtype = r12.dtype
         q, d = self.raw_descriptors(r12, t1, t2)
         q = q * params.q_scaler.astype(dtype)
-
-        # --- ANN: all type branches, select own (MXU-friendly)
-        w0 = params.w0.astype(dtype)
-        b0 = params.b0.astype(dtype)
-        w1 = params.w1.astype(dtype)
-        x1 = jnp.tanh(
-            jnp.einsum("pd,tud->ptu", q, w0, preferred_element_type=dtype)
-            - b0[None]
-        )
-        e_t = jnp.einsum("ptu,tu->pt", x1, w1) - params.b1_type.astype(dtype)[None]
-        e = jnp.take_along_axis(e_t, t1[:, None], axis=1)[:, 0]
-        e = e - params.b1.astype(dtype)
+        e = ann_energy(q, t1, params, dtype)
 
         if model.zbl:
             uz = _zbl_energy(d, t1, t2, model, params, dtype)
