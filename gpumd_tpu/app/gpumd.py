@@ -609,6 +609,29 @@ class Session:
 
             ens = DeformWrapper(inner=ens, rate=deform)
 
+        # temperature-dependent NEP: feed the ensemble target temperature
+        # (ref: run.cu:679-681 sets force.temperature = temperature1)
+        from gpumd_tpu.potentials.nep.model import NEP as _NEP
+
+        if any(
+            isinstance(p, _NEP) and p.model.model_type == 3
+            for p in self.potentials
+        ):
+            t_tgt = getattr(ens, "t0", None) or getattr(ens, "t1", None)
+            if t_tgt is None:
+                raise ValueError(
+                    "temperature-mode NEP needs a thermostatted ensemble"
+                )
+            self.potentials = [
+                p._replace(temperature=float(t_tgt))
+                if isinstance(p, _NEP) and p.model.model_type == 3
+                else p
+                for p in self.potentials
+            ]
+            self.ff = dataclasses.replace(
+                self.ff, potentials=tuple(self.potentials)
+            )
+
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props
         ]

@@ -174,7 +174,11 @@ def apply_perm(arr, perm, fill=0.0):
 
 def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
                plan: DenseGridPlan):
-    """Dense slot state -> ghost-padded (4, nzg, nyg, (nx+2)*cap) f-array.
+    """Dense slot state -> ghost-padded (nzg, nyg, 4, (nx+2)*cap) f-array.
+
+    The channel axis sits at -2 so Pallas can block single (z, y) rows (the
+    TPU lowering requires the last two block dims be full-size or 8/128-
+    aligned; leading dims may be blocked freely).
 
     Channels: x, y, z (Cartesian, ghosts carry the exact lattice shift) and
     type (as float). Empty slots are parked at FAR so distance masks kill
@@ -213,7 +217,7 @@ def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
     comps = pad_axis(comps, 2, -h[:, 0], plan.pbc[0])
     comps = pad_axis(comps, 1, -h[:, 1], plan.pbc[1])
     comps = pad_axis(comps, 0, -h[:, 2], plan.pbc[2])
-    return jnp.stack(comps, axis=0)  # (4, nz+2, ny+2, (nx+2)*cap)
+    return jnp.stack(comps, axis=2)  # (nz+2, ny+2, 4, (nx+2)*cap)
 
 
 def fold_ghost_grad(dg, plan: DenseGridPlan):
@@ -221,26 +225,25 @@ def fold_ghost_grad(dg, plan: DenseGridPlan):
     cotangents back onto their interior source cells (the lattice shift is
     additive, so gradients pass through unchanged).
 
-    dg: (3, nz+2, ny+2, (nx+2)*cap) -> (n_slots, 3).
+    dg: (nz+2, ny+2, 3, (nx+2)*cap) -> (n_slots, 3).
     """
     cap = plan.cap
     # reverse order of pack_ghost: z, then y, then x — each fold consumes
     # the PREVIOUS fold's result so corner-ghost contributions compose.
     g = dg
-    core = g[:, 1:-1] + 0.0
+    core = g[1:-1] + 0.0
     if plan.pbc[2]:
+        core = core.at[-1].add(g[0])
+        core = core.at[0].add(g[-1])
+    g = core
+    core = g[:, 1:-1] + 0.0
+    if plan.pbc[1]:
         core = core.at[:, -1].add(g[:, 0])
         core = core.at[:, 0].add(g[:, -1])
     g = core
-    core = g[:, :, 1:-1] + 0.0
-    if plan.pbc[1]:
-        core = core.at[:, :, -1].add(g[:, :, 0])
-        core = core.at[:, :, 0].add(g[:, :, -1])
-    g = core
-    inner = g[:, :, :, cap:-cap] + 0.0
+    inner = g[..., cap:-cap] + 0.0
     if plan.pbc[0]:
-        inner = inner.at[:, :, :, -cap:].add(g[:, :, :, :cap])
-        inner = inner.at[:, :, :, :cap].add(g[:, :, :, -cap:])
-    return jnp.stack(
-        [inner[k].reshape(-1) for k in range(3)], axis=-1
-    )  # (n_slots, 3)
+        inner = inner.at[..., -cap:].add(g[..., :cap])
+        inner = inner.at[..., :cap].add(g[..., -cap:])
+    # (nz, ny, 3, nx*cap) -> (n_slots, 3)
+    return jnp.moveaxis(inner, 2, 0).reshape(3, -1).T

@@ -275,22 +275,23 @@ def _window_specs(plan: DenseGridPlan):
         for dy in range(3):
             specs.append(
                 pl.BlockSpec(
-                    (4, 1, 1, wxg),
-                    lambda z, y, dz=dz, dy=dy: (0, z + dz, y + dy, 0),
+                    (1, 1, 4, wxg),
+                    lambda z, y, dz=dz, dy=dy: (z + dz, y + dy, 0, 0),
                 )
             )
     return specs
 
 
 def _row_views(wrefs, cap, cx):
-    """Center (cap, 1) views + per-dz candidate (1, 3cap) rows at cell cx."""
+    """Center (4, cap) view + the nine (4, 3cap) candidate rows at cell cx.
+
+    Chunking the candidate axis per (dz, dy) row keeps every tile at 3cap
+    lanes (~128 after padding), bounding kernel VMEM well under the 16 MB
+    budget at any grid size."""
     sl_c = slice((cx + 1) * cap, (cx + 2) * cap)
     sl_w = slice(cx * cap, (cx + 3) * cap)
-    center = wrefs[4][:, 0, 0, sl_c]  # (4, cap): dz=1, dy=1 row
-    cands = []
-    for dz in range(3):
-        rows = [wrefs[dz * 3 + dy][:, 0, 0, sl_w] for dy in range(3)]
-        cands.append(jnp.concatenate(rows, axis=1))  # (4, 9cap)
+    center = wrefs[4][0, 0, :, sl_c]  # (4, cap): dz=1, dy=1 row
+    cands = [wrefs[r][0, 0, :, sl_w] for r in range(9)]
     return center, cands
 
 
@@ -304,7 +305,7 @@ def _k1_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
         cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
         s_acc = None
         a_acc = None
-        for chunk in cands:
+        for chunk in cands:  # nine (4, 3cap) candidate rows
             ws = [chunk[k : k + 1, :] for k in range(4)]
             s, a = _tile_chunk(
                 cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2], cxs[3], ws[3],
@@ -314,25 +315,40 @@ def _k1_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
             a_acc = a if a_acc is None else a_acc + a
         sl = slice(cx * cap, (cx + 1) * cap)
         s_ref[0, 0, sl, :] = s_acc
-        a_ref[0, 0, sl, :] = a_acc.reshape(cap, spec.a_width)
+        # per-channel stores: Mosaic cannot reshape (cap, ch, nlm) ->
+        # (cap, ch*nlm), but static lane-sliced 2D stores are free
+        for ch in range(spec.ch_a):
+            a_ref[0, 0, sl, ch * spec.nlm : (ch + 1) * spec.nlm] = a_acc[
+                :, ch, :
+            ]
 
 
 def _k2_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+    """Backward: per (z, y, cx) write a (27, 3cap) cotangent tile — rows are
+    (dz, dy, component), lanes the 3-cell x window.  Pure stores (Mosaic has
+    no scatter-add); the overlapping-window summation happens in XLA with 81
+    static slice-adds (see dense_nep_compute)."""
     wrefs = refs[:9]
     cs_ref, ca_ref = refs[9], refs[10]
     g_ref = refs[11]
     cap = plan.cap
     nx = plan.grid[0]
-    dtype = g_ref.dtype
-    acc = jnp.zeros(g_ref.shape[2:], dtype)  # (27, wxg)
     for cx in range(nx):
         center, cands = _row_views(wrefs, cap, cx)
         cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
         sl = slice(cx * cap, (cx + 1) * cap)
         cot_s = cs_ref[0, 0, sl, :]
-        cot_a = ca_ref[0, 0, sl, :].reshape(cap, spec.ch_a, spec.nlm)
-        for dz in range(3):
-            chunk = cands[dz]
+        cot_a = jnp.stack(
+            [
+                ca_ref[0, 0, sl, ch * spec.nlm : (ch + 1) * spec.nlm]
+                for ch in range(spec.ch_a)
+            ],
+            axis=1,
+        )  # (cap, ch_a, nlm)
+        rows = [None] * 27
+        cgrads = [None, None, None]  # center grads, summed over chunks
+        for r in range(9):
+            chunk = cands[r]
             ws = [chunk[k : k + 1, :] for k in range(4)]
 
             def chunk_fn(cx_, cy_, cz_, wx_, wy_, wz_):
@@ -343,21 +359,19 @@ def _k2_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
             _, vjp = jax.vjp(chunk_fn, cxs[0], cxs[1], cxs[2],
                              ws[0], ws[1], ws[2])
             grads = vjp((cot_s, cot_a))
-            # center cotangents -> window row (dz=1, dy=1), component k
             for k in range(3):
-                row = (1 * 3 + 1) * 3 + k
-                lane = slice((cx + 1) * cap, (cx + 2) * cap)
-                acc = acc.at[row, lane].add(grads[k][:, 0])
-            # candidate cotangents -> rows (dz, dy), split back into thirds
-            for k in range(3):
-                g = grads[3 + k]  # (1, 9cap)
-                for dy in range(3):
-                    row = (dz * 3 + dy) * 3 + k
-                    lane = slice(cx * cap, (cx + 3) * cap)
-                    acc = acc.at[row, lane].add(
-                        g[0, dy * 3 * cap : (dy + 1) * 3 * cap]
-                    )
-    g_ref[0, 0, :, :] = acc
+                cgrads[k] = (
+                    grads[k] if cgrads[k] is None else cgrads[k] + grads[k]
+                )
+                rows[r * 3 + k] = grads[3 + k][0]  # (3cap,)
+        # center cotangents belong to the (dz=1, dy=1) row, middle cell
+        zpad = jnp.zeros((cap,), cot_s.dtype)
+        for k in range(3):
+            row = (1 * 3 + 1) * 3 + k
+            rows[row] = rows[row] + jnp.concatenate(
+                [zpad, cgrads[k][:, 0], zpad]
+            )
+        g_ref[0, 0, cx, :, :] = jnp.stack(rows, axis=0)
 
 
 def k1_call(garr, plan: DenseGridPlan, spec: DenseNepSpec, interpret: bool):
@@ -384,7 +398,7 @@ def k2_call(garr, cot_s, cot_a, plan: DenseGridPlan, spec: DenseNepSpec,
             interpret: bool):
     nx, ny, nz = plan.grid
     nxc = plan.row_lanes
-    wxg = plan.ghost_row_lanes
+    cap3 = 3 * plan.cap
     dtype = garr.dtype
     return pl.pallas_call(
         functools.partial(_k2_kernel, plan, spec),
@@ -394,8 +408,10 @@ def k2_call(garr, cot_s, cot_a, plan: DenseGridPlan, spec: DenseNepSpec,
             pl.BlockSpec((1, 1, nxc, spec.s_width), lambda z, y: (z, y, 0, 0)),
             pl.BlockSpec((1, 1, nxc, spec.a_width), lambda z, y: (z, y, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 27, wxg), lambda z, y: (z, y, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nz, ny, 27, wxg), dtype),
+        out_specs=pl.BlockSpec(
+            (1, 1, nx, 27, cap3), lambda z, y: (z, y, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx, 27, cap3), dtype),
         interpret=interpret,
     )(*([garr] * 9), cot_s, cot_a)
 
@@ -489,15 +505,24 @@ def dense_nep_compute(
         spec,
         interpret,
     )
-    # fold the 9 window rows back onto the ghost grid (regular shifted adds)
+    # fold the per-cell cotangent tiles back onto the ghost grid: 81 static
+    # slice-adds resolve the overlapping 3-cell windows (regular, no scatter)
+    cap = plan.cap
     wxg = plan.ghost_row_lanes
-    dg = jnp.zeros((3, nz + 2, ny + 2, wxg), garr.dtype)
+    dg = jnp.zeros((nz + 2, ny + 2, 3, wxg), garr.dtype)
     for dz in range(3):
         for dy in range(3):
             for k in range(3):
                 row = (dz * 3 + dy) * 3 + k
-                dg = dg.at[k, dz : dz + nz, dy : dy + ny, :].add(g[:, :, row, :])
+                for dx in range(3):
+                    seg = g[:, :, :, row, dx * cap : (dx + 1) * cap]
+                    dg = dg.at[
+                        dz : dz + nz,
+                        dy : dy + ny,
+                        k,
+                        dx * cap : dx * cap + nx * cap,
+                    ].add(seg.reshape(nz, ny, nx * cap))
     # total virial: W_ab = - sum_g x_g,a dE/dx_g,b (ghost coords carry shifts)
-    w_total = -jnp.einsum("agyx,bgyx->ab", garr[:3], dg)
+    w_total = -jnp.einsum("zyax,zybx->ab", garr[:, :, :3], dg)
     force = -fold_ghost_grad(dg, plan) * slot_mask[:, None]
     return DenseNepOutput(energy=e_atom, force=force, virial_total=w_total)

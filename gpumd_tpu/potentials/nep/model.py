@@ -154,8 +154,71 @@ def _angular_q(s, model: NepModel, dtype):
         s0sq = s[..., 0] ** 2
         s12sq = s[..., 1] ** 2 + s[..., 2] ** 2
         q.append(c5[0] * s0sq**2 + c5[1] * s0sq * s12sq + c5[2] * s12sq**2)
-    if any(has[2:]):
-        raise NotImplementedError("extended 4-body invariants q112/q123/q233/q134")
+    # Extended 4-body invariants mixing different L channels
+    # (ref: find_q, nep_utilities.cuh:1578-1700). s component indices:
+    # L=1 -> 0..2, L=2 -> 3..7, L=3 -> 8..14, L=4 -> 15..23.
+    sc = [s[..., k] for k in range(s.shape[-1])] if any(has[2:]) else None
+    if has[2]:  # q_112 (L=1 x L=1 x L=2)
+        c = tables.C4B2
+        q.append(
+            c[0] * sc[0] ** 2 * sc[3]
+            + c[1] * sc[0] * (sc[1] * sc[4] + sc[2] * sc[5])
+            + c[2] * sc[3] * (sc[1] ** 2 + sc[2] ** 2)
+            + c[3] * sc[6] * (sc[1] ** 2 - sc[2] ** 2)
+            + c[4] * sc[1] * sc[2] * sc[7]
+        )
+    if has[3]:  # q_123 (needs l_max >= 3)
+        c = tables.C4B_123
+        q.append(
+            c[6] * (sc[12] * sc[2] * sc[4] - sc[11] * sc[2] * sc[5]
+                    + sc[1] * sc[11] * sc[4] + sc[1] * sc[12] * sc[5])
+            + c[5] * (sc[0] * sc[11] * sc[6] + sc[0] * sc[12] * sc[7])
+            + c[3] * (sc[14] * sc[2] * sc[6] - sc[13] * sc[2] * sc[7]
+                      + sc[1] * sc[13] * sc[6] + sc[1] * sc[14] * sc[7])
+            + c[4] * (sc[10] * sc[0] * sc[5] + sc[0] * sc[4] * sc[9])
+            + c[1] * (sc[10] * sc[2] * sc[3] + sc[0] * sc[3] * sc[8]
+                      + sc[1] * sc[3] * sc[9])
+            + c[0] * (sc[10] * sc[2] * sc[6] - sc[10] * sc[1] * sc[7]
+                      - sc[2] * sc[7] * sc[9] - sc[1] * sc[6] * sc[9])
+            + c[2] * (-sc[2] * sc[5] * sc[8] - sc[1] * sc[4] * sc[8])
+        )
+    if has[4]:  # q_233 (needs l_max >= 3)
+        c = tables.C4B_233
+        q.append(
+            c[0] * (sc[3] * sc[8] ** 2)
+            + c[1] * (sc[10] ** 2 * sc[3] + sc[3] * sc[9] ** 2)
+            + c[2] * (-sc[10] ** 2 * sc[6] + sc[6] * sc[9] ** 2)
+            + c[3] * (sc[4] * sc[8] * sc[9] + sc[10] * sc[5] * sc[8])
+            + c[4] * (-sc[13] ** 2 * sc[3] - sc[14] ** 2 * sc[3])
+            + c[5] * (-sc[14] * sc[7] * sc[9] - sc[13] * sc[6] * sc[9]
+                      - sc[10] * sc[14] * sc[6] + sc[10] * sc[13] * sc[7])
+            + c[6] * (sc[10] * sc[7] * sc[9])
+            + c[7] * (-sc[11] * sc[6] * sc[8] - sc[12] * sc[7] * sc[8])
+            + c[8] * (sc[11] * sc[4] * sc[9] + sc[12] * sc[5] * sc[9]
+                      + sc[10] * sc[12] * sc[4] - sc[10] * sc[11] * sc[5])
+            + c[9] * (sc[12] * sc[14] * sc[4] + sc[11] * sc[14] * sc[5]
+                      + sc[13] * sc[11] * sc[4] - sc[13] * sc[12] * sc[5])
+        )
+    if has[5]:  # q_134 (needs l_max >= 4)
+        c = tables.C4B_134
+        q.append(
+            c[0] * (-sc[10] * sc[15] * sc[2] - sc[1] * sc[15] * sc[9])
+            + c[1] * (sc[0] * sc[15] * sc[8])
+            + c[2] * (-sc[1] * sc[13] * sc[18] - sc[1] * sc[14] * sc[19]
+                      - sc[2] * sc[14] * sc[18] + sc[2] * sc[13] * sc[19])
+            + c[3] * (-sc[10] * sc[18] * sc[2] + sc[1] * sc[10] * sc[19]
+                      + sc[1] * sc[18] * sc[9] + sc[2] * sc[19] * sc[9])
+            + c[4] * (sc[1] * sc[16] * sc[8] + sc[2] * sc[17] * sc[8])
+            + c[5] * (sc[0] * sc[10] * sc[17] + sc[0] * sc[16] * sc[9]
+                      - sc[1] * sc[11] * sc[16] - sc[1] * sc[12] * sc[17]
+                      - sc[2] * sc[12] * sc[16] + sc[2] * sc[11] * sc[17])
+            + c[6] * (sc[1] * sc[13] * sc[22] + sc[1] * sc[14] * sc[23]
+                      - sc[2] * sc[14] * sc[22] + sc[2] * sc[13] * sc[23])
+            + c[7] * (sc[0] * sc[11] * sc[18] + sc[0] * sc[12] * sc[19])
+            + c[8] * (sc[0] * sc[13] * sc[20] + sc[0] * sc[14] * sc[21])
+            + c[9] * (sc[1] * sc[11] * sc[20] + sc[1] * sc[12] * sc[21]
+                      - sc[2] * sc[12] * sc[20] + sc[2] * sc[11] * sc[21])
+        )
     return jnp.stack(q, axis=1)  # (B, num_l, NA1)
 
 
@@ -221,6 +284,10 @@ class NEP(NamedTuple):
 
     model: NepModel
     params: NepParams
+    # Electron/target temperature (K) for model_type 3 (nep*_temperature):
+    # enters as the last descriptor component (ref: nep.cu:1483, fed from
+    # the ensemble's target temperature, run.cu:679-681).
+    temperature: Optional[jnp.ndarray] = None
 
     @property
     def rc(self) -> float:
@@ -310,6 +377,14 @@ class NEP(NamedTuple):
         model, params = self.model, self.params
         dtype = r12.dtype
         q, d = self.raw_descriptors(r12, t1, t2)
+        if model.model_type == 3:
+            if self.temperature is None:
+                raise ValueError(
+                    "temperature-mode NEP needs NEP.temperature set (the "
+                    "app wires the ensemble target temperature)"
+                )
+            tcol = jnp.full((q.shape[0], 1), self.temperature, dtype)
+            q = jnp.concatenate([q, tcol], axis=-1)
         q = q * params.q_scaler.astype(dtype)
         e = ann_energy(q, t1, params, dtype)
 

@@ -106,6 +106,9 @@ class NepModel:
     def num_ann_params(self) -> int:
         if self.version == 5:
             n = ((self.dim + 2) * self.neurons + 1) * self.num_types + 1
+        elif self.version == 3:
+            # one shared ANN for all types (legacy NEP3 format)
+            n = (self.dim + 2) * self.neurons + 1
         else:
             n = (self.dim + 2) * self.neurons * self.num_types + 1
         if self.model_type == 2:
@@ -156,11 +159,6 @@ def load_nep_txt(path: str, dtype=jnp.float32) -> Tuple[NepModel, NepParams]:
     version, model_type, zbl, charge_mode = _parse_header_name(name)
     if charge_mode:
         raise NotImplementedError("qNEP (charge) models: separate loader")
-    if version == 3:
-        raise NotImplementedError(
-            "nep3 files are not supported (the reference MD engine also "
-            "dropped them; re-train or convert to nep4)"
-        )
     num_types = int(take(1)[0])
     symbols = tuple(take(num_types))
 
@@ -415,7 +413,11 @@ def unflatten_params(
         b0 = np.empty((t, neu))
         w1 = np.empty((t, neu))
         b1_type = np.zeros((t,))
-        for ty in range(t):
+        # NEP3 shares ONE ANN across all types (num_para_ann =
+        # (dim+2)*neurons + 1); broadcast it to the per-type layout so the
+        # evaluation path is version-agnostic.
+        n_blocks = 1 if model.version == 3 else t
+        for ty in range(n_blocks):
             w0[ty] = flat[p : p + neu * dim].reshape(neu, dim)
             p += neu * dim
             b0[ty] = flat[p : p + neu]
@@ -425,6 +427,10 @@ def unflatten_params(
             if model.version == 5:
                 b1_type[ty] = flat[p]
                 p += 1
+        if model.version == 3:
+            w0[1:] = w0[0]
+            b0[1:] = b0[0]
+            w1[1:] = w1[0]
         b1 = flat[p]
         p += 1
         return w0, b0, w1, b1, b1_type

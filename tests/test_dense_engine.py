@@ -128,11 +128,11 @@ def test_ghost_pack_fold_roundtrip(rng):
 
     def f(p):
         g = pack_ghost(p, t_s, slot_mask, box, plan)
-        return jnp.sum(jnp.sin(g[:3] * 0.01))
+        return jnp.sum(jnp.sin(g[:, :, :3] * 0.01))
 
     g_auto = jax.grad(f)(pos_s)
     garr = pack_ghost(pos_s, t_s, slot_mask, box, plan)
-    dg = jnp.cos(garr[:3] * 0.01) * 0.01
+    dg = jnp.cos(garr[:, :, :3] * 0.01) * 0.01
     # empty slots: pack_ghost's masking zeroes their autodiff grad; the
     # engine masks them too, so compare real slots only.
     g_fold = fold_ghost_grad(dg, plan) * slot_mask[:, None]

@@ -197,3 +197,126 @@ def test_tables_match_reference_constants():
         tables.z_coefficient_table(6)[0], [-5, 0, 105, 0, -315, 0, 231]
     )
     assert np.allclose(tables.z_coefficient_table(3)[1], [-1, 0, 5, 0])
+
+
+# ---- NEP3 (legacy shared-ANN format) ----------------------------------------
+
+NEP3_DIR = "/root/reference/tests/gpumd/dump_observer/carbon_average"
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "pot,obs", [("C_2022_NEP3.txt", "reference_observer0.xyz"),
+                ("C_2022_NEP3_MODIFIED.txt", "reference_observer1.xyz")]
+)
+def test_nep3_golden_observer_frames(pot, obs):
+    """nep3 files (one shared ANN across types, ref: legacy num_para_ann)
+    reproduce the reference's checked-in observer goldens: each frame of
+    reference_observer*.xyz carries positions + the per-potential energy
+    and forces evaluated on them (tests/gpumd/dump_observer)."""
+    from gpumd_tpu.io.xyz import read_xyz_frames
+
+    nep = NEP.from_file(f"{NEP3_DIR}/{pot}")
+    assert nep.model.version == 3
+    frames = read_xyz_frames(f"{NEP3_DIR}/{obs}")
+    frame = frames[0]
+    out, _ = evaluate(nep, frame, mn=2000)
+    e_tot = float(jnp.sum(out.energy))
+    e_ref = float(frame.info["energy"])
+    assert np.isclose(e_tot, e_ref, rtol=1e-6, atol=2e-4)
+    assert np.allclose(np.asarray(out.force), frame.forces, rtol=1e-4,
+                       atol=2e-4)
+
+
+def _rotate(pos, axis, angle):
+    axis = np.asarray(axis, float)
+    axis /= np.linalg.norm(axis)
+    k = np.array([
+        [0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]
+    ])
+    r = np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+    return pos @ r.T, r
+
+
+def test_extended_invariants_rotation_invariance(rng):
+    """q112/q123/q233/q134 invariants (ref: find_q nep_utilities.cuh:
+    1578-1700) must be exactly rotation-invariant — a sign error in any
+    term breaks this."""
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+
+    model = NepModel(
+        version=4, model_type=0, num_types=1, symbols=("C",),
+        atomic_numbers=(6,), rc_radial=(6.0,), rc_angular=(4.0,),
+        mn_radial=64, mn_angular=32, n_max_radial=4, n_max_angular=4,
+        basis_size_radial=4, basis_size_angular=4, l_max=4,
+        has_q=(1, 1, 1, 1, 1, 1), neurons=10,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=3,
+                                                 dtype=jnp.float64))
+    n = 20
+    pos = rng.uniform(0, 10, (n, 3))
+    box = Box.orthogonal([60.0, 60.0, 60.0], pbc=(False, False, False))
+    types = jnp.zeros(n, jnp.int32)
+    mask = jnp.ones(n)
+
+    def energies(p):
+        nbr = neighbor_brute(jnp.asarray(p), box, mask, rc=6.0, mn=32)
+        return nep.compute(types, nbr, mask).energy
+
+    e0 = np.asarray(energies(pos))
+    pos_r, _ = _rotate(pos, [1.0, -2.0, 0.7], 1.1)
+    e1 = np.asarray(energies(pos_r))
+    np.testing.assert_allclose(e1, e0, rtol=1e-10, atol=1e-12)
+    # and permutation invariance
+    perm = rng.permutation(n)
+    e2 = np.asarray(energies(pos[perm]))
+    np.testing.assert_allclose(e2, e0[perm], rtol=1e-10, atol=1e-12)
+
+
+def test_temperature_mode(rng):
+    """model_type 3: target temperature enters as the last descriptor
+    (ref: nep.cu:1483); energies respond to it."""
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+
+    model = NepModel(
+        version=4, model_type=3, num_types=1, symbols=("W",),
+        atomic_numbers=(74,), rc_radial=(5.0,), rc_angular=(4.0,),
+        mn_radial=64, mn_angular=32, n_max_radial=4, n_max_angular=4,
+        basis_size_radial=4, basis_size_angular=4, l_max=4,
+        neurons=10,
+    )
+    assert model.dim == (4 + 1) + (4 + 1) * 4 + 1
+    params = random_params(model, seed=2, dtype=jnp.float64)
+    # realistic temperature scaling (trained models carry ~1/T_max in the
+    # last q_scaler slot; a raw 300 K would saturate the tanh layer)
+    params = params._replace(
+        q_scaler=params.q_scaler.at[-1].set(1e-3)
+    )
+    nep = NEP(model=model, params=params)
+    n = 16
+    pos = rng.uniform(0, 8, (n, 3))
+    box = Box.orthogonal([40.0, 40.0, 40.0], pbc=(False, False, False))
+    types = jnp.zeros(n, jnp.int32)
+    mask = jnp.ones(n)
+    nbr = neighbor_brute(jnp.asarray(pos), box, mask, rc=5.0, mn=32)
+
+    with pytest.raises(ValueError):
+        nep.compute(types, nbr, mask)
+    e300 = nep._replace(temperature=300.0).compute(types, nbr, mask).energy
+    e900 = nep._replace(temperature=900.0).compute(types, nbr, mask).energy
+    assert not np.allclose(np.asarray(e300), np.asarray(e900))
+    # forces still exactly -dE/dx at fixed T (finite difference, one atom)
+    nep_t = nep._replace(temperature=300.0)
+    out = nep_t.compute(types, nbr, mask)
+    h = 1e-6
+    for k in range(3):
+        pp = np.array(pos); pp[3, k] += h
+        pm = np.array(pos); pm[3, k] -= h
+        ep = jnp.sum(nep_t.compute(
+            types, neighbor_brute(jnp.asarray(pp), box, mask, rc=5.0, mn=32),
+            mask).energy)
+        em = jnp.sum(nep_t.compute(
+            types, neighbor_brute(jnp.asarray(pm), box, mask, rc=5.0, mn=32),
+            mask).energy)
+        fd = -(float(ep) - float(em)) / (2 * h)
+        assert np.isclose(fd, float(out.force[3, k]), rtol=1e-5, atol=1e-7)
