@@ -289,9 +289,64 @@ class Session:
             else:
                 raise ValueError(f"{name} needs 6 or 10 parameters")
             self.ensemble = ens
+        elif name in ("nvt_mttk", "npt_mttk", "nph_mttk"):
+            self.ensemble = self._parse_mttk(name, args[1:])
         else:
             raise ValueError(f"unsupported ensemble {name!r}")
         self.log(f"ensemble: {name} {args[1:]}")
+
+    def _parse_mttk(self, name, toks):
+        """MTTK keyword stream (ref: ensemble_mttk.cu:81-238):
+        temp T1 T2 | tperiod t | pperiod p | iso/aniso/tri P1 P2 |
+        x/y/z/xy/xz/yz P1 P2 | couple xyz/xy/yz/xz."""
+        from gpumd_tpu.integrate.ensembles.mttk import MTTK
+
+        t1 = t2 = None
+        tper, pper = 100.0, 1000.0
+        mode = None
+        p1 = p2 = 0.0
+        comps = {}
+        i = 0
+        toks = list(toks)
+        while i < len(toks):
+            t = toks[i]
+            if t == "temp":
+                t1, t2 = float(toks[i + 1]), float(toks[i + 2])
+                i += 3
+            elif t == "tperiod":
+                tper = float(toks[i + 1])
+                i += 2
+            elif t == "pperiod":
+                pper = float(toks[i + 1])
+                i += 2
+            elif t in ("iso", "aniso", "tri"):
+                mode = t
+                p1, p2 = float(toks[i + 1]), float(toks[i + 2])
+                i += 3
+            elif t in ("x", "y", "z", "xy", "xz", "yz"):
+                comps[t] = (float(toks[i + 1]), float(toks[i + 2]))
+                i += 3
+            else:
+                raise ValueError(f"unknown {name} token {t!r}")
+        if comps:
+            baro = (comps, comps)
+        elif mode is not None:
+            baro = (p1, p2)
+        else:
+            baro = None
+        if name == "nvt_mttk":
+            if t1 is None:
+                raise ValueError("nvt_mttk needs temp T1 T2")
+            return MTTK.nvt(t1, t2, t_period=tper)
+        if name == "nph_mttk":
+            if baro is None:
+                raise ValueError("nph_mttk needs a barostat spec")
+            return MTTK.nph(baro[0], baro[1], mode=mode or "aniso",
+                            p_period=pper)
+        if t1 is None or baro is None:
+            raise ValueError("npt_mttk needs temp and a barostat spec")
+        return MTTK.npt(t1, t2, baro[0], baro[1], mode=mode or "aniso",
+                        t_period=tper, p_period=pper)
 
     def kw_dump_thermo(self, args):
         interval = int(args[0])

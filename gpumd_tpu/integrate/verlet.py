@@ -25,12 +25,21 @@ def _apply_pin(v, pinned):
     return _jnp.where(mask[:, None] > 0, _jnp.asarray(vel, v.dtype)[None, :], v)
 
 
-def velocity_verlet_step1(state: MDState, dt, mobile=None, pinned=None) -> MDState:
-    inv_m = 1.0 / state.mass
-    v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
-    if mobile is not None:
-        v = v * mobile[:, None]
-    v = _apply_pin(v, pinned)
+def velocity_verlet_step1(
+    state: MDState, dt, mobile=None, pinned=None, kick=True, drift=True
+) -> MDState:
+    """kick/drift toggles let split-operator ensembles (MTTK) interleave
+    box propagation between the dt/2 kick and the dt drift."""
+    if kick:
+        inv_m = 1.0 / state.mass
+        v = state.velocity + (0.5 * dt) * state.force * inv_m[:, None]
+        if mobile is not None:
+            v = v * mobile[:, None]
+        v = _apply_pin(v, pinned)
+    else:
+        v = state.velocity
+    if not drift:
+        return state._replace(velocity=v)
     dx = dt * v
     pos = state.position + dx
     unwrapped = (
