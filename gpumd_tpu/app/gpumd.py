@@ -234,7 +234,8 @@ class Session:
 
     def kw_ensemble(self, args):
         name = args[0]
-        p = [float(x) for x in args[1:]]
+        # MTTK-style ensembles carry keyword tokens, not a float list
+        p = [] if name.endswith("_mttk") else [float(x) for x in args[1:]]
         if name == "nve":
             self.ensemble = NVE()
         elif name in ("nvt_ber", "nvt_lan", "nvt_bdp", "nvt_nhc", "nvt_bao"):
