@@ -258,11 +258,17 @@ class Session:
             else:
                 t = getattr(self, "_last_velocity_t", 300.0)
                 self.ensemble = (name, nbeads, t, 100.0)
-        elif name == "heat_lan":
-            from gpumd_tpu.integrate.ensembles.heat import HeatLangevin
+        elif name in ("heat_lan", "heat_nhc", "heat_bdp"):
+            from gpumd_tpu.integrate.ensembles.heat import (
+                HeatBDP,
+                HeatLangevin,
+                HeatNHC,
+            )
 
+            cls3 = {"heat_lan": HeatLangevin, "heat_nhc": HeatNHC,
+                    "heat_bdp": HeatBDP}[name]
             t, tc, dt_, src, snk = p[0], p[1], p[2], int(p[3]), int(p[4])
-            self.ensemble = HeatLangevin(
+            self.ensemble = cls3(
                 temperature=t, coupling=tc, delta_t=dt_,
                 source_mask=np.asarray(self.groups.mask(0, src)),
                 sink_mask=np.asarray(self.groups.mask(0, snk)),

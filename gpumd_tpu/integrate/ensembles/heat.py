@@ -6,7 +6,17 @@ T + dT on the source group and T - dT on the sink group; all other atoms
 evolve as NVE.  Used with `compute` / `compute_shc` for NEMD thermal
 conductivity (BASELINE config graphene_kappa_nemd).
 
-`heat_bdp` applies BDP rescaling per group instead.
+`heat_nhc` runs one Nose-Hoover chain per bath on the group's
+center-of-mass-relative kinetic energy and rescales only the relative
+velocities, conserving group momentum (ref: ensemble_nhc.cu:236-335,
+ensemble.cu:700-880 find_vc_and_ke / scale_velocity_local).
+
+`heat_bdp` applies BDP stochastic rescaling per group the same way
+(ref: ensemble_bdp.cu:104-160).
+
+All three accumulate the cumulative energy the baths inject
+(`aux["e_transfer"]`, source then sink) so NEMD flux can be measured the
+same way the reference's energy_transferred[] is.
 """
 
 from __future__ import annotations
@@ -75,3 +85,181 @@ class HeatLangevin:
         aux = {**aux, "key": key}
         state, aux = self._kick(state, sub, aux)
         return state, aux
+
+
+def _group_vc_ke2(state, gmask):
+    """Group center-of-mass velocity and 2x COM-relative kinetic energy
+    (ref: ensemble.cu:700-777 gpu_find_vc_and_ke)."""
+    m = state.mass * gmask
+    mc = jnp.sum(m)
+    vc = jnp.sum(m[:, None] * state.velocity, axis=0) / mc
+    ke2 = jnp.sum(m * jnp.sum(state.velocity**2, axis=-1))
+    ke2 = ke2 - mc * jnp.sum(vc * vc)
+    return vc, ke2
+
+
+def _scale_relative(state, gmask, vc, factor):
+    """v <- vc + factor (v - vc) on the group (momentum conserving)."""
+    v = vc[None, :] + factor * (state.velocity - vc[None, :])
+    v = jnp.where(gmask[:, None] > 0, v, state.velocity)
+    return state._replace(velocity=v * state.mask[:, None])
+
+
+_NHC_SY = jnp.asarray(
+    [0.784513610477560, 0.235573213359357, -1.17767998417887,
+     1.31518632068391, -1.17767998417887, 0.235573213359357,
+     0.784513610477560]
+)
+
+
+def nhc_scalar(pos, vel, mas, ek2, kt, dn, dt_half, n_respa=4):
+    """One Nose-Hoover-chain half update on scalars; returns
+    (scale factor, pos', vel').  Chain length from pos.shape (4).
+    (ref: ensemble_nhc.cu:97-160 nhc())."""
+    m = pos.shape[0]
+    factor = jnp.ones((), ek2.dtype)
+    for n1 in range(7):
+        dt2 = dt_half * _NHC_SY[n1] / n_respa
+        dt4 = dt2 * 0.5
+        dt8 = dt4 * 0.5
+        for _ in range(n_respa):
+            g = vel[m - 2] ** 2 / mas[m - 2] - kt
+            vel = vel.at[m - 1].add(dt4 * g)
+            for j in range(m - 2, -1, -1):
+                tmp = jnp.exp(-dt8 * vel[j + 1] / mas[j + 1])
+                g = (vel[j - 1] ** 2 / mas[j - 1] - kt) if j > 0 else (
+                    ek2 - dn * kt
+                )
+                vel = vel.at[j].set(tmp * (tmp * vel[j] + dt4 * g))
+            pos = pos + dt2 * vel / mas
+            s = jnp.exp(-dt2 * vel[0] / mas[0])
+            factor = factor * s
+            ek2 = ek2 * s * s
+            for j in range(0, m - 1):
+                tmp = jnp.exp(-dt8 * vel[j + 1] / mas[j + 1])
+                g = (vel[j - 1] ** 2 / mas[j - 1] - kt) if j > 0 else (
+                    ek2 - dn * kt
+                )
+                vel = vel.at[j].set(tmp * (tmp * vel[j] + dt4 * g))
+            g = vel[m - 2] ** 2 / mas[m - 2] - kt
+            vel = vel.at[m - 1].add(dt4 * g)
+    return factor, pos, vel
+
+
+@dataclass(frozen=True)
+class HeatNHC:
+    """heat_nhc: one NHC per bath acting on COM-relative velocities
+    (ref: ensemble_nhc.cu:236-335)."""
+
+    temperature: float
+    coupling: float  # tau / dt
+    delta_t: float
+    source_mask: object
+    sink_mask: object
+    mobile: Optional[object] = None
+
+    def init(self, state):
+        dtype = state.velocity.dtype
+        vel0 = jnp.asarray([1.0, -1.0, 1.0, -1.0], dtype)
+        return {
+            "pos1": jnp.zeros((4,), dtype), "vel1": vel0,
+            "pos2": jnp.zeros((4,), dtype), "vel2": vel0,
+            "e_transfer": jnp.zeros((2,), dtype),
+        }
+
+    def _masses(self, kt, dn, dt, dtype):
+        tau = dt * self.coupling
+        mas = jnp.full((4,), kt * tau * tau, dtype)
+        return mas.at[0].mul(dn)
+
+    def _baths(self, state, aux, dt):
+        dtype = state.velocity.dtype
+        src = jnp.asarray(self.source_mask, dtype)
+        snk = jnp.asarray(self.sink_mask, dtype)
+        kt1 = K_B * (self.temperature + self.delta_t)
+        kt2 = K_B * (self.temperature - self.delta_t)
+        dn1 = 3.0 * jnp.sum(src)
+        dn2 = 3.0 * jnp.sum(snk)
+        vc1, ek1 = _group_vc_ke2(state, src)
+        vc2, ek2 = _group_vc_ke2(state, snk)
+        f1, p1, v1 = nhc_scalar(
+            aux["pos1"], aux["vel1"], self._masses(kt1, dn1, dt, dtype),
+            ek1, kt1, dn1, 0.5 * dt,
+        )
+        f2, p2, v2 = nhc_scalar(
+            aux["pos2"], aux["vel2"], self._masses(kt2, dn2, dt, dtype),
+            ek2, kt2, dn2, 0.5 * dt,
+        )
+        de = jnp.stack([ek1 * 0.5 * (1.0 - f1 * f1),
+                        ek2 * 0.5 * (1.0 - f2 * f2)])
+        state = _scale_relative(state, src, vc1, f1)
+        state = _scale_relative(state, snk, vc2, f2)
+        aux = {**aux, "pos1": p1, "vel1": v1, "pos2": p2, "vel2": v2,
+               "e_transfer": aux["e_transfer"] + de}
+        return state, aux
+
+    def step1(self, state, aux, dt):
+        state, aux = self._baths(state, aux, dt)
+        return velocity_verlet_step1(state, dt, self.mobile), aux
+
+    def step2(self, state, aux, dt):
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        return self._baths(state, aux, dt)
+
+
+@dataclass(frozen=True)
+class HeatBDP:
+    """heat_bdp: BDP stochastic rescaling per bath on COM-relative
+    velocities (ref: ensemble_bdp.cu:104-160; dN = 3 (N_group - 1))."""
+
+    temperature: float
+    coupling: float
+    delta_t: float
+    source_mask: object
+    sink_mask: object
+    seed: int = 12345
+    mobile: Optional[object] = None
+
+    def init(self, state):
+        return {
+            "key": jax.random.PRNGKey(self.seed),
+            "e_transfer": jnp.zeros((2,), state.velocity.dtype),
+        }
+
+    def _resample(self, key, kk, sigma, ndeg):
+        factor = jnp.exp(-1.0 / self.coupling)
+        k1, k2 = jax.random.split(key)
+        rr = jax.random.normal(k1, (), kk.dtype)
+        sumn = 2.0 * jax.random.gamma(k2, 0.5 * (ndeg - 1.0), dtype=kk.dtype)
+        kk_new = (
+            kk + (1.0 - factor) * (sigma * (sumn + rr * rr) / ndeg - kk)
+            + 2.0 * rr * jnp.sqrt(kk * sigma / ndeg * (1.0 - factor) * factor)
+        )
+        return jnp.sqrt(kk_new / kk)
+
+    def _baths(self, state, aux, dt):
+        dtype = state.velocity.dtype
+        src = jnp.asarray(self.source_mask, dtype)
+        snk = jnp.asarray(self.sink_mask, dtype)
+        key, ka, kb = jax.random.split(aux["key"], 3)
+        vc1, ek1 = _group_vc_ke2(state, src)
+        vc2, ek2 = _group_vc_ke2(state, snk)
+        dn1 = 3.0 * (jnp.sum(src) - 1.0)
+        dn2 = 3.0 * (jnp.sum(snk) - 1.0)
+        s1 = 0.5 * dn1 * K_B * (self.temperature + self.delta_t)
+        s2 = 0.5 * dn2 * K_B * (self.temperature - self.delta_t)
+        f1 = self._resample(ka, 0.5 * ek1, s1, dn1)
+        f2 = self._resample(kb, 0.5 * ek2, s2, dn2)
+        de = jnp.stack([ek1 * 0.5 * (1.0 - f1 * f1),
+                        ek2 * 0.5 * (1.0 - f2 * f2)])
+        state = _scale_relative(state, src, vc1, f1)
+        state = _scale_relative(state, snk, vc2, f2)
+        return state, {**aux, "key": key,
+                       "e_transfer": aux["e_transfer"] + de}
+
+    def step1(self, state, aux, dt):
+        return velocity_verlet_step1(state, dt, self.mobile), aux
+
+    def step2(self, state, aux, dt):
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        return self._baths(state, aux, dt)

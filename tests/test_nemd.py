@@ -1,12 +1,14 @@
 """NEMD heat source/sink: a temperature gradient must develop."""
 
 import numpy as np
+import pytest
 
 from gpumd_tpu.app.gpumd import Session
 from gpumd_tpu.io.xyz import XYZFrame, write_xyz
 
 
-def test_heat_lan_gradient(tmp_path):
+@pytest.mark.parametrize("ens", ["heat_lan", "heat_nhc", "heat_bdp"])
+def test_heat_gradient(ens, tmp_path):
     a0 = 5.26
     nx, nyz = 8, 2
     base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
@@ -25,10 +27,10 @@ def test_heat_lan_gradient(tmp_path):
     write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
     (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
     (tmp_path / "run.in").write_text(
-        """potential lj.txt
+        f"""potential lj.txt
 velocity 30
 time_step 5
-ensemble heat_lan 30 50 15 0 2
+ensemble {ens} 30 50 15 0 2
 compute 0 10 1000 temperature
 run 1000
 """
