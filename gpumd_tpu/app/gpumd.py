@@ -736,6 +736,7 @@ class Session:
         while done < n_steps:
             step0 = self.global_step
             state, (aux, cache), obs = runner(state, aux=aux, cache=cache)
+            self._ens_aux = aux  # processors read e.g. heat-bath e_transfer
             done += chunk
             self.global_step += chunk
             self.state = state
@@ -893,13 +894,26 @@ class Session:
 
     def kw_compute(self, args):
         """compute <method> <sample_int> <output_int> temperature|potential|
-        force ... -> compute.out (ref: compute.cu:595-660)."""
+        force|virial|jp|jk|momentum ... -> compute.out.
+
+        Column layout matches the reference (ref: compute.cu:369-560): the
+        quantity order is fixed (T, U, F, W, jp, jk, p) regardless of the
+        keyword order; per quantity one column per group.  All columns are
+        GROUP SUMS time-averaged over the output window, except temperature
+        which is a per-atom average; when temperature is requested the two
+        cumulative bath energies (source, sink) are appended — that pair is
+        the NEMD heat-flux measurement."""
         import jax.numpy as jnp_
 
         method = int(args[0])
         sample_interval = int(args[1])
         output_interval = int(args[2])
-        quantities = args[3:]
+        quantities = set(args[3:])
+        known = {"temperature", "potential", "force", "virial", "jp", "jk",
+                 "momentum"}
+        bad = quantities - known
+        if bad:
+            raise ValueError(f"compute: unknown quantities {sorted(bad)}")
         onehot = self.groups.onehot(method)
         sizes = np.maximum(np.asarray(self.groups.sizes(method)), 1)
         acc = {"count": 0, "rows": []}
@@ -909,30 +923,56 @@ class Session:
             from gpumd_tpu.units import K_B
 
             row = []
-            m = np.asarray(state.mask)
             oh = np.asarray(onehot)
+            v = np.asarray(state.velocity)
+            mass = np.asarray(state.mass)
             if "temperature" in quantities:
-                ke = np.asarray(
-                    0.5 * state.mass * jnp_.sum(state.velocity**2, axis=-1)
-                )
-                t_g = 2.0 * (ke @ oh) / (3.0 * sizes * K_B)
-                row += list(t_g)
+                ek2 = mass * (v**2).sum(axis=-1)
+                row += list((ek2 @ oh) / (3.0 * sizes * K_B))
             if "potential" in quantities:
                 row += list(np.asarray(state.potential_energy) @ oh)
             if "force" in quantities:
                 fc = np.asarray(state.force)
                 for k in range(3):
                     row += list(fc[:, k] @ oh)
+            if "virial" in quantities:
+                w = np.asarray(state.virial)  # (N, 3, 3) row-major
+                for a in range(3):
+                    for b in range(3):
+                        row += list(w[:, a, b] @ oh)
+            if "jp" in quantities:
+                w = np.asarray(state.virial)
+                jp = np.einsum("nab,nb->na", w, v)
+                for k in range(3):
+                    row += list(jp[:, k] @ oh)
+            if "jk" in quantities:
+                e = 0.5 * mass * (v**2).sum(axis=-1) + np.asarray(
+                    state.potential_energy
+                )
+                for k in range(3):
+                    row += list((v[:, k] * e) @ oh)
+            if "momentum" in quantities:
+                for k in range(3):
+                    row += list((mass * v[:, k]) @ oh)
             acc["rows"].append(row)
             acc["count"] += 1
             if acc["count"] % max(output_interval // sample_interval, 1) == 0:
                 mean = np.mean(acc["rows"], axis=0)
-                f.write("".join(f"{x:15.6e}" for x in mean) + "\n")
+                cols = list(mean)
+                if "temperature" in quantities:
+                    aux = getattr(session, "_ens_aux", None)
+                    et = (
+                        np.asarray(aux["e_transfer"])
+                        if isinstance(aux, dict) and "e_transfer" in aux
+                        else np.zeros(2)
+                    )
+                    cols += [float(et[0]), float(et[1])]
+                f.write("".join(f"{x:15.6e}" for x in cols) + "\n")
                 f.flush()
                 acc["rows"] = []
 
         self.properties.append(PropertyRequest(sample_interval, process))
-        self.log(f"compute: method {method} {quantities}")
+        self.log(f"compute: method {method} {sorted(quantities)}")
 
     def kw_minimize(self, args):
         self._require_state()

@@ -67,7 +67,9 @@ class HeatLangevin:
         v_snk = c1 * v + c2_snk[:, None] * n_snk
         v = jnp.where(src[:, None] > 0, v_src, jnp.where(snk[:, None] > 0, v_snk, v))
         ke_after = 0.5 * state.mass[:, None] * v**2
-        de = ke_after - ke_before
+        # reference sign convention: energy transferred from the SYSTEM to
+        # the BATH (ref: ensemble_lan.cu:152-194 += before, -= after)
+        de = ke_before - ke_after
         e_src = jnp.sum(de * src[:, None])
         e_snk = jnp.sum(de * snk[:, None])
         aux = {**aux, "e_transfer": aux["e_transfer"] + jnp.stack([e_src, e_snk])}

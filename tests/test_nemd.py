@@ -38,7 +38,49 @@ run 1000
     s = Session(str(tmp_path), quiet=True)
     s.execute()
     data = np.loadtxt(tmp_path / "compute.out")
-    # one averaged row, 4 group temperatures; source (g0) hotter than sink (g2)
-    temps = np.atleast_2d(data)[-1]
-    assert temps.shape == (4,)
+    # averaged rows: 4 group temperatures + 2 cumulative bath energies
+    row = np.atleast_2d(data)[-1]
+    assert row.shape == (6,)
+    temps = row[:4]
     assert temps[0] > temps[2] + 5.0, temps
+    # source bath injects energy (system->bath negative), sink absorbs
+    e_src, e_snk = row[4], row[5]
+    assert e_src < 0.0 and e_snk > 0.0, (e_src, e_snk)
+
+
+def test_compute_full_columns(tmp_path):
+    """virial/jp/jk/momentum group columns (ref: compute.cu:369-560)."""
+    a0 = 5.26
+    nx = 4
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nx) for j in range(2) for k in range(2)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    slab = np.minimum((pos[:, 0] / (nx * a0 / 2)).astype(int), 1)[:, None]
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nx * a0, 2 * a0, 2 * a0]),
+        pbc=(True, True, True), groups=slab,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 30
+time_step 5
+compute 0 5 10 temperature potential force virial jp jk momentum
+run 20
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    data = np.atleast_2d(np.loadtxt(tmp_path / "compute.out"))
+    ng = 2
+    # T, U, F(3), W(9), jp(3), jk(3), p(3) = 23 scalars x 2 groups + 2 baths
+    assert data.shape[1] == 23 * ng + 2, data.shape
+    assert np.isfinite(data).all()
+    # potential sums must be negative (bound crystal)
+    u = data[-1][ng : 2 * ng]
+    assert (u < 0).all(), u
