@@ -234,8 +234,9 @@ class Session:
 
     def kw_ensemble(self, args):
         name = args[0]
-        # MTTK-style ensembles carry keyword tokens, not a float list
-        p = [] if name.endswith("_mttk") else [float(x) for x in args[1:]]
+        # MTTK/TI-style ensembles carry keyword tokens, not a float list
+        _kw_style = name.endswith("_mttk") or name.startswith("ti")
+        p = [] if _kw_style else [float(x) for x in args[1:]]
         if name == "nve":
             self.ensemble = NVE()
         elif name in ("nvt_ber", "nvt_lan", "nvt_bdp", "nvt_nhc", "nvt_bao"):
@@ -298,9 +299,51 @@ class Session:
             self.ensemble = ens
         elif name in ("nvt_mttk", "npt_mttk", "nph_mttk"):
             self.ensemble = self._parse_mttk(name, args[1:])
+        elif name == "ti_spring":
+            self.ensemble = self._parse_ti_spring(args[1:])
         else:
             raise ValueError(f"unsupported ensemble {name!r}")
         self.log(f"ensemble: {name} {args[1:]}")
+
+    def _parse_ti_spring(self, toks):
+        """ensemble ti_spring temp T [tperiod tau] [tswitch n tequil n]
+        [press P] [spring El k ...] (ref: ensemble_ti_spring.cu:100-150)."""
+        from gpumd_tpu.integrate.ensembles.ti import TISpring
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        kw = dict(num_types=max(1, len(self.type_names)))
+        toks = list(toks)
+        i = 0
+        spring = {}
+        while i < len(toks):
+            t = toks[i]
+            if t == "temp":
+                kw["temperature"] = float(toks[i + 1]); i += 2
+            elif t == "tperiod":
+                kw["coupling"] = float(toks[i + 1]); i += 2
+            elif t == "tswitch":
+                kw["t_switch"] = int(toks[i + 1]); i += 2
+            elif t == "tequil":
+                kw["t_equil"] = int(toks[i + 1]); i += 2
+            elif t == "press":
+                kw["target_pressure"] = (
+                    float(toks[i + 1]) / PRESSURE_UNIT_CONVERSION
+                ); i += 2
+            elif t == "spring":
+                i += 1
+                while i + 1 < len(toks):
+                    spring[toks[i]] = float(toks[i + 1])
+                    i += 2
+            else:
+                raise ValueError(f"unknown ti_spring token {t!r}")
+        if spring:
+            missing = [s for s in self.type_names if s not in spring]
+            if missing:
+                raise ValueError(
+                    f"ti_spring: spring constants missing for {missing}"
+                )
+            kw["spring_k"] = tuple(spring[s] for s in self.type_names)
+        return TISpring(**kw)
 
     def _parse_mttk(self, name, toks):
         """MTTK keyword stream (ref: ensemble_mttk.cu:81-238):
@@ -717,7 +760,16 @@ class Session:
         )
         from gpumd_tpu.measure.properties import heat_current_5, stress_6
 
-        if needs_heat or needs_stress:
+        from gpumd_tpu.integrate.ensembles.ti import TISpring
+
+        is_ti = isinstance(ens, TISpring)
+        if is_ti and (needs_heat or needs_stress):
+            raise ValueError("ti_spring runs do not support heat/stress observers")
+        if is_ti:
+            observer = lambda s, a: (  # noqa: E731
+                a["lambda"], a["dlambda"], a["pe"], a["espring"],
+            )
+        elif needs_heat or needs_stress:
             observer = lambda s: (  # noqa: E731
                 heat_current_5(s) if needs_heat else 0,
                 stress_6(s) if needs_stress else 0,
@@ -737,6 +789,17 @@ class Session:
             step0 = self.global_step
             state, (aux, cache), obs = runner(state, aux=aux, cache=cache)
             self._ens_aux = aux  # processors read e.g. heat-bath e_transfer
+            if is_ti:
+                fcsv = self._file("ti_spring.csv", "lambda,dlambda,pe,espring\n")
+                lam, dlam, pe, es = (np.asarray(o) for o in obs)
+                inv_n = 1.0 / self._n
+                for r in range(len(lam)):
+                    if dlam[r] != 0.0:
+                        fcsv.write(
+                            f"{lam[r]:e},{dlam[r]:e},"
+                            f"{pe[r] * inv_n:e},{es[r] * inv_n:e}\n"
+                        )
+                fcsv.flush()
             done += chunk
             self.global_step += chunk
             self.state = state
@@ -776,6 +839,17 @@ class Session:
         wall = time.time() - t0
         rate = self._n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second")
+        if is_ti:
+            summary = ens.free_energy(state, aux)
+            fy = self._file("ti_spring.yaml")
+            for k2, v2 in summary.items():
+                fy.write(f"{k2}: {v2:f}\n")
+            fy.flush()
+            self.log(
+                f"ti_spring: F = {summary['F']:.6f} eV/atom "
+                f"(E_Ein {summary['E_Einstein']:.6f}, "
+                f"E_diff {summary['E_diff']:.6f})"
+            )
         # reset per-run observers (ref: run.cu:329-340 finalize())
         for m in self.measure_props:
             m.postprocess(self)

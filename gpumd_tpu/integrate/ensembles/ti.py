@@ -1,0 +1,210 @@
+"""Thermodynamic-integration ensembles (free-energy methods).
+
+`ti_spring` — nonequilibrium Frenkel-Ladd switching to an Einstein crystal
+(ref: src/integrate/ensemble_ti_spring.cu:1-391):
+
+  * global Langevin thermostat at T (inherited behavior of Ensemble_LAN);
+  * reference positions x0 frozen at run start; mixed force
+      f = (1 - lambda) f_pot + lambda (-k (x - x0))
+  * lambda(t): equilibrate t_equil steps, switch 0->1 over t_switch with the
+    C3-continuous polynomial switch, equilibrate, switch back 1->0;
+  * spring constants per element either user-given or auto-estimated from
+    the equilibration MSD (k = 3 kB T / <msd>_element);
+  * accumulates E_diff = 1/2 integral (U - U_spring) |dlambda| / N over both
+    switching legs (forward work minus backward work halved) and combines
+    with the analytic Einstein free energy E_Ein for F = E_Ein + E_diff.
+
+Everything (MSD accumulation, k estimation, lambda schedule, work integral)
+runs inside the scan carry; only the csv/yaml output is host-side.
+
+`ti_rs` / `ti_as` (reversible scaling / adiabatic switching) build on the
+same machinery and arrive with the lambda-scaled-Hamiltonian variant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpumd_tpu.integrate.verlet import velocity_verlet_step1, velocity_verlet_step2
+from gpumd_tpu.model.state import MDState
+from gpumd_tpu.units import HBAR, K_B
+
+
+@dataclass(frozen=True)
+class TISpring:
+    """ti_spring (Frenkel-Ladd nonequilibrium switching).
+
+    run.in: ensemble ti_spring temp T [tperiod tau] [tswitch n tequil n]
+            [press P] [spring El k ...]
+    """
+
+    temperature: float = 300.0
+    coupling: float = 100.0  # tau/dt (tperiod)
+    t_switch: int = -1  # auto: 0.4 * n_steps
+    t_equil: int = -1  # auto: 0.1 * n_steps
+    target_pressure: float = 0.0  # eV/A^3 (parsed from GPa)
+    # per-TYPE spring constants (eV/A^2); None -> auto from MSD
+    spring_k: Optional[Tuple[float, ...]] = None
+    num_types: int = 1
+    n_steps: int = 0
+    seed: int = 12345
+    mobile: Optional[object] = None
+
+    def _schedule(self):
+        ts = self.t_switch if self.t_switch > 0 else int(self.n_steps * 0.4)
+        te = self.t_equil if self.t_equil > 0 else int(self.n_steps * 0.1)
+        return ts, te
+
+    # C3 switch (ref: ensemble_ti_spring.cu:switch_func/dswitch_func)
+    @staticmethod
+    def _switch(t):
+        t2 = t * t
+        t5 = t2 * t2 * t
+        return (70.0 * t2 * t2 - 315.0 * t2 * t + 540.0 * t2 - 420.0 * t
+                + 126.0) * t5
+
+    @staticmethod
+    def _dswitch(t, t_switch):
+        t2 = t * t
+        t4 = t2 * t2
+        return ((630.0 * t2 * t2 - 2520.0 * t2 * t + 3780.0 * t2
+                 - 2520.0 * t + 630.0) * t4) / t_switch
+
+    def init(self, state: MDState):
+        dtype = state.velocity.dtype
+        n = state.position.shape[0]
+        if self.spring_k is not None:
+            k = jnp.asarray(self.spring_k, dtype)[state.type]
+            k = k * state.mask
+        else:
+            k = jnp.zeros((n,), dtype)  # MSD accumulator during equil
+        return {
+            "i": jnp.zeros((), jnp.int32),
+            "key": jax.random.PRNGKey(self.seed),
+            "x0": state.position,
+            "k": k,
+            "lambda": jnp.zeros((), dtype),
+            "dlambda": jnp.zeros((), dtype),
+            "e_diff": jnp.zeros((), dtype),
+            "avg_pressure": jnp.zeros((), dtype),
+            "pe": jnp.zeros((), dtype),
+            "espring": jnp.zeros((), dtype),
+        }
+
+    # ---- Langevin thermostat (global, ref: Ensemble_LAN type 3) -----------
+
+    def _kick(self, state, key):
+        c1 = jnp.exp(-0.5 / self.coupling)
+        dtype = state.velocity.dtype
+        c2 = jnp.sqrt(
+            (1.0 - c1 * c1) * K_B * self.temperature / state.mass
+        ).astype(dtype)
+        noise = jax.random.normal(key, state.velocity.shape, dtype)
+        v = c1 * state.velocity + c2[:, None] * noise
+        from gpumd_tpu.integrate.velocity import _zero_linear_momentum
+
+        v = _zero_linear_momentum(v, state.mass, state.mask)
+        return state._replace(velocity=v * state.mask[:, None])
+
+    def step1(self, state, aux, dt):
+        key, sub = jax.random.split(aux["key"])
+        state = self._kick(state, sub)
+        aux = {**aux, "key": key}
+        return velocity_verlet_step1(state, dt, self.mobile), aux
+
+    def _find_lambda(self, state, aux):
+        """Per-step lambda schedule + MSD/k estimation + work integral
+        (ref: ensemble_ti_spring.cu:295-365 find_lambda)."""
+        dtype = state.velocity.dtype
+        ts, te = self._schedule()
+        i = aux["i"]
+        n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+
+        disp = state.box.minimum_image(state.position - aux["x0"])
+        d2 = jnp.sum(disp * disp, axis=-1) * state.mask
+
+        k = aux["k"]
+        if self.spring_k is None:
+            # equilibration: accumulate MSD
+            k = jnp.where(i < te, k + d2, k)
+            # at step te - 1: convert per-element mean MSD -> spring const
+            def to_spring(kacc):
+                ksum = jax.ops.segment_sum(
+                    kacc * state.mask, state.type, self.num_types
+                )
+                cnt = jax.ops.segment_sum(
+                    state.mask, state.type, self.num_types
+                )
+                msd_el = ksum / jnp.maximum(cnt, 1.0) / te
+                k_el = 3.0 * K_B * self.temperature / jnp.maximum(
+                    msd_el, 1e-12
+                )
+                return k_el[state.type] * state.mask
+
+            k = jnp.where(i == te - 1, to_spring(k), k)
+        avg_p = aux["avg_pressure"]
+
+        t = (i - te).astype(dtype)
+        r = 1.0 / ts
+        leg1 = (t >= 0) & (t <= ts)
+        leg2 = (t >= te + ts) & (t <= te + 2 * ts)
+        x1 = jnp.clip(t * r, 0.0, 1.0)
+        x2 = jnp.clip(1.0 - (t - ts - te) * r, 0.0, 1.0)
+        lam = jnp.where(
+            leg1, self._switch(x1), jnp.where(leg2, self._switch(x2), aux["lambda"])
+        )
+        dlam = jnp.where(
+            leg1, self._dswitch(x1, ts),
+            jnp.where(leg2, -self._dswitch(x2, ts), 0.0),
+        )
+        pe = jnp.sum(state.potential_energy * state.mask)
+        espring = jnp.sum(0.5 * k * d2)
+        de = jnp.where(
+            leg1 | leg2,
+            0.5 * (pe - espring) * jnp.abs(dlam) / n_real,
+            0.0,
+        )
+        return {
+            **aux, "k": k, "lambda": lam, "dlambda": dlam,
+            "e_diff": aux["e_diff"] + de, "avg_pressure": avg_p,
+            "pe": pe, "espring": espring,
+        }, disp
+
+    def step2(self, state, aux, dt):
+        aux, disp = self._find_lambda(state, aux)
+        # mixed force (ref: gpu_add_spring_force)
+        lam = aux["lambda"]
+        f = (1.0 - lam) * state.force + lam * (-aux["k"][:, None] * disp)
+        state = state._replace(force=f * state.mask[:, None])
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        key, sub = jax.random.split(aux["key"])
+        state = self._kick(state, sub)
+        return state, {**aux, "key": key, "i": aux["i"] + 1}
+
+    # ---- host-side summary ------------------------------------------------
+
+    def free_energy(self, state: MDState, aux) -> dict:
+        """E_Ein + E_diff summary (ref: ~Ensemble_TI_Spring destructor)."""
+        kT = K_B * self.temperature
+        k = np.asarray(aux["k"])
+        mass = np.asarray(state.mass)
+        mask = np.asarray(state.mask) > 0
+        n = int(mask.sum())
+        lnterm = np.log(np.sqrt(k[mask] / mass[mask]) * HBAR / kT)
+        e_ein = 3.0 * kT * float(np.sum(lnterm)) / n
+        e_diff = float(aux["e_diff"])
+        v = float(state.box.volume) / n
+        return {
+            "E_Einstein": e_ein,
+            "E_diff": e_diff,
+            "F": e_ein + e_diff,
+            "T": self.temperature,
+            "V": v,
+            "P": self.target_pressure,
+            "G": e_ein + e_diff + self.target_pressure * v,
+        }

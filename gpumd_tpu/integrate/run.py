@@ -30,6 +30,9 @@ def make_md_step(ff: ForceField, ensemble, dt, observer: Optional[Callable] = No
     """
 
     obs = observer if observer is not None else (lambda s: compute_thermo(s))
+    import inspect
+
+    obs_wants_aux = len(inspect.signature(obs).parameters) >= 2
 
     def step(carry, _):
         state, aux, cache = carry
@@ -39,7 +42,8 @@ def make_md_step(ff: ForceField, ensemble, dt, observer: Optional[Callable] = No
         else:
             state = ff.compute(state)
         state, aux = ensemble.step2(state, aux, dt)
-        return (state, aux, cache), obs(state)
+        out = obs(state, aux) if obs_wants_aux else obs(state)
+        return (state, aux, cache), out
 
     return step
 
