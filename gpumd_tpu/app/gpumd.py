@@ -758,6 +758,10 @@ class Session:
         needs_stress = any(
             getattr(m, "needs_stress", False) for m in self.measure_props
         )
+        onsager_props = [
+            m for m in self.measure_props
+            if getattr(m, "needs_onsager", False)
+        ]
         from gpumd_tpu.measure.properties import heat_current_5, stress_6
 
         from gpumd_tpu.integrate.ensembles.ti import TISpring
@@ -769,10 +773,14 @@ class Session:
             observer = lambda s, a: (  # noqa: E731
                 a["lambda"], a["dlambda"], a["pe"], a["espring"],
             )
-        elif needs_heat or needs_stress:
+        elif needs_heat or needs_stress or onsager_props:
+            from gpumd_tpu.measure.properties import onsager_flux
+
+            mp = onsager_props[0] if onsager_props else None
             observer = lambda s: (  # noqa: E731
                 heat_current_5(s) if needs_heat else 0,
                 stress_6(s) if needs_stress else 0,
+                onsager_flux(s, mp.mass_type, mp.num_types) if mp else 0,
             )
         else:
             observer = lambda s: 0  # noqa: E731
@@ -803,9 +811,10 @@ class Session:
             done += chunk
             self.global_step += chunk
             self.state = state
-            if needs_heat or needs_stress:
+            if needs_heat or needs_stress or onsager_props:
                 j5 = np.asarray(obs[0]) if needs_heat else None
                 s6 = np.asarray(obs[1]) if needs_stress else None
+                ons = np.asarray(obs[2]) if onsager_props else None
                 for m in self.measure_props:
                     if getattr(m, "needs_heat", False):
                         m.consume_heat(j5, step0)
@@ -813,6 +822,9 @@ class Session:
                             m.maybe_output(self)
                     if getattr(m, "needs_stress", False):
                         m.consume_stress(s6, step0)
+                    if getattr(m, "needs_onsager", False):
+                        m.consume_onsager(ons, step0)
+                        m.maybe_output(self)
             for m in self.measure_props:
                 if hasattr(m, "sample_state") and done % m.interval == 0:
                     m.sample_state(self, state, self.global_step)
@@ -858,11 +870,16 @@ class Session:
             if prop.finalize:
                 prop.finalize(self)
         self.properties = []
-        # HNEMD driving force is per-run (reset like the reference)
-        if self.ff is not None and self.ff.hnemd_fe is not None:
+        # HNEMD/HNEMDEC driving forces are per-run (reset like the reference)
+        if self.ff is not None and (
+            self.ff.hnemd_fe is not None or self.ff.hnemdec_mode is not None
+        ):
             import dataclasses
 
-            self.ff = dataclasses.replace(self.ff, hnemd_fe=None)
+            self.ff = dataclasses.replace(
+                self.ff, hnemd_fe=None, hnemdec_mode=None,
+                hnemdec_fe=None, hnemdec_coef=None,
+            )
 
     def kw_replicate(self, args):
         """replicate cx cy cz: build a supercell (basis-inner atom order so
@@ -1147,6 +1164,41 @@ class Session:
         )
         self.log(f"compute_hnemd {args}")
 
+    def kw_compute_hnemdec(self, args):
+        """compute_hnemdec <mode> <output_interval> fe_x fe_y fe_z ->
+        onsager.out (ref: hnemdec_kappa.cu:252-280, force.cu:355-422).
+        mode 0 = heat flow; mode k in [1, num_types] = color flow of
+        species k-1."""
+        import dataclasses
+
+        from gpumd_tpu.forcefield import hnemdec_coefficients
+        from gpumd_tpu.measure.properties import HNEMDECOnsager
+        from gpumd_tpu.units import K_B
+
+        mode = int(args[0])
+        interval = int(args[1])
+        fe = (float(args[2]), float(args[3]), float(args[4]))
+        num_types = max(1, len(self.type_names))
+        if not (0 <= mode <= num_types):
+            raise ValueError(f"compute_hnemdec: mode {mode} out of range")
+        t = self._ensemble_temperature()
+        coef, mass_type, factor = hnemdec_coefficients(
+            mode, np.asarray(self.state.mass), np.asarray(self.state.type),
+            num_types,
+        )
+        if mode == 0:
+            coef = tuple(
+                c * (K_B * t) if i % 2 == 1 else c
+                for i, c in enumerate(coef)
+            )
+        self.ff = dataclasses.replace(
+            self.ff, hnemdec_mode=mode, hnemdec_fe=fe, hnemdec_coef=coef,
+        )
+        prop = HNEMDECOnsager(mode, interval, fe, t, num_types, factor)
+        prop.mass_type = mass_type
+        self.measure_props.append(prop)
+        self.log(f"compute_hnemdec {args}")
+
     def kw_compute_msd(self, args):
         from gpumd_tpu.measure.properties import MSD
 
@@ -1391,6 +1443,7 @@ class Session:
         "compute_phonon": kw_compute_phonon,
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,
+        "compute_hnemdec": kw_compute_hnemdec,
         "compute_msd": kw_compute_msd,
         "compute_sdc": kw_compute_sdc,
         "compute_dos": kw_compute_dos,

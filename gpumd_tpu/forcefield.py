@@ -112,6 +112,13 @@ class ForceField:
     # HNEMD driving force Fe (1/A): F_i += W_i^T Fe, with net-force zeroing
     # (ref: force.cu:567-608).  None disables.
     hnemd_fe: Optional[tuple] = None
+    # HNEMDEC (Evans-Cummings color/heat flow, ref: force.cu:355-961):
+    # mode 0 = heat-flow driving, k > 0 = color driving of species k-1.
+    # coef is the flattened per-type coefficient table (2T for mode 0,
+    # T for mode > 0), built host-side by hnemdec_coefficients().
+    hnemdec_mode: Optional[int] = None
+    hnemdec_fe: Optional[tuple] = None
+    hnemdec_coef: Optional[tuple] = None
     # Multi-potential 'average' mode (ref: force.cu:514-565): divide the
     # summed properties by the number of potentials.
     average: bool = False
@@ -161,6 +168,30 @@ class ForceField:
             f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
             n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
             f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+        elif self.hnemdec_mode is not None:
+            fe = jnp.asarray(self.hnemdec_fe, dtype=f.dtype)
+            coef = jnp.asarray(self.hnemdec_coef, dtype=f.dtype)
+            if self.hnemdec_mode == 0:
+                # heat-flow: S_i = E_i I + W_i; f += S^T Fe + per-type terms
+                # (ref: force.cu:898-948)
+                e_i = (
+                    0.5 * state.mass * jnp.sum(state.velocity**2, axis=-1)
+                    + e
+                )
+                s = w + e_i[:, None, None] * jnp.eye(3, dtype=f.dtype)
+                s = s * state.mask[:, None, None]
+                s_tot = jnp.sum(s, axis=0)
+                c1 = coef.reshape(-1, 2)[state.type, 0]
+                c2 = coef.reshape(-1, 2)[state.type, 1]
+                drive = (
+                    jnp.einsum("nba,b->na", s, fe)
+                    + c1[:, None] * (s_tot.T @ fe)[None, :]
+                    + c2[:, None] * fe[None, :]
+                )
+                f = f + drive * state.mask[:, None]
+            else:
+                # color flow: f_i += Fe coef[type_i] (ref: force.cu:750-769)
+                f = f + coef[state.type][:, None] * fe[None, :] * state.mask[:, None]
         # Per-atom heat current J_i = W_i . v_i (ref: compute_heat.cu:18-29).
         j = jnp.einsum("nab,nb->na", w, state.velocity)
         return state._replace(
@@ -249,3 +280,50 @@ class ForceField:
         )
         nbr = self.cache_r12(state, cache)
         return self._evaluate(state, nbr), cache
+
+
+def hnemdec_coefficients(mode: int, masses, types, num_types: int):
+    """Host-side HNEMDEC coefficient table (ref: force.cu:355-422
+    set_hnemdec_parameters).
+
+    mode 0 (heat flow): per type [c1, c2/kBT] pairs with
+      c_hv = (M_tot - N m_t) / M_tot, c1 = (c_hv - 1)/N, c2 = kB T c_hv
+    -- the kB T factor is applied by the caller (temperature known at parse).
+    mode k > 0 (color flow on species k-1): coef[k-1] = N/N_el,
+      coef[other] = -N m_other / sum_other(m N).
+    Returns (coef_list, mass_type, factor) where factor is the Onsager
+    normalization FACTOR (ref: hnemdec_kappa.cu:70-82).
+    """
+    masses = np.asarray(masses, dtype=float)
+    types = np.asarray(types)
+    n = len(masses)
+    mass_type = np.zeros(num_types)
+    type_size = np.zeros(num_types, dtype=int)
+    for t in range(num_types):
+        sel = types == t
+        type_size[t] = sel.sum()
+        if type_size[t]:
+            mass_type[t] = masses[sel][0]
+    total_mass = float(masses.sum())
+    if mode == 0:
+        coef = np.zeros(num_types * 2)
+        for t in range(num_types):
+            c_hv = (total_mass - n * mass_type[t]) / total_mass
+            coef[2 * t] = (c_hv - 1.0) / n
+            coef[2 * t + 1] = c_hv  # x kB T by caller
+        factor = 1.0
+    else:
+        el = mode - 1
+        coef = np.zeros(num_types)
+        coef[el] = float(n) / max(type_size[el], 1)
+        partial_mass = sum(
+            mass_type[t] * type_size[t] for t in range(num_types) if t != el
+        )
+        for t in range(num_types):
+            if t != el:
+                coef[t] = -n * mass_type[t] / max(partial_mass, 1e-30)
+        factor = 1.0 / (
+            n * (1.0 / max(partial_mass, 1e-30)
+                 + 1.0 / max(type_size[el] * mass_type[el], 1e-30))
+        )
+    return tuple(coef), tuple(mass_type), factor

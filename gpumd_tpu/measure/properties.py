@@ -491,3 +491,76 @@ class RDF:
         with open(os.path.join(session.workdir, "rdf.out"), "a") as f:
             for i in range(self.num_bins):
                 f.write(f"{r[i]:g} {g[i]:g}\n")
+
+
+def onsager_flux(state, mass_type, num_types):
+    """Per-step HNEMDEC fluxes: 3-component energy current
+    J = (E_i I + W_i) v_i summed over atoms, then per-type mass fluxes
+    m_t sum_{i in t} v_i (ref: hnemdec_kappa.cu:85-148,
+    compute_heat.cu:133-166)."""
+    import jax.numpy as jnp
+
+    w = state.virial
+    v = state.velocity
+    m = state.mask
+    e_i = (
+        0.5 * state.mass * jnp.sum(v**2, axis=-1) + state.potential_energy
+    )
+    j = jnp.einsum("nab,nb->na", w, v) + e_i[:, None] * v
+    heat = jnp.sum(j * m[:, None], axis=0)  # (3,)
+    mt = jnp.asarray(mass_type, v.dtype)
+    parts = []
+    for t in range(num_types):
+        sel = (state.type == t) & (m > 0)
+        parts.append(mt[t] * jnp.sum(jnp.where(sel[:, None], v, 0.0), axis=0))
+    return jnp.concatenate([heat] + parts)  # (3 + 3T,)
+
+
+class HNEMDECOnsager:
+    """compute_hnemdec <mode> <output_interval> fe_x fe_y fe_z ->
+    onsager.out (ref: hnemdec_kappa.cu:155-241)."""
+
+    needs_onsager = True
+
+    def __init__(self, mode, output_interval, fe, temperature, num_types,
+                 factor):
+        self.mode = int(mode)
+        self.output_interval = int(output_interval)
+        self.fe = np.asarray(fe, dtype=float)
+        self.fe_mag = float(np.linalg.norm(self.fe))
+        self.temperature = float(temperature)
+        self.num_types = int(num_types)
+        self.factor = float(factor)  # FACTOR normalization
+        self.interval = self.output_interval
+        self._acc = np.zeros(3 + 3 * num_types)
+        self._count = 0
+
+    def consume_onsager(self, rows, first_global_step):
+        self._acc += rows.sum(axis=0)
+        self._count += len(rows)
+
+    def maybe_output(self, session):
+        from gpumd_tpu.units import KAPPA_UNIT_CONVERSION
+
+        # natural -> 1e-6 kg/smK and 1e-12 kgs/m^3K (ref constants)
+        _MASSFLUX = 1631.0961499964144
+        _MASSMASS = 16.905134572911963
+        while self._count >= self.output_interval:
+            volume = float(session.state.box.volume)
+            denom = (
+                self.output_interval * volume * self.temperature * self.fe_mag
+            )
+            if self.mode == 0:
+                f1 = KAPPA_UNIT_CONVERSION / denom
+                f2 = _MASSFLUX * self.factor / denom
+            else:
+                f1 = _MASSFLUX * self.factor / denom
+                f2 = _MASSMASS * self.factor / denom
+            cols = list(self._acc[:3] * f1) + list(self._acc[3:] * f2)
+            with open(os.path.join(session.workdir, "onsager.out"), "a") as f:
+                f.write("".join(f"{x:25.15f}" for x in cols) + "\n")
+            self._acc[:] = 0.0
+            self._count -= self.output_interval
+
+    def postprocess(self, session):
+        pass
