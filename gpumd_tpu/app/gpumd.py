@@ -1412,11 +1412,41 @@ class Session:
         )
         self.log(f"compute_shc {args}")
 
+    def kw_compute_adf(self, args):
+        """compute_adf interval bins rc_min rc_max (global) or
+        compute_adf interval bins (i j k rcminj rcmaxj rcmink rcmaxk)xM
+        (ref: adf.cu:371-460)."""
+        from gpumd_tpu.measure.properties import ADF
+
+        if len(args) == 4:
+            prop = ADF(int(args[0]), int(args[1]),
+                       rc_min=float(args[2]), rc_max=float(args[3]))
+        elif len(args) > 4 and (len(args) - 2) % 7 == 0:
+            triples = []
+            rest = args[2:]
+            for m in range(len(rest) // 7):
+                t = rest[7 * m : 7 * m + 7]
+                triples.append(
+                    (int(t[0]), int(t[1]), int(t[2]), float(t[3]),
+                     float(t[4]), float(t[5]), float(t[6]))
+                )
+            prop = ADF(int(args[0]), int(args[1]), triples=triples)
+        else:
+            raise ValueError(
+                "compute_adf needs 4 parameters or 2 + 7*Ntriples"
+            )
+        self.measure_props.append(prop)
+        self.log(f"compute_adf {args}")
+
     def kw_compute_rdf(self, args):
         from gpumd_tpu.measure.properties import RDF
 
         self.measure_props.append(
-            RDF(float(args[0]), int(args[1]), int(args[2]))
+            RDF(
+                float(args[0]), int(args[1]), int(args[2]),
+                num_types=max(1, len(self.type_names)),
+                type_names=self.type_names,
+            )
         )
 
     # ----------------------------------------------------------------- driver
@@ -1447,6 +1477,7 @@ class Session:
         "compute_msd": kw_compute_msd,
         "compute_sdc": kw_compute_sdc,
         "compute_dos": kw_compute_dos,
+        "compute_adf": kw_compute_adf,
         "compute_rdf": kw_compute_rdf,
         "compute_shc": kw_compute_shc,
         "compute_viscosity": kw_compute_viscosity,

@@ -447,18 +447,30 @@ class SHC:
 
 class RDF:
     """compute_rdf r_cut num_bins sample_interval -> rdf.out
-    (ref: rdf.cu; total g(r) for now, per-pair-type later)."""
+    (ref: rdf.cu:215-330): columns radius, total g(r), then one column per
+    unordered type pair a-b in type order, like the reference header
+    '#radius total A-A A-B B-B'."""
 
     needs_heat = False
 
-    def __init__(self, r_cut, num_bins, sample_interval):
+    def __init__(self, r_cut, num_bins, sample_interval, num_types=1,
+                 type_names=None):
         self.r_cut = float(r_cut)
         self.num_bins = int(num_bins)
         self.sample_interval = int(sample_interval)
+        self.num_types = int(num_types)
+        self.type_names = list(type_names or [])
         self.interval = self.sample_interval
+        self.pairs = [
+            (a, b)
+            for a in range(self.num_types)
+            for b in range(a, self.num_types)
+        ]
         self.hist = np.zeros(self.num_bins)
+        self.hist_pair = np.zeros((len(self.pairs), self.num_bins))
         self.n_samples = 0
         self.density = None
+        self.type_counts = None
 
     def sample_state(self, session, state, step):
         import jax.numpy as jnp
@@ -469,6 +481,7 @@ class RDF:
         n = session._n
         pos = state.position[:n]
         box = state.box
+        types = np.asarray(state.type)[:n]
         reps = num_replicas_for_cutoff(box, self.r_cut)
         # generous MN for RDF range
         nbr = neighbor_brute(
@@ -478,19 +491,52 @@ class RDF:
         m = np.asarray(nbr.mask) > 0
         h, _ = np.histogram(d[m], bins=self.num_bins, range=(0, self.r_cut))
         self.hist += h
+        if self.num_types > 1:
+            ti = np.broadcast_to(types[:, None], d.shape)
+            tj = types[np.asarray(nbr.idx) % n]  # image indices fold back
+            for k, (a, b) in enumerate(self.pairs):
+                sel = m & (
+                    ((ti == a) & (tj == b)) | ((ti == b) & (tj == a))
+                )
+                hk, _ = np.histogram(
+                    d[sel], bins=self.num_bins, range=(0, self.r_cut)
+                )
+                self.hist_pair[k] += hk
         self.n_samples += 1
         if self.density is None:
             self.density = n / float(box.volume)
+            self.type_counts = np.array(
+                [(types == t).sum() for t in range(self.num_types)]
+            )
 
     def postprocess(self, session):
         n = session._n
         dr = self.r_cut / self.num_bins
         r = (np.arange(self.num_bins) + 0.5) * dr
         shell = 4.0 * np.pi * r**2 * dr
-        g = self.hist / max(self.n_samples, 1) / n / (shell * self.density)
+        vol = n / self.density
+        ns = max(self.n_samples, 1)
+        g = self.hist / ns / n / (shell * self.density)
+        gp = []
+        for k, (a, b) in enumerate(self.pairs):
+            na = max(self.type_counts[a], 1) if self.type_counts is not None else n
+            nb = max(self.type_counts[b], 1) if self.type_counts is not None else n
+            # ordered-pair count / (N_a N_b / V) per shell; a != b counts
+            # both directions -> halve
+            norm = 1.0 if a == b else 0.5
+            gp.append(self.hist_pair[k] * norm * vol / (ns * na * nb * shell))
         with open(os.path.join(session.workdir, "rdf.out"), "a") as f:
+            if self.num_types > 1:
+                names = self.type_names or [str(t) for t in range(self.num_types)]
+                head = " ".join(
+                    f"{names[a]}-{names[b]}" for a, b in self.pairs
+                )
+                f.write(f"#radius total {head}\n")
             for i in range(self.num_bins):
-                f.write(f"{r[i]:g} {g[i]:g}\n")
+                cols = f"{r[i]:.5f} {g[i]:.5f}"
+                if self.num_types > 1:
+                    cols += "".join(f" {gk[i]:.5f}" for gk in gp)
+                f.write(cols + "\n")
 
 
 def onsager_flux(state, mass_type, num_types):
@@ -564,3 +610,113 @@ class HNEMDECOnsager:
 
     def postprocess(self, session):
         pass
+
+
+class ADF:
+    """compute_adf: bond-angle distribution -> adf.out (ref: adf.cu).
+
+    Global form: compute_adf interval bins rc_min rc_max — histogram of
+    angles j-i-k over all triples with both bond lengths inside
+    [rc_min, rc_max), bins over [0, 180) degrees, normalized to unit area.
+
+    Triple form: compute_adf interval bins (i j k rcmin_j rcmax_j rcmin_k
+    rcmax_k)xM — per-(itype, jtype, ktype) histograms with independent
+    bond windows, one output column per triple.
+    """
+
+    def __init__(self, sample_interval, num_bins, rc_min=None, rc_max=None,
+                 triples=None):
+        self.sample_interval = int(sample_interval)
+        self.interval = self.sample_interval
+        self.num_bins = int(num_bins)
+        self.global_ = triples is None
+        self.rc_min = float(rc_min) if rc_min is not None else 0.0
+        self.rc_max = float(rc_max) if rc_max is not None else 0.0
+        self.triples = triples or []
+        ncol = 1 if self.global_ else len(self.triples)
+        self.hist = np.zeros((ncol, self.num_bins))
+        self.n_samples = 0
+        self.last_step = 0
+
+    def _rc_top(self):
+        if self.global_:
+            return self.rc_max
+        return max(max(t[4], t[6]) for t in self.triples)
+
+    def sample_state(self, session, state, step):
+        import jax.numpy as jnp
+
+        from gpumd_tpu.model.box import num_replicas_for_cutoff
+        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+
+        n = session._n
+        pos = state.position[:n]
+        box = state.box
+        types = np.asarray(state.type)[:n]
+        rc = self._rc_top()
+        reps = num_replicas_for_cutoff(box, rc)
+        nbr = neighbor_brute(
+            pos, box, state.mask[:n], rc=rc, mn=96, reps=reps
+        )
+        r12 = np.asarray(nbr.r12)  # (N, MN, 3)
+        m = np.asarray(nbr.mask) > 0
+        d = np.sqrt((r12**2).sum(-1))
+        idx = np.asarray(nbr.idx)
+        # cos angle between all neighbor slot pairs, per center atom
+        dots = np.einsum("nja,nka->njk", r12, r12)
+        dd = d[:, :, None] * d[:, None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosv = np.clip(dots / np.maximum(dd, 1e-30), -1.0, 1.0)
+        theta = np.degrees(np.arccos(cosv))  # (N, MN, MN)
+        mn = d.shape[1]
+        jk = np.triu(np.ones((mn, mn), bool), k=1)[None]  # j < k slots
+
+        def _window(lo, hi):
+            return m & (d >= lo) & (d < hi)
+
+        if self.global_:
+            ok_j = _window(self.rc_min, self.rc_max)
+            sel = ok_j[:, :, None] & ok_j[:, None, :] & jk
+            h, _ = np.histogram(
+                theta[sel], bins=self.num_bins, range=(0.0, 180.0)
+            )
+            self.hist[0] += h
+        else:
+            tj = types[idx]
+            for c, (it, jt, kt, rmnj, rmxj, rmnk, rmxk) in enumerate(
+                self.triples
+            ):
+                ci = types == it
+                wj = _window(rmnj, rmxj) & (tj == jt)
+                wk = _window(rmnk, rmxk) & (tj == kt)
+                sel = wj[:, :, None] & wk[:, None, :] & ci[:, None, None]
+                if jt == kt:
+                    sel = sel & jk
+                h, _ = np.histogram(
+                    theta[sel], bins=self.num_bins, range=(0.0, 180.0)
+                )
+                self.hist[c] += h
+        self.n_samples += 1
+        self.last_step = step
+
+    def postprocess(self, session):
+        delta = 180.0 / self.num_bins
+        angles = np.arange(self.num_bins) * delta
+        with open(os.path.join(session.workdir, "adf.out"), "a") as f:
+            if self.global_:
+                f.write(f"#angles total step = {self.last_step}\n")
+                total = max(self.hist[0].sum(), 1.0)
+                for i in range(self.num_bins):
+                    f.write(f"{angles[i]:g} {self.hist[0, i] / (total * delta):g}\n")
+            else:
+                head = " ".join(
+                    f"triples_{t[0]}-{t[1]}-{t[2]}" for t in self.triples
+                )
+                f.write(f"#angles {head} step = {self.last_step}\n")
+                totals = np.maximum(self.hist.sum(axis=1), 1.0)
+                for i in range(self.num_bins):
+                    cols = " ".join(
+                        f"{self.hist[c, i] / (totals[c] * delta):g}"
+                        for c in range(len(self.triples))
+                    )
+                    f.write(f"{angles[i]:g} {cols}\n")

@@ -1,0 +1,102 @@
+"""Per-pair RDF columns and ADF bond-angle histograms
+(ref: src/measure/rdf.cu, adf.cu)."""
+
+import numpy as np
+
+from gpumd_tpu.app.gpumd import Session
+from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+
+def _binary(tmp_path, nc=3):
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    sym = (["Ar", "Kr"] * (n // 2 + 1))[:n]
+    frame = XYZFrame(
+        symbols=sym, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True, True, True),
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text(
+        "lj 2 Ar Kr\n"
+        "1.032e-2 3.405 9.0\n1.2e-2 3.5 9.0\n1.2e-2 3.5 9.0\n1.4e-2 3.6 9.0\n"
+    )
+    return n, a0
+
+
+def test_rdf_per_pair(tmp_path):
+    n, a0 = _binary(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 5
+compute_rdf 6.0 100 10
+run 20
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    lines = (tmp_path / "rdf.out").read_text().splitlines()
+    assert lines[0].startswith("#radius total Ar-Ar Ar-Kr Kr-Kr")
+    data = np.loadtxt(lines[1:])
+    assert data.shape == (100, 5)
+    r, g, gaa, gak, gkk = data.T
+    # fcc first shell at a0/sqrt(2) ~ 3.72 A: total g(r) peaks there
+    peak_r = r[np.argmax(g)]
+    assert abs(peak_r - a0 / np.sqrt(2)) < 0.3, peak_r
+    # partials are nonnegative and peak near shells
+    assert (gaa >= 0).all() and (gak >= 0).all() and (gkk >= 0).all()
+    assert gak.max() > 0.5  # mixed pairs exist
+    # consistency: total = sum of concentration-weighted partials
+    ca = 0.5
+    recon = ca * ca * gaa + 2 * ca * ca * gak / 2 * 2 + ca * ca * gkk
+    # (equal concentrations: g = 1/4 gaa + 1/2 gak + 1/4 gkk)
+    recon = 0.25 * gaa + 0.5 * gak + 0.25 * gkk
+    sel = g > 0.5
+    assert np.allclose(recon[sel], g[sel], rtol=0.25), (
+        recon[sel][:5], g[sel][:5]
+    )
+
+
+def test_adf_global(tmp_path):
+    n, a0 = _binary(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+time_step 5
+compute_adf 10 90 0.1 4.0
+run 20
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    lines = (tmp_path / "adf.out").read_text().splitlines()
+    assert lines[0].startswith("#angles total")
+    data = np.loadtxt(lines[1:])
+    assert data.shape == (90, 2)
+    ang, adf = data.T
+    # perfect fcc with first-shell cutoff: peaks at 60, 90, 120, 180 deg;
+    # zero density at small angles
+    assert adf[(ang >= 55) & (ang < 65)].sum() > 0
+    assert adf[(ang >= 85) & (ang < 95)].sum() > 0
+    assert adf[ang < 30].sum() == 0
+    # normalized: integral over degrees = 1
+    assert abs(adf.sum() * 2.0 - 1.0) < 1e-6
+
+
+def test_adf_triples(tmp_path):
+    n, a0 = _binary(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+time_step 5
+compute_adf 10 90 0 1 1 0.1 4.0 0.1 4.0
+run 10
+"""
+    )
+    Session(str(tmp_path), quiet=True).execute()
+    lines = (tmp_path / "adf.out").read_text().splitlines()
+    assert lines[0].startswith("#angles triples_0-1-1")
+    data = np.loadtxt(lines[1:])
+    assert data.shape == (90, 2)
+    assert np.isfinite(data).all()
