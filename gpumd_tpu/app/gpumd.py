@@ -234,8 +234,10 @@ class Session:
 
     def kw_ensemble(self, args):
         name = args[0]
-        # MTTK/TI-style ensembles carry keyword tokens, not a float list
-        _kw_style = name.endswith("_mttk") or name.startswith("ti")
+        # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
+        _kw_style = (
+            name.endswith("_mttk") or name.startswith("ti") or name == "msst"
+        )
         p = [] if _kw_style else [float(x) for x in args[1:]]
         if name == "nve":
             self.ensemble = NVE()
@@ -301,6 +303,19 @@ class Session:
             self.ensemble = self._parse_mttk(name, args[1:])
         elif name == "ti_spring":
             self.ensemble = self._parse_ti_spring(args[1:])
+        elif name == "msst":
+            from gpumd_tpu.integrate.ensembles.msst import MSST
+
+            d = {"x": 0, "y": 1, "z": 2}[args[1]]
+            kw2 = dict(shock_direction=d, vs=float(args[2]))
+            i2 = 3
+            while i2 < len(args):
+                key = args[i2]
+                if key not in ("qmass", "mu", "tscale", "p0", "v0", "e0"):
+                    raise ValueError(f"unknown msst token {key!r}")
+                kw2[key] = float(args[i2 + 1])
+                i2 += 2
+            self.ensemble = MSST(**kw2)
         else:
             raise ValueError(f"unsupported ensemble {name!r}")
         self.log(f"ensemble: {name} {args[1:]}")
