@@ -84,6 +84,7 @@ class Session:
         self.state: Optional[MDState] = None
         self.dt = 1.0 / TIME_UNIT_CONVERSION  # natural units (default 1 fs)
         self.ensemble = None
+        self.drivers = []
         from gpumd_tpu.model.groups import Groups
 
         self.groups = Groups(frame.groups, frame.n_atoms)
@@ -804,7 +805,8 @@ class Session:
         cache = (
             jax.jit(self.ff.refresh_cache)(state) if self.ff.skin > 0 else None
         )
-        runner = MDRunner(self.ff, ens, self.dt, chunk, observer=observer)
+        runner = MDRunner(self.ff, ens, self.dt, chunk, observer=observer,
+                          drivers=tuple(self.drivers))
         aux = None
         t0 = time.time()
         done = 0
@@ -885,6 +887,7 @@ class Session:
             if prop.finalize:
                 prop.finalize(self)
         self.properties = []
+        self.drivers = []
         # HNEMD/HNEMDEC driving forces are per-run (reset like the reference)
         if self.ff is not None and (
             self.ff.hnemd_fe is not None or self.ff.hnemdec_mode is not None
@@ -1427,6 +1430,53 @@ class Session:
         )
         self.log(f"compute_shc {args}")
 
+    def kw_add_force(self, args):
+        """add_force <gm> <gid> (fx fy fz | file) (ref: add_force.cu)."""
+        from gpumd_tpu.integrate.drivers import AddForce, parse_table_or_values
+
+        gm, gid = int(args[0]), int(args[1])
+        table = parse_table_or_values(args[2:], self.workdir)
+        self.drivers.append(
+            AddForce(gmask=np.asarray(self.groups.mask(gm, gid)), table=table)
+        )
+        self.log(f"add_force {args}")
+
+    def kw_add_efield(self, args):
+        """add_efield <gm> <gid> (Ex Ey Ez | file) [charge|bec]
+        (ref: add_efield.cu)."""
+        from gpumd_tpu.integrate.drivers import AddEfield, parse_table_or_values
+
+        gm, gid = int(args[0]), int(args[1])
+        rest = list(args[2:])
+        mode = "charge"
+        if rest and rest[-1] in ("charge", "bec"):
+            mode = rest.pop()
+        table = parse_table_or_values(rest, self.workdir)
+        self.drivers.append(
+            AddEfield(
+                gmask=np.asarray(self.groups.mask(gm, gid)), table=table,
+                use_bec=(mode == "bec"),
+            )
+        )
+        self.log(f"add_efield {args}")
+
+    def kw_add_random_force(self, args):
+        from gpumd_tpu.integrate.drivers import AddRandomForce
+
+        self.drivers.append(AddRandomForce(variance=float(args[0])))
+        self.log(f"add_random_force {args}")
+
+    def kw_electron_stop(self, args):
+        from gpumd_tpu.integrate.drivers import ElectronStop
+
+        path = args[0]
+        if not os.path.isabs(path):
+            path = os.path.join(self.workdir, path)
+        self.drivers.append(
+            ElectronStop.from_file(path, max(1, len(self.type_names)))
+        )
+        self.log(f"electron_stop {args}")
+
     def kw_compute_adf(self, args):
         """compute_adf interval bins rc_min rc_max (global) or
         compute_adf interval bins (i j k rcminj rcmaxj rcmink rcmaxk)xM
@@ -1492,6 +1542,10 @@ class Session:
         "compute_msd": kw_compute_msd,
         "compute_sdc": kw_compute_sdc,
         "compute_dos": kw_compute_dos,
+        "add_force": kw_add_force,
+        "add_efield": kw_add_efield,
+        "add_random_force": kw_add_random_force,
+        "electron_stop": kw_electron_stop,
         "compute_adf": kw_compute_adf,
         "compute_rdf": kw_compute_rdf,
         "compute_shc": kw_compute_shc,

@@ -20,9 +20,17 @@ from gpumd_tpu.integrate.thermo import Thermo, compute_thermo
 from gpumd_tpu.model.state import MDState
 
 
-def make_md_step(ff: ForceField, ensemble, dt, observer: Optional[Callable] = None):
+def make_md_step(
+    ff: ForceField,
+    ensemble,
+    dt,
+    observer: Optional[Callable] = None,
+    drivers: tuple = (),
+):
     """Build the per-step scan body. `observer(state) -> pytree` is stacked
-    over steps (default: thermo).
+    over steps (default: thermo).  `drivers` are external force drivers
+    (add_force/add_efield/electron_stop/...) applied after the force pass,
+    where the reference's run loop applies them (ref: run.cu:289-293).
 
     Carry = (state, ensemble aux, neighbor cache): the Verlet-list cache
     rides the scan so neighbor rebuilds happen only on the displacement
@@ -41,6 +49,8 @@ def make_md_step(ff: ForceField, ensemble, dt, observer: Optional[Callable] = No
             state, cache = ff.compute_cached(state, cache)
         else:
             state = ff.compute(state)
+        for drv in drivers:
+            state = drv.apply(state)
         state, aux = ensemble.step2(state, aux, dt)
         out = obs(state, aux) if obs_wants_aux else obs(state)
         return (state, aux, cache), out
@@ -62,11 +72,12 @@ class MDRunner:
         dt,
         n_steps: int,
         observer: Optional[Callable] = None,
+        drivers: tuple = (),
     ):
         self.ensemble = ensemble
         self.ff = ff
         self.n_steps = n_steps
-        step = make_md_step(ff, ensemble, dt, observer)
+        step = make_md_step(ff, ensemble, dt, observer, drivers)
 
         @jax.jit
         def _run(state, aux, cache):

@@ -1,0 +1,101 @@
+"""External force drivers: add_force / add_random_force / electron_stop /
+add_efield (ref: src/main_gpumd/add_*.cu, electron_stop.cu)."""
+
+import numpy as np
+
+from gpumd_tpu.app.gpumd import Session
+from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+
+def _argon(tmp_path, nc=2, groups=None, charges=None):
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True, True, True),
+        groups=groups,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame,
+              with_groups=groups is not None)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    return n, pos
+
+
+def test_add_force_accelerates_group(tmp_path):
+    n, pos = _argon(tmp_path, groups=np.zeros((32, 1), int))
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+time_step 5
+add_force 0 0 0.02 0 0
+dump_restart 40
+run 40
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    v = np.asarray(s.state.velocity)
+    # constant +x force on everything: net +x momentum develops
+    assert v[:, 0].mean() > 0.0
+    assert abs(v[:, 1].mean()) < 1e-6
+
+
+def test_add_random_force_keeps_momentum(tmp_path):
+    n, pos = _argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 5
+add_random_force 0.01
+run 50
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    v = np.asarray(s.state.velocity)
+    m = np.asarray(s.state.mass)
+    ptot = (m[:, None] * v).sum(axis=0)
+    assert np.all(np.abs(ptot) < 1e-6), ptot
+    assert np.abs(v).max() > 0.0
+
+
+def test_electron_stop_damps_fast_atoms(tmp_path):
+    n, pos = _argon(tmp_path)
+    # stopping table: constant power 0.2 eV/A between 1 and 100 eV
+    (tmp_path / "stop.txt").write_text(
+        "3 1.0 100.0\n0.2\n0.2\n0.2\n"
+    )
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 3000
+time_step 1
+electron_stop stop.txt
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    from gpumd_tpu.units import K_B
+
+    t_final = float(s.state.temperature())
+    assert t_final < 2500.0, t_final  # radiation energy drained
+
+
+def test_add_efield_needs_charge(tmp_path):
+    n, pos = _argon(tmp_path, groups=np.zeros((32, 1), int))
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+time_step 5
+add_efield 0 0 0.1 0 0 charge
+run 10
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="charge"):
+        s.execute()
