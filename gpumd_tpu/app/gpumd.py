@@ -1503,6 +1503,28 @@ class Session:
         self.measure_props.append(prop)
         self.log(f"compute_adf {args}")
 
+    def kw_compute_orientorder(self, args):
+        """compute_orientorder <interval> cutoff rc|nnn n <ndeg> l...
+        [average] [wl] [wlhat] (ref: orientorder.cu:795-860)."""
+        from gpumd_tpu.measure.properties import OrientOrder
+
+        interval = int(args[0])
+        mode = args[1]
+        if mode not in ("cutoff", "nnn"):
+            raise ValueError("compute_orientorder mode must be cutoff or nnn")
+        mode_param = float(args[2]) if mode == "cutoff" else int(args[2])
+        ndeg = int(args[3])
+        degrees = [int(x) for x in args[4 : 4 + ndeg]]
+        flags = [int(x) for x in args[4 + ndeg :]]
+        average = bool(flags[0]) if len(flags) > 0 else False
+        wl = bool(flags[1]) if len(flags) > 1 else False
+        wlhat = bool(flags[2]) if len(flags) > 2 else False
+        self.measure_props.append(
+            OrientOrder(interval, mode, mode_param, degrees,
+                        average=average, wl=wl, wlhat=wlhat)
+        )
+        self.log(f"compute_orientorder {args}")
+
     def kw_compute_rdf(self, args):
         from gpumd_tpu.measure.properties import RDF
 
@@ -1547,6 +1569,7 @@ class Session:
         "add_random_force": kw_add_random_force,
         "electron_stop": kw_electron_stop,
         "compute_adf": kw_compute_adf,
+        "compute_orientorder": kw_compute_orientorder,
         "compute_rdf": kw_compute_rdf,
         "compute_shc": kw_compute_shc,
         "compute_viscosity": kw_compute_viscosity,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpumd_tpu.engine.grid import DenseGridPlan, apply_perm, bin_dense, plan_grid
-from gpumd_tpu.engine.nep_dense import dense_nep_compute
+from gpumd_tpu.engine.nep_dense import dense_nep_compute_v2
 from gpumd_tpu.model.box import Box
 from gpumd_tpu.model.state import MDState, make_state
 from gpumd_tpu.potentials.nep.model import NEP
@@ -98,7 +98,7 @@ class DenseNEPMD:
     # ---- force pass ----------------------------------------------------------
 
     def compute(self, state: MDState) -> MDState:
-        out = dense_nep_compute(
+        out = dense_nep_compute_v2(
             state.position, state.type, state.mask, state.box,
             self.plan, self.nep.model, self.nep.params,
             interpret=self.interpret,

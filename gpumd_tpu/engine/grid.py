@@ -247,3 +247,74 @@ def fold_ghost_grad(dg, plan: DenseGridPlan):
         inner = inner.at[..., :cap].add(g[..., -cap:])
     # (nz, ny, 3, nx*cap) -> (n_slots, 3)
     return jnp.moveaxis(inner, 2, 0).reshape(3, -1).T
+
+
+def round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pack_candidates(garr, plan: DenseGridPlan, lane_align: int = 128):
+    """Ghost-padded grid -> per-cell packed candidate array.
+
+    garr: (nz+2, ny+2, 4, (nx+2)*cap) from pack_ghost.
+    Returns (nz, ny, nx, 4, C) where lanes 27*cap candidates of each cell's
+    3^3 window sit contiguously (C = 27*cap rounded up to `lane_align`),
+    padding parked at FAR.
+
+    This is pure XLA slicing/concat — regular DMA, no gathers — rebuilt
+    every step from current positions.  It exists so the Pallas kernels see
+    ONE lane-aligned candidate block per cell: Mosaic compile time explodes
+    on lane-misaligned window slices (the v1 kernels sliced a (4, 3cap)
+    window at cap-grain offsets; cap=88 took 2+ minutes per tile-math
+    instance to compile), while aligned full-block refs compile in seconds.
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    nxg = nx + 2
+    g5 = garr.reshape(garr.shape[0], garr.shape[1], 4, nxg, cap)
+    g5 = jnp.moveaxis(g5, 3, 2)  # (nz+2, ny+2, nx+2, 4, cap)
+    chunks = []
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                chunks.append(
+                    g5[dz : dz + nz, dy : dy + ny, dx : dx + nx]
+                )
+    cand = jnp.concatenate(chunks, axis=-1)  # (nz, ny, nx, 4, 27*cap)
+    c_pad = round_up(27 * cap, lane_align)
+    if c_pad > 27 * cap:
+        pad = jnp.full(
+            cand.shape[:-1] + (c_pad - 27 * cap,), FAR, cand.dtype
+        )
+        # type channel pad must be -1 (parked), not FAR
+        pad = pad.at[..., 3, :].set(-1.0)
+        cand = jnp.concatenate([cand, pad], axis=-1)
+    centers = g5[1 : 1 + nz, 1 : 1 + ny, 1 : 1 + nx]  # (nz, ny, nx, 4, cap)
+    return centers, cand
+
+
+def fold_candidate_grad(dcand, plan: DenseGridPlan, dtype=None):
+    """Adjoint of pack_candidates on the position channels.
+
+    dcand: (nz, ny, nx, 3, C) candidate cotangents ->
+    (nz+2, ny+2, 3, (nx+2)*cap) ghost-grid cotangents (feed fold_ghost_grad).
+    27 static cell-aligned slice-adds — no scatters.
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    dtype = dtype or dcand.dtype
+    dg5 = jnp.zeros((nz + 2, ny + 2, nx + 2, 3, cap), dtype)
+    k = 0
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                seg = dcand[..., k * cap : (k + 1) * cap]
+                dg5 = dg5.at[
+                    dz : dz + nz, dy : dy + ny, dx : dx + nx
+                ].add(seg)
+                k += 1
+    # (nzg, nyg, nxg, 3, cap) -> (nzg, nyg, 3, nxg*cap)
+    dg = jnp.moveaxis(dg5, 2, 3).reshape(
+        nz + 2, ny + 2, 3, (nx + 2) * cap
+    )
+    return dg

@@ -526,3 +526,241 @@ def dense_nep_compute(
     w_total = -jnp.einsum("zyax,zybx->ab", garr[:, :, :3], dg)
     force = -fold_ghost_grad(dg, plan) * slot_mask[:, None]
     return DenseNepOutput(energy=e_atom, force=force, virial_total=w_total)
+
+
+# --------------------------------------------------------------------------
+# v2 kernels: per-cell packed candidates (lane-aligned, grid-parallel)
+#
+# The v1 kernels walked the x row inside the kernel and sliced a (4, 3cap)
+# window at cap-grain lane offsets; Mosaic compile time explodes on such
+# misaligned lane slices (measured: cap=32 ~10 s, cap=48 ~24 s, cap=88
+# ~120 s PER ROW, x row count multiplies).  v2 moves the cell index into
+# the pallas grid and feeds each cell ONE lane-aligned candidate block
+# prepacked by XLA (grid.pack_candidates) — kernel compile cost is O(1) in
+# the grid and all lane accesses are 128-aligned.
+# --------------------------------------------------------------------------
+
+def _chunk_lanes(cap: int) -> int:
+    """Candidate-chunk width: bound cap*chunk so the K2 vjp's live tiles
+    fit VMEM (measured: cap=88 x 512 lanes -> 22 MB, over the 16 MB scope).
+    """
+    return int(np.clip((16384 // cap) // 128 * 128, 128, 512))
+
+
+def _k1b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+    """One (cell, candidate-chunk) grid step; the chunk axis is the
+    INNERMOST grid dimension so the s/a output blocks stay resident in
+    VMEM and accumulate across chunks (canonical Pallas reduction)."""
+    c_ref, w_ref, s_ref, a_ref = refs
+    cap = plan.cap
+    center = c_ref[0, 0, 0]  # (4, cap)
+    cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+    ws = [w_ref[0, 0, 0, k : k + 1, :] for k in range(4)]
+    s, a = _tile_chunk(
+        cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2], cxs[3], ws[3], spec
+    )
+    first = pl.program_id(3) == 0
+
+    @pl.when(first)
+    def _init():
+        s_ref[0, 0, 0] = s
+        # channel-leading a layout: per-ch stores index a LEADING block
+        # axis — lane-offset stores at nlm grain are unsupported in Mosaic
+        for ch in range(spec.ch_a):
+            a_ref[0, 0, 0, ch] = a[:, ch, :]
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        s_ref[0, 0, 0] += s
+        for ch in range(spec.ch_a):
+            a_ref[0, 0, 0, ch] += a[:, ch, :]
+
+
+def _k2b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+    c_ref, w_ref, cs_ref, ca_ref, dc_ref, dw_ref = refs
+    cap = plan.cap
+    center = c_ref[0, 0, 0]
+    cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+    cot_s = cs_ref[0, 0, 0]
+    # per-channel cotangent reads off a LEADING axis (aligned); the loss-
+    # scalar formulation below avoids stacking them into a 3-D vreg, which
+    # Mosaic cannot concatenate from offset-carrying slices
+    cot_a_chs = [ca_ref[0, 0, 0, ch] for ch in range(spec.ch_a)]
+    ws = [w_ref[0, 0, 0, k : k + 1, :] for k in range(4)]
+
+    def loss_fn(cx_, cy_, cz_, wx_, wy_, wz_):
+        s, a = _tile_chunk(
+            cx_, cy_, cz_, wx_, wy_, wz_, cxs[3], ws[3], spec
+        )
+        tot = jnp.sum(s * cot_s)
+        for ch in range(spec.ch_a):
+            tot = tot + jnp.sum(a[:, ch, :] * cot_a_chs[ch])
+        return tot
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+        cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2]
+    )
+    for k in range(3):
+        dw_ref[0, 0, 0, k : k + 1, :] = grads[3 + k]
+    dcen = jnp.concatenate(
+        [grads[k].reshape(1, cap) for k in range(3)], axis=0
+    )
+    first = pl.program_id(3) == 0
+
+    @pl.when(first)
+    def _init():
+        dc_ref[0, 0, 0] = dcen
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dc_ref[0, 0, 0] += dcen
+
+
+def k1b_call(centers, cand, plan: DenseGridPlan, spec: DenseNepSpec,
+             interpret: bool):
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    c_pad = cand.shape[-1]
+    chunk = _chunk_lanes(cap)
+    nc = c_pad // chunk
+    dtype = cand.dtype
+    return pl.pallas_call(
+        functools.partial(_k1b_kernel, plan, spec),
+        grid=(nz, ny, nx, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 4, cap),
+                         lambda z, y, x, c: (z, y, x, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 4, chunk),
+                         lambda z, y, x, c: (z, y, x, 0, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, cap, spec.s_width),
+                lambda z, y, x, c: (z, y, x, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, spec.ch_a, cap, spec.nlm),
+                lambda z, y, x, c: (z, y, x, 0, 0, 0),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, nx, cap, spec.s_width), dtype),
+            jax.ShapeDtypeStruct(
+                (nz, ny, nx, spec.ch_a, cap, spec.nlm), dtype
+            ),
+        ],
+        interpret=interpret,
+    )(centers, cand)
+
+
+def k2b_call(centers, cand, cot_s, cot_a, plan: DenseGridPlan,
+             spec: DenseNepSpec, interpret: bool):
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    c_pad = cand.shape[-1]
+    chunk = _chunk_lanes(cap)
+    nc = c_pad // chunk
+    dtype = cand.dtype
+    return pl.pallas_call(
+        functools.partial(_k2b_kernel, plan, spec),
+        grid=(nz, ny, nx, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 4, cap),
+                         lambda z, y, x, c: (z, y, x, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 4, chunk),
+                         lambda z, y, x, c: (z, y, x, 0, c)),
+            pl.BlockSpec(
+                (1, 1, 1, cap, spec.s_width),
+                lambda z, y, x, c: (z, y, x, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, spec.ch_a, cap, spec.nlm),
+                lambda z, y, x, c: (z, y, x, 0, 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 3, cap),
+                         lambda z, y, x, c: (z, y, x, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 3, chunk),
+                         lambda z, y, x, c: (z, y, x, 0, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, nx, 3, cap), dtype),
+            jax.ShapeDtypeStruct((nz, ny, nx, 3, c_pad), dtype),
+        ],
+        interpret=interpret,
+    )(centers, cand, cot_s, cot_a)
+
+
+def dense_nep_compute_v2(
+    position_slots,
+    type_slots,
+    slot_mask,
+    box: Box,
+    plan: DenseGridPlan,
+    model: NepModel,
+    params: NepParams,
+    interpret: Optional[bool] = None,
+) -> DenseNepOutput:
+    """v2 fused evaluation: XLA packs per-cell candidates, Pallas runs one
+    lane-aligned tile per cell (see module banner)."""
+    from gpumd_tpu.engine.grid import fold_candidate_grad, pack_candidates
+
+    spec = DenseNepSpec.from_model(model)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan)
+    centers, cand = pack_candidates(garr, plan, lane_align=_chunk_lanes(plan.cap))
+    s_cat, a_cat = k1b_call(centers, cand, plan, spec, interpret)
+    ns = plan.n_slots
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    ns_slab = ny * nx * cap
+    type_z = type_slots.reshape(nz, ns_slab)
+    mask_z = slot_mask.reshape(nz, ns_slab)
+
+    # The middle contraction + K2 run PER Z-SLAB under lax.map: at 1M atoms
+    # the full-grid angular cotangent arrays alone are ~2.5 GB each and
+    # their transposed copies blew HBM (measured 22 GB); slab-wise, only
+    # a_cat persists full-size.
+    def slab(z):
+        s_z = jax.lax.dynamic_slice_in_dim(s_cat, z, 1, 0)
+        a_z = jax.lax.dynamic_slice_in_dim(a_cat, z, 1, 0)
+        c_z = jax.lax.dynamic_slice_in_dim(centers, z, 1, 0)
+        w_z = jax.lax.dynamic_slice_in_dim(cand, z, 1, 0)
+        t_z = jax.lax.dynamic_slice_in_dim(type_z, z, 1, 0).reshape(ns_slab)
+        m_z = jax.lax.dynamic_slice_in_dim(mask_z, z, 1, 0).reshape(ns_slab)
+        s_flat = s_z.reshape(ns_slab, spec.s_width)
+        a_flat = jnp.moveaxis(a_z, 3, 4).reshape(ns_slab, spec.a_width)
+
+        def mid(sf, af):
+            e = middle_energy(sf, af, t_z, model, params)
+            return e * m_z
+
+        e_slab, vjp_mid = jax.vjp(mid, s_flat, a_flat)
+        cot_s, cot_a = vjp_mid(jnp.ones_like(e_slab))
+        cot_a6 = jnp.moveaxis(
+            cot_a.reshape(1, ny, nx, cap, spec.ch_a, spec.nlm), 4, 3
+        )
+        plan_z = DenseGridPlan(
+            grid=(nx, ny, 1), cap=cap, rc=plan.rc, skin=plan.skin,
+            pbc=plan.pbc,
+        )
+        dcenter_z, dcand_z = k2b_call(
+            c_z, w_z,
+            cot_s.reshape(1, ny, nx, cap, spec.s_width),
+            cot_a6,
+            plan_z, spec, interpret,
+        )
+        return e_slab, dcenter_z[0], dcand_z[0]
+
+    e_atom, dcenter, dcand = jax.lax.map(slab, jnp.arange(nz))
+    e_atom = e_atom.reshape(ns)
+    dg = fold_candidate_grad(dcand[..., : 27 * cap], plan, garr.dtype)
+    # center cotangents land on the interior of the ghost grid
+    dc = jnp.moveaxis(dcenter, 2, 3)  # (nz, ny, 3, nx, cap)
+    dc = dc.reshape(nz, ny, 3, nx * cap)
+    dg = dg.at[1 : 1 + nz, 1 : 1 + ny, :, cap : cap + nx * cap].add(dc)
+    w_total = -jnp.einsum("zyax,zybx->ab", garr[:, :, :3], dg)
+    force = -fold_ghost_grad(dg, plan) * slot_mask[:, None]
+    return DenseNepOutput(energy=e_atom, force=force, virial_total=w_total)

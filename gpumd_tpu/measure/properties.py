@@ -720,3 +720,194 @@ class ADF:
                         for c in range(len(self.triples))
                     )
                     f.write(f"{angles[i]:g} {cols}\n")
+
+
+def _ylm_complex(l, theta_cos, phi):
+    """Complex spherical harmonics Y_l^m for m = -l..l via the standard
+    associated-Legendre recurrence (host-side numpy; l <= ~20 stable)."""
+    x = theta_cos
+    sx = np.sqrt(np.maximum(1.0 - x * x, 0.0))
+    # P_m^m upward in m, then P_l^m upward in l
+    out = {}
+    for m in range(l + 1):
+        pmm = np.ones_like(x)
+        if m > 0:
+            fact = 1.0
+            for _ in range(m):
+                pmm = -pmm * fact * sx
+                fact += 2.0
+        if l == m:
+            plm = pmm
+        else:
+            pmmp1 = x * (2 * m + 1) * pmm
+            if l == m + 1:
+                plm = pmmp1
+            else:
+                for ll in range(m + 2, l + 1):
+                    plm = (x * (2 * ll - 1) * pmmp1 - (ll + m - 1) * pmm) / (
+                        ll - m
+                    )
+                    pmm, pmmp1 = pmmp1, plm
+        from math import factorial
+
+        norm = np.sqrt(
+            (2 * l + 1) / (4 * np.pi) * factorial(l - m) / factorial(l + m)
+        )
+        y = norm * plm * np.exp(1j * m * phi)
+        out[m] = y
+        if m > 0:
+            out[-m] = (-1) ** m * np.conj(y)
+    return out
+
+
+def _wigner3j(j1, j2, j3, m1, m2, m3):
+    """Wigner 3j symbol by the Racah sum (exact for small integer j)."""
+    if m1 + m2 + m3 != 0:
+        return 0.0
+    if abs(m1) > j1 or abs(m2) > j2 or abs(m3) > j3:
+        return 0.0
+    from math import factorial as f
+
+    delta = np.sqrt(
+        f(j1 + j2 - j3) * f(j1 - j2 + j3) * f(-j1 + j2 + j3)
+        / float(f(j1 + j2 + j3 + 1))
+    )
+    pref = delta * np.sqrt(
+        float(
+            f(j1 - m1) * f(j1 + m1) * f(j2 - m2) * f(j2 + m2)
+            * f(j3 - m3) * f(j3 + m3)
+        )
+    )
+    tmin = max(0, j2 - j3 - m1, j1 - j3 + m2)
+    tmax = min(j1 + j2 - j3, j1 - m1, j2 + m2)
+    total = 0.0
+    for t in range(tmin, tmax + 1):
+        denom = (
+            f(t) * f(j3 - j2 + t + m1) * f(j3 - j1 + t - m2)
+            * f(j1 + j2 - j3 - t) * f(j1 - t - m1) * f(j2 - t + m2)
+        )
+        total += (-1.0) ** t / denom
+    return ((-1.0) ** (j1 - j2 - m3)) * pref * total
+
+
+class OrientOrder:
+    """compute_orientorder: Steinhardt bond-orientational order parameters
+    q_l (optionally Lechner-Dellago neighbor-averaged), third-order
+    invariants w_l and normalized w_l^hat -> orientorder.out
+    (ref: orientorder.cu:317-575).
+
+    run.in: compute_orientorder <interval> cutoff <rc> | nnn <n>
+            <ndegrees> <l1> <l2> ... [average] [wl] [wlhat]
+    """
+
+    def __init__(self, interval, mode, mode_param, degrees, average=False,
+                 wl=False, wlhat=False, nnn_rc=6.0):
+        self.interval = int(interval)
+        self.mode = mode  # "cutoff" | "nnn"
+        self.rc = float(mode_param) if mode == "cutoff" else float(nnn_rc)
+        self.nnn = int(mode_param) if mode == "nnn" else 0
+        self.degrees = [int(d) for d in degrees]
+        self.average = bool(average)
+        self.wl = bool(wl)
+        self.wlhat = bool(wlhat)
+        self.blocks = []  # (step, qnarray rows)
+
+    def sample_state(self, session, state, step):
+        from gpumd_tpu.model.box import num_replicas_for_cutoff
+        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+
+        n = session._n
+        pos = state.position[:n]
+        box = state.box
+        reps = num_replicas_for_cutoff(box, self.rc)
+        nbr = neighbor_brute(
+            pos, box, state.mask[:n], rc=self.rc, mn=96, reps=reps
+        )
+        r12 = np.asarray(nbr.r12)
+        m = np.asarray(nbr.mask) > 0
+        d = np.sqrt((r12**2).sum(-1))
+        idx = np.asarray(nbr.idx)
+        if self.nnn > 0:
+            # keep the nnn nearest neighbors only
+            dd = np.where(m, d, np.inf)
+            order = np.argsort(dd, axis=1)
+            keep = np.zeros_like(m)
+            rows = np.arange(n)[:, None]
+            keep[rows, order[:, : self.nnn]] = True
+            m = m & keep
+        nb_count = m.sum(axis=1)
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ct = np.where(m, r12[..., 2] / np.maximum(d, 1e-30), 0.0)
+        phi = np.arctan2(r12[..., 1], r12[..., 0])
+
+        qlm = {}  # (l, m) -> (N,) complex neighbor-averaged qlm
+        for l in set(self.degrees):
+            y = _ylm_complex(l, ct, phi)
+            for mm in range(-l, l + 1):
+                s = np.where(m, y[mm], 0.0).sum(axis=1)
+                qlm[(l, mm)] = s / np.maximum(nb_count, 1)
+
+        if self.average:
+            # Lechner-Dellago: average qlm over the atom and its neighbors
+            for l in set(self.degrees):
+                for mm in range(-l, l + 1):
+                    v = qlm[(l, mm)]
+                    nb_sum = np.where(m, v[idx], 0.0).sum(axis=1)
+                    qlm[(l, mm)] = (v + nb_sum) / np.maximum(
+                        nb_count + 1, 1
+                    )
+
+        cols = []
+        qnorm = {}
+        for l in self.degrees:
+            s2 = sum(
+                np.abs(qlm[(l, mm)]) ** 2 for mm in range(-l, l + 1)
+            )
+            q = np.sqrt(4.0 * np.pi / (2 * l + 1) * s2)
+            qnorm[l] = q
+            cols.append(q)
+        if self.wl or self.wlhat:
+            wsums = {}
+            for l in self.degrees:
+                w = np.zeros(n)
+                for m1 in range(-l, l + 1):
+                    for m2 in range(-l, l + 1):
+                        m3 = -(m1 + m2)
+                        if abs(m3) > l:
+                            continue
+                        cg = _wigner3j(l, l, l, m1, m2, m3)
+                        if cg == 0.0:
+                            continue
+                        w = w + cg * np.real(
+                            qlm[(l, m1)] * qlm[(l, m2)] * qlm[(l, m3)]
+                        )
+                wsums[l] = w
+            if self.wl:
+                for l in self.degrees:
+                    cols.append(wsums[l])
+            if self.wlhat:
+                for l in self.degrees:
+                    qfac = np.sqrt(4.0 * np.pi / (2 * l + 1)) / np.maximum(
+                        qnorm[l], 1e-30
+                    )
+                    cols.append(wsums[l] * qfac**3)
+        if self.nnn > 0:
+            bad = nb_count < self.nnn
+            cols = [np.where(bad, 0.0, c) for c in cols]
+        self.blocks.append((step, np.stack(cols, axis=1)))
+
+    def postprocess(self, session):
+        with open(os.path.join(session.workdir, "orientorder.out"), "a") as f:
+            for step, arr in self.blocks:
+                f.write(f"step = {step}\n")
+                head = " ".join(f"ql{l}" for l in self.degrees)
+                if self.wl:
+                    head += " " + " ".join(f"wl{l}" for l in self.degrees)
+                if self.wlhat:
+                    head += " " + " ".join(
+                        f"wlhat{l}" for l in self.degrees
+                    )
+                f.write(head + "\n")
+                for row in arr:
+                    f.write(" ".join(f"{x:f}" for x in row) + "\n")

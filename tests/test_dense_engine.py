@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from gpumd_tpu.engine.grid import apply_perm, bin_dense, pack_ghost, plan_grid
-from gpumd_tpu.engine.nep_dense import dense_nep_compute
+from gpumd_tpu.engine.nep_dense import dense_nep_compute, dense_nep_compute_v2
 from gpumd_tpu.forcefield import ForceField
 from gpumd_tpu.model.box import Box
 from gpumd_tpu.model.state import make_state
@@ -57,7 +57,7 @@ def _list_reference(nep, pos, types, box):
     )
 
 
-def _dense(nep, pos, types, box, n, cap=None):
+def _dense(nep, pos, types, box, n, cap=None, v2=False):
     # engine contract: slot coordinates are the wrapped representatives
     # matching the cell assignment (re-established at every rebin)
     pos = np.asarray(box.wrap(jnp.asarray(pos)))
@@ -69,7 +69,8 @@ def _dense(nep, pos, types, box, n, cap=None):
     assert not bool(overflow)
     pos_s = apply_perm(jnp.asarray(pos), perm, fill=1.0e5)
     types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm, fill=0)
-    out = dense_nep_compute(
+    fn = dense_nep_compute_v2 if v2 else dense_nep_compute
+    out = fn(
         pos_s, types_s, slot_mask, box, plan, nep.model, nep.params,
         interpret=True,
     )
@@ -86,15 +87,16 @@ def _dense(nep, pos, types, box, n, cap=None):
     )
 
 
+@pytest.mark.parametrize("v2", [False, True], ids=["v1", "v2"])
 @pytest.mark.parametrize("zbl", [False, True])
-def test_dense_matches_list_path(rng, zbl):
+def test_dense_matches_list_path(rng, zbl, v2):
     nep = _pbte_model(zbl=zbl)
     lengths = [26.0, 27.0, 28.5]
     box = Box.orthogonal(lengths)
     n = 300
     pos, types = _random_system(rng, n, lengths)
     e_ref, f_ref, w_ref = _list_reference(nep, pos, types, box)
-    e, f, w = _dense(nep, pos, types, box, n)
+    e, f, w = _dense(nep, pos, types, box, n, v2=v2)
     np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(f, f_ref, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(w, w_ref, rtol=1e-7, atol=1e-8)
@@ -108,7 +110,7 @@ def test_dense_nonperiodic_direction(rng):
     pos, types = _random_system(rng, n, lengths)
     pos[:, 2] = pos[:, 2] * 0.9 + 1.0  # keep away from the open faces
     e_ref, f_ref, w_ref = _list_reference(nep, pos, types, box)
-    e, f, w = _dense(nep, pos, types, box, n)
+    e, f, w = _dense(nep, pos, types, box, n, v2=True)
     np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(f, f_ref, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(w, w_ref, rtol=1e-7, atol=1e-8)
