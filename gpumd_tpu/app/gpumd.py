@@ -237,7 +237,8 @@ class Session:
         name = args[0]
         # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
         _kw_style = (
-            name.endswith("_mttk") or name.startswith("ti") or name == "msst"
+            name.endswith("_mttk") or name.startswith("ti")
+            or name in ("msst", "nvt_qtb")
         )
         p = [] if _kw_style else [float(x) for x in args[1:]]
         if name == "nve":
@@ -254,6 +255,22 @@ class Session:
                 "nvt_bao": NVTBAOAB,
             }[name]
             self.ensemble = cls(t0=t1, t1=t2, coupling=tc)
+        elif name == "nvt_qtb":
+            # ensemble nvt_qtb T1 T2 Tc [f_max v] [N_f n]
+            from gpumd_tpu.integrate.ensembles.qtb import NVTQTB
+
+            t1, tc = float(args[1]), float(args[3])
+            kwq = dict(temperature=t1, coupling=tc, dt=self.dt)
+            i3 = 4
+            while i3 < len(args):
+                if args[i3] == "f_max":
+                    kwq["f_max"] = float(args[i3 + 1])
+                elif args[i3] == "N_f":
+                    kwq["n_f"] = int(args[i3 + 1])
+                else:
+                    raise ValueError(f"unknown nvt_qtb keyword {args[i3]!r}")
+                i3 += 2
+            self.ensemble = NVTQTB(**kwq)
         elif name in ("pimd", "rpmd", "trpmd"):
             # ensemble pimd <nbeads> T1 T2 Tc | rpmd/trpmd <nbeads>
             nbeads = int(p[0])
