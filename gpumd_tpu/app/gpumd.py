@@ -871,11 +871,19 @@ class Session:
                 self.state = state
                 mc_accept_total += int(na)
                 mc_trials_total += mc.num_steps_mc
+                # per-block acceptance + (sgc/vcsgc) concentrations
+                # (ref: mc_ensemble_sgc.cu mc_output tail)
+                row = f"{self.global_step}  {int(na) / mc.num_steps_mc:.6f}"
+                if mc.sgc_types:
+                    import numpy as _np
+
+                    tarr = _np.asarray(state.type)
+                    marr = _np.asarray(state.mask) > 0
+                    nr = max(int(marr.sum()), 1)
+                    for tt in mc.sgc_types:
+                        row += f" {int(((tarr == tt) & marr).sum()) / nr:.6f}"
                 fmc = self._file("mcmd.out")
-                fmc.write(
-                    f"{self.global_step} "
-                    f"{mc_accept_total / max(mc_trials_total, 1):.6f}\n"
-                )
+                fmc.write(row + "\n")
                 fmc.flush()
             for prop in self.properties:
                 if done % prop.interval == 0:
@@ -1120,24 +1128,31 @@ class Session:
         )
 
     def kw_mc(self, args):
-        """mc canonical|sgc n_md n_mc T1 T2 [num_types (sym mu)...]
-        (ref: mc.cu:206-280)."""
+        """mc canonical|sgc|vcsgc n_md n_mc T1 T2
+        [num_types (sym mu_or_phi)... [kappa]] (ref: mc.cu:206-330)."""
+        from gpumd_tpu.elements import mass_of
         from gpumd_tpu.mc.mcmd import MCMD
 
         kind = args[0]
+        if kind not in ("canonical", "sgc", "vcsgc"):
+            raise ValueError(f"invalid MC ensemble {kind!r}")
         n_md, n_mc = int(args[1]), int(args[2])
         t1, t2 = float(args[3]), float(args[4])
-        sgc_types, sgc_mu = (), ()
+        sgc_types, sgc_mu, sgc_masses = (), (), ()
+        kappa = 0.0
         if kind in ("sgc", "vcsgc"):
             ntypes = int(args[5])
             syms = args[6 : 6 + 2 * ntypes : 2]
             mus = args[7 : 7 + 2 * ntypes : 2]
             sgc_types = tuple(self.type_names.index(s) for s in syms)
             sgc_mu = tuple(float(m) for m in mus)
-            kind = "sgc"
+            sgc_masses = tuple(mass_of(s) for s in syms)
+            if kind == "vcsgc":
+                kappa = float(args[6 + 2 * ntypes])
         self.mc = MCMD(
             kind=kind, num_steps_md=n_md, num_steps_mc=n_mc,
             t_initial=t1, t_final=t2, sgc_types=sgc_types, sgc_mu=sgc_mu,
+            sgc_masses=sgc_masses, kappa=kappa,
         )
         self.log(f"mc {args}")
 

@@ -46,6 +46,15 @@ class NepTrainConfig:
     output_interval: int = 100
     type_weight: Tuple[float, ...] = ()
     seed: int = 12345678
+    # foundation-model fine-tuning (ref: parameters.cu:1424-1444)
+    fine_tune_nep_txt: str = ""
+    fine_tune_nep_restart: str = ""
+    fine_tune_descriptor: bool = False
+    import_q_scaler: bool = False
+
+    @property
+    def fine_tune(self) -> bool:
+        return bool(self.fine_tune_nep_restart)
 
 
 def parse_nep_in(path: str) -> NepTrainConfig:
@@ -124,6 +133,13 @@ def parse_nep_in(path: str) -> NepTrainConfig:
                 cfg.type_weight = tuple(float(x) for x in args)
             elif kw == "seed":
                 cfg.seed = int(args[0])
+            elif kw == "fine_tune":
+                cfg.fine_tune_nep_txt = args[0]
+                cfg.fine_tune_nep_restart = args[1]
+                if len(args) > 2:
+                    cfg.fine_tune_descriptor = bool(int(args[2]))
+            elif kw == "import_q_scaler":
+                cfg.import_q_scaler = True
             else:
                 raise ValueError(f"unknown nep.in keyword {kw!r}")
     if cfg.num_types == 0:

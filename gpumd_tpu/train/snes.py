@@ -3,18 +3,22 @@
 Reference: src/main_nep/snes.cu.  Differences in the TPU rebuild:
   * the WHOLE population is evaluated in one vmap over the batched forward
     (the reference round-robins individuals over GPUs, fitness.cu:158-199);
-  * rank-based updates use the total-fitness ordering for every variable
-    class (the reference additionally re-ranks per element block with
-    type-resolved RMSEs; planned refinement);
+  * the per-element ranked update (snes.cu:252-293, 564-592) is fully
+    vectorized: each variable class (per-type ANN block / c rows / global
+    bias) is updated with the population ordering of ITS OWN type-resolved
+    fitness, all types at once;
   * everything stays on device inside one jit per generation.
 
 Matching reference conventions:
   utilities  u_k = max(0, ln(P/2+1) - ln(k+1)), normalized, minus 1/P
   eta_sigma  = (3 + ln(D/T)) / (5 sqrt(D/T)) / 2
   update     mu += sigma * sum_k u_k z_(k);  sigma *= exp(eta * sum u (z^2-1))
-             (sigma capped at 1.0)
+             (sigma capped at 1.0), rankings per variable type
   lambda auto: sqrt(D * 1e-6 / T)
-  fitness    = L1 + L2 + lambda_e RMSE_e + lambda_f RMSE_f + lambda_v RMSE_v
+  fitness[t] = L1[t] + L2[t] + lambda_e RMSE_e[t] + lambda_f RMSE_f[t]
+               + lambda_v RMSE_v[t]   for t = 0..T-1 and t = T (global),
+    where RMSE_*[t] pools configs containing element t
+    (ref: dataset.cu get_rmse_energy/force/virial per-type arrays)
   q_scaler   = 1 / (max q - min q) over the training set
 """
 
@@ -53,6 +57,154 @@ def _utilities(population_size: int) -> np.ndarray:
     return (u / u.sum() - 1.0 / population_size).astype(np.float32)
 
 
+def type_of_variable_vector(model: NepModel) -> np.ndarray:
+    """(D,) int: owning element of each trainable variable, T = shared/global
+    (ref: snes.cu:252-293 find_type_of_variable).  Layout must mirror
+    params_from_vector: per-type ANN blocks, global bias, then the c array
+    basis-major with type-pair (t1*T+t2) minor — c rows belong to t1."""
+    t = model.num_types
+    neu, dim = model.neurons, model.dim
+    per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
+    tov = []
+    for ty in range(t):
+        tov.extend([ty] * per_type)
+    tov.append(t)  # global output bias
+    t2 = t * t
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    for _ in range(nr + na):
+        for t1 in range(t):
+            tov.extend([t1] * t)
+    out = np.asarray(tov, np.int32)
+    assert out.shape[0] == num_trainable(model)
+    return out
+
+
+_FOUNDATION_TYPES = 89  # nep89 foundation model element count
+
+
+def _element_index_89(z: int) -> int:
+    """Foundation-model slot of atomic number z (ref: snes.cu:148-155:
+    Po/At/Rn/Fr/Ra are absent from the 89-element foundation model)."""
+    missing = (84, 85, 86, 87, 88)
+    if z in missing or z < 1 or z > 94:
+        return 0
+    return z - 1 - sum(1 for m in missing if m < z)
+
+
+def fine_tune_init(model: NepModel, cfg: NepTrainConfig):
+    """(mu, sigma, q_scaler) bootstrapped from an 89-element foundation model
+    (ref: snes.cu:144-238 for mu/sigma, parameters.cu:263-281 for q_scaler).
+
+    Slices the user's elements' ANN blocks and (t1, t2) c rows out of the
+    foundation nep.restart; descriptor sigmas are zeroed (frozen) unless
+    fine_tune_descriptor.  The global-bias slot starts at (0, 0) as in the
+    reference (its vectors are zero-initialized and the slot is skipped)."""
+    nf = _FOUNDATION_TYPES
+    per_ann = (model.dim + 2) * model.neurons + (1 if model.version == 5 else 0)
+    num_ann = nf * per_ann + 1
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    num_tot = num_ann + nf * nf * (nr + na)
+    arr = np.loadtxt(cfg.fine_tune_nep_restart)
+    if arr.shape != (num_tot, 2):
+        raise ValueError(
+            f"foundation restart {cfg.fine_tune_nep_restart}: expected "
+            f"{num_tot} rows x 2 cols for this architecture, got {arr.shape}"
+        )
+    rmu, rsig = arr[:, 0], arr[:, 1]
+    d = num_trainable(model)
+    t = model.num_types
+    mu = np.zeros(d)
+    sigma = np.zeros(d)
+    cnt = 0
+    for ty in range(t):
+        ei = _element_index_89(model.atomic_numbers[ty])
+        mu[cnt : cnt + per_ann] = rmu[ei * per_ann : (ei + 1) * per_ann]
+        sigma[cnt : cnt + per_ann] = rsig[ei * per_ann : (ei + 1) * per_ann]
+        cnt += per_ann
+    cnt += 1  # global bias stays (0, 0)
+    eidx = [_element_index_89(z) for z in model.atomic_numbers]
+    for nk in range(nr + na):
+        base = num_ann + nk * nf * nf
+        for t1 in range(t):
+            for t2 in range(t):
+                src = base + eidx[t1] * nf + eidx[t2]
+                mu[cnt] = rmu[src]
+                sigma[cnt] = rsig[src] if cfg.fine_tune_descriptor else 0.0
+                cnt += 1
+    assert cnt == d
+    q_scaler = read_q_scaler_from_nep_txt(
+        cfg.fine_tune_nep_txt, model.dim, num_tot
+    )
+    return mu, sigma, q_scaler
+
+
+def read_q_scaler_from_nep_txt(path: str, dim: int, num_params: int):
+    """q_scaler block of a nep.txt: skip 7 header + num_params parameter
+    lines, read dim scaler lines (ref: parameters.cu:274-281, 292-301)."""
+    vals = []
+    with open(path) as f:
+        rows = [ln.split() for ln in f if ln.split()]
+    for row in rows[7 + num_params : 7 + num_params + dim]:
+        vals.append(float(row[0]))
+    if len(vals) != dim:
+        raise ValueError(f"{path}: expected {dim} q_scaler lines")
+    return np.asarray(vals)
+
+
+def per_type_rmses(model: NepModel, cfg: NepTrainConfig, out, batch,
+                   use_weight: bool = True):
+    """Type-resolved (T+1,) RMSE arrays, reference pooling conventions
+    (ref: dataset.cu:630-678 force, 892-951 energy, 998-1041 virial).
+
+    t < T pools configs CONTAINING element t; t = T pools all.  Training
+    weights (config weight^2, per-element type_weight, force_delta
+    demotion, lambda_shear on shear virials) apply when use_weight."""
+    t = model.num_types
+    dtype = out.energy.dtype
+    na = jnp.maximum(batch.n_atoms.astype(dtype), 1.0)
+    cw2 = batch.weight**2 if use_weight else jnp.ones_like(batch.weight)
+    # has_type: (C, T+1) config-contains-element indicator
+    onehot = jax.nn.one_hot(batch.type, t, dtype=dtype) * batch.mask[..., None]
+    has_type = jnp.concatenate(
+        [(jnp.sum(onehot, axis=1) > 0).astype(dtype),
+         jnp.ones((batch.num_configs, 1), dtype)], axis=1,
+    )  # (C, T+1)
+
+    # energy: per-config ((E-Eref)/Na)^2 * energy_weight
+    de = (out.energy - batch.energy_ref) / na
+    err_e = batch.energy_weight * de * de
+    num_e = jnp.einsum("c,ct->t", cw2 * err_e, has_type)
+    cnt_e = jnp.maximum(jnp.einsum("c,ct->t", jnp.ones_like(err_e), has_type), 1.0)
+    rmse_e = jnp.sqrt(num_e / cnt_e)
+
+    # force: pooled atoms; type_weight^2 and force_delta demotion per atom
+    df2 = jnp.sum((out.force - batch.force_ref) ** 2, axis=-1)  # (C, A)
+    if use_weight:
+        if cfg.type_weight and any(w != 1.0 for w in cfg.type_weight):
+            tw = jnp.asarray(cfg.type_weight[:t], dtype)[batch.type]
+            df2 = df2 * tw * tw
+        if cfg.force_delta > 0.0:
+            fmag = jnp.sqrt(jnp.sum(batch.force_ref**2, axis=-1))
+            df2 = df2 * (cfg.force_delta / (cfg.force_delta + fmag))
+    err_f = jnp.sum(df2 * batch.mask, axis=1)  # (C,)
+    num_f = jnp.einsum("c,ct->t", cw2 * err_f, has_type)
+    cnt_f = jnp.maximum(jnp.einsum("c,ct->t", na, has_type) * 3.0, 1.0)
+    rmse_f = jnp.sqrt(num_f / cnt_f)
+
+    # virial: 6 Voigt components per config, shear (d>=3) scaled
+    dv = (out.virial - batch.virial_ref) / na[:, None]
+    sw = cfg.lambda_shear**2 if use_weight else 1.0
+    err_v = (jnp.sum(dv[:, :3] ** 2, axis=1)
+             + sw * jnp.sum(dv[:, 3:] ** 2, axis=1)) * batch.has_virial
+    hv = has_type * batch.has_virial[:, None]
+    num_v = jnp.einsum("c,ct->t", cw2 * err_v, hv)
+    cnt_v = jnp.maximum(jnp.einsum("c,ct->t", jnp.ones_like(err_v), hv) * 6.0, 1e-12)
+    rmse_v = jnp.sqrt(num_v / cnt_v)
+    return rmse_e, rmse_f, rmse_v
+
+
 def compute_q_scaler(model: NepModel, theta, batches: List[StructureBatch]):
     """1/(max-min) per descriptor dim over the whole training set."""
     nep = NEP(model, params_from_vector(model, theta))
@@ -75,6 +227,86 @@ def compute_q_scaler(model: NepModel, theta, batches: List[StructureBatch]):
     return 1.0 / jnp.maximum(qmax - qmin, 1e-6)
 
 
+def make_population_pieces(
+    model: NepModel,
+    cfg: NepTrainConfig,
+    q_scaler,
+    lambda_1: float,
+    lambda_2: float,
+):
+    """Three jitted pieces of one SNES generation: sample / eval / update.
+
+    Split so the trainer can evaluate the SAME population over several
+    batches (use_full_batch combines per-batch RMSEs as a quadratic mean,
+    ref: fitness.cu:202-256) before the ranked update."""
+    d = num_trainable(model)
+    pop = cfg.population_size
+    t = model.num_types
+    per_class = d / t
+    eta_sigma = (3.0 + np.log(per_class)) / (5.0 * np.sqrt(per_class)) / 2.0
+    utility = jnp.asarray(_utilities(pop))
+    tov = jnp.asarray(type_of_variable_vector(model))  # (D,) in 0..T
+    # variable-class masks: rows 0..T-1 per-element, row T = everything
+    vmask = jnp.concatenate(
+        [jax.nn.one_hot(tov, t + 1, dtype=jnp.float32)[:, :t].T,
+         jnp.ones((1, d), jnp.float32)], axis=0,
+    )  # (T+1, D)
+    nv_class = jnp.concatenate(
+        [jnp.full((t,), d / t, jnp.float32), jnp.asarray([float(d)])]
+    )
+
+    def sample(state: SNESState):
+        key, sub = jax.random.split(state.key)
+        z = jax.random.normal(sub, (pop, d), state.mu.dtype)
+        thetas = state.mu[None, :] + state.sigma[None, :] * z
+        return key, z, thetas
+
+    def evaluate(thetas, batch: StructureBatch):
+        def one(theta):
+            params = params_from_vector(model, theta, q_scaler)
+            out = batched_forward(model, params, batch)
+            return per_type_rmses(model, cfg, out, batch)
+
+        return jax.vmap(one)(thetas)  # three (pop, T+1) arrays
+
+    def update(state: SNESState, key, z, thetas, rmse_e, rmse_f, rmse_v):
+        # per-class L1/L2 regularization (ref: snes.cu:462-533)
+        cost_l1 = lambda_1 * (jnp.abs(thetas) @ vmask.T) / nv_class
+        cost_l2 = lambda_2 * jnp.sqrt((thetas**2 @ vmask.T) / nv_class)
+        fitness = (
+            cost_l1
+            + cost_l2
+            + cfg.lambda_e * rmse_e
+            + cfg.lambda_f * rmse_f
+            + cfg.lambda_v * rmse_v
+        )  # (pop, T+1)
+        order = jnp.argsort(fitness, axis=0)  # (pop, T+1) per-class ranking
+        # ranked natural gradients per class, then per-variable selection
+        z_by_class = z[order.T]  # (T+1, pop, D)
+        g_mu = jnp.einsum("p,tpd->td", utility, z_by_class)
+        g_sig = jnp.einsum("p,tpd->td", utility, z_by_class**2 - 1.0)
+        grad_mu = jnp.take_along_axis(g_mu, tov[None, :], axis=0)[0]
+        grad_sigma = jnp.take_along_axis(g_sig, tov[None, :], axis=0)[0]
+        mu = state.mu + state.sigma * grad_mu
+        sigma = jnp.minimum(state.sigma * jnp.exp(eta_sigma * grad_sigma), 1.0)
+        best = order[0, t]  # global-fitness best (ref: snes.cu:370)
+        metrics = {
+            "fitness": fitness[best, t],
+            "l1": cost_l1[best, t],
+            "l2": cost_l2[best, t],
+            "rmse_e": rmse_e[best, t],
+            "rmse_f": rmse_f[best, t],
+            "rmse_v": rmse_v[best, t],
+            "best_theta": thetas[best],
+        }
+        return (
+            SNESState(mu=mu, sigma=sigma, key=key, generation=state.generation + 1),
+            metrics,
+        )
+
+    return sample, evaluate, update
+
+
 def make_generation_step(
     model: NepModel,
     cfg: NepTrainConfig,
@@ -82,67 +314,16 @@ def make_generation_step(
     lambda_1: float,
     lambda_2: float,
 ):
-    """(state, batch) -> (state, metrics) for one SNES generation."""
-    d = num_trainable(model)
-    pop = cfg.population_size
-    t = model.num_types
-    per_class = d / t
-    eta_sigma = (3.0 + np.log(per_class)) / (5.0 * np.sqrt(per_class)) / 2.0
-    utility = jnp.asarray(_utilities(pop))
-
-    def individual_rmses(theta, batch):
-        params = params_from_vector(model, theta, q_scaler)
-        out = batched_forward(model, params, batch)
-        na = jnp.maximum(batch.n_atoms.astype(out.energy.dtype), 1.0)
-        cw = batch.weight
-        de = (out.energy - batch.energy_ref) / na
-        mse_e = jnp.sum(cw * batch.energy_weight * de * de) / jnp.sum(cw)
-        df = (out.force - batch.force_ref) * batch.mask[..., None]
-        per_f = jnp.sum(df * df, axis=(1, 2)) / (3.0 * na)
-        mse_f = jnp.sum(cw * per_f) / jnp.sum(cw)
-        dv = (out.virial - batch.virial_ref) / na[:, None]
-        per_v = jnp.mean(dv * dv, axis=1) * batch.has_virial
-        denom = jnp.maximum(jnp.sum(cw * batch.has_virial), 1e-12)
-        mse_v = jnp.sum(cw * per_v) / denom
-        return jnp.sqrt(mse_e), jnp.sqrt(mse_f), jnp.sqrt(mse_v)
+    """(state, batch) -> (state, metrics) for one SNES generation
+    (single-batch convenience wrapper around make_population_pieces)."""
+    sample, evaluate, update = make_population_pieces(
+        model, cfg, q_scaler, lambda_1, lambda_2
+    )
 
     def step(state: SNESState, batch: StructureBatch):
-        key, sub = jax.random.split(state.key)
-        z = jax.random.normal(sub, (pop, d), state.mu.dtype)
-        thetas = state.mu[None, :] + state.sigma[None, :] * z
-
-        rmse_e, rmse_f, rmse_v = jax.vmap(
-            individual_rmses, in_axes=(0, None)
-        )(thetas, batch)
-        cost_l1 = lambda_1 * jnp.mean(jnp.abs(thetas), axis=1)
-        cost_l2 = lambda_2 * jnp.sqrt(jnp.mean(thetas * thetas, axis=1))
-        fitness = (
-            cost_l1
-            + cost_l2
-            + cfg.lambda_e * rmse_e
-            + cfg.lambda_f * rmse_f
-            + cfg.lambda_v * rmse_v
-        )
-        order = jnp.argsort(fitness)
-        z_sorted = z[order]
-        grad_mu = jnp.einsum("p,pd->d", utility, z_sorted)
-        grad_sigma = jnp.einsum("p,pd->d", utility, z_sorted**2 - 1.0)
-        mu = state.mu + state.sigma * grad_mu
-        sigma = jnp.minimum(state.sigma * jnp.exp(eta_sigma * grad_sigma), 1.0)
-        best = order[0]
-        metrics = {
-            "fitness": fitness[best],
-            "l1": cost_l1[best],
-            "l2": cost_l2[best],
-            "rmse_e": rmse_e[best],
-            "rmse_f": rmse_f[best],
-            "rmse_v": rmse_v[best],
-            "best_theta": thetas[best],
-        }
-        return (
-            SNESState(mu=mu, sigma=sigma, key=key, generation=state.generation + 1),
-            metrics,
-        )
+        key, z, thetas = sample(state)
+        rmse_e, rmse_f, rmse_v = evaluate(thetas, batch)
+        return update(state, key, z, thetas, rmse_e, rmse_f, rmse_v)
 
     return step
 
@@ -173,44 +354,43 @@ class SNESTrainer:
 
         rng = np.random.default_rng(cfg.seed)
         restart = os.path.join(workdir, "nep.restart")
+        q_scaler = None
         if os.path.exists(restart):
             arr = np.loadtxt(restart)
             mu, sigma = arr[:, 0], arr[:, 1]
+        elif cfg.fine_tune:
+            mu, sigma, q_scaler = fine_tune_init(model, cfg)
         else:
             mu = (rng.random(d) - 0.5) * 2.0 * cfg.initial_para
             sigma = np.full(d, cfg.sigma0)
+        if q_scaler is None and cfg.import_q_scaler:
+            q_scaler = read_q_scaler_from_nep_txt(
+                os.path.join(workdir, "nep.txt"), model.dim, d
+            )
         self.state = SNESState(
             mu=jnp.asarray(mu, dtype),
             sigma=jnp.asarray(sigma, dtype),
             key=jax.random.PRNGKey(cfg.seed),
             generation=jnp.zeros((), jnp.int32),
         )
-        self.q_scaler = compute_q_scaler(model, self.state.mu, batches)
-        self._step = jax.jit(
-            make_generation_step(
-                model, cfg, self.q_scaler, self.lambda_1, self.lambda_2
-            )
+        self.q_scaler = (
+            jnp.asarray(q_scaler, dtype) if q_scaler is not None
+            else compute_q_scaler(model, self.state.mu, batches)
         )
+        sample, evaluate, update = make_population_pieces(
+            model, cfg, self.q_scaler, self.lambda_1, self.lambda_2
+        )
+        self._sample = jax.jit(sample)
+        self._eval = jax.jit(evaluate)
+        self._update = jax.jit(update)
         self.best_theta = np.asarray(self.state.mu)
 
         def _theta_rmses(theta, batch):
-            from gpumd_tpu.train.nep_train import batched_forward
-            from gpumd_tpu.potentials.nep.params import params_from_vector
-
             params = params_from_vector(model, theta, self.q_scaler)
             out = batched_forward(model, params, batch)
-            na = jnp.maximum(batch.n_atoms.astype(out.energy.dtype), 1.0)
-            de = (out.energy - batch.energy_ref) / na
-            df = (out.force - batch.force_ref) * batch.mask[..., None]
-            per_f = jnp.sum(df * df, axis=(1, 2)) / (3.0 * na)
-            dv = (out.virial - batch.virial_ref) / na[:, None]
-            per_v = jnp.mean(dv * dv, axis=1) * batch.has_virial
-            denom = jnp.maximum(jnp.sum(batch.has_virial), 1e-12)
-            return (
-                jnp.sqrt(jnp.mean(de * de)),
-                jnp.sqrt(jnp.mean(per_f)),
-                jnp.sqrt(jnp.sum(per_v) / denom),
-            )
+            # reporting uses unweighted global RMSEs (ref: fitness.cu:443-470)
+            e, f, v = per_type_rmses(model, cfg, out, batch, use_weight=False)
+            return e[-1], f[-1], v[-1]
 
         self._theta_rmses = jax.jit(_theta_rmses)
 
@@ -233,8 +413,24 @@ class SNESTrainer:
         loss_path = os.path.join(self.workdir, "loss.out")
         t0 = time.time()
         for g in range(gens):
-            batch = self.batches[g % len(self.batches)]
-            self.state, metrics = self._step(self.state, batch)
+            gi = g % len(self.batches)
+            key, z, thetas = self._sample(self.state)
+            re, rf, rv = self._eval(thetas, self.batches[gi])
+            if self.cfg.use_full_batch and len(self.batches) > 1:
+                # quadratic mean of per-batch RMSEs (ref: fitness.cu:202-256)
+                se, sf, sv = re**2, rf**2, rv**2
+                for j, b in enumerate(self.batches):
+                    if j == gi:
+                        continue
+                    e2, f2, v2 = self._eval(thetas, b)
+                    se, sf, sv = se + e2**2, sf + f2**2, sv + v2**2
+                nb = len(self.batches)
+                re, rf, rv = (
+                    jnp.sqrt(se / nb), jnp.sqrt(sf / nb), jnp.sqrt(sv / nb)
+                )
+            self.state, metrics = self._update(
+                self.state, key, z, thetas, re, rf, rv
+            )
             if (g + 1) % self.cfg.output_interval == 0 or g == gens - 1:
                 self.best_theta = np.asarray(metrics["best_theta"])
                 row = [

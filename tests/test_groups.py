@@ -66,7 +66,8 @@ run 100
     s = Session(str(tmp_path), quiet=True)
     s.execute()
     data = np.loadtxt(tmp_path / "compute.out")
-    # 2 groups x (T, U) = 4 columns, 2 output rows
-    assert data.shape == (2, 4)
+    # 2 groups x (T, U) + 2 bath-energy columns appended with temperature
+    # (ref: compute.cu:553-556), 2 output rows
+    assert data.shape == (2, 6)
     assert np.all(data[:, :2] > 5.0)  # temperatures plausible
-    assert np.all(data[:, 2:] < 0.0)  # cohesive potential negative
+    assert np.all(data[:, 2:4] < 0.0)  # cohesive potential negative

@@ -124,3 +124,123 @@ def test_prediction_mode(workdir):
     assert e.shape == (8, 2)
     fr = np.loadtxt(os.path.join(workdir, "force_train.out"))
     assert fr.shape[1] == 6
+
+
+def test_type_of_variable_vector():
+    """Variable classes mirror the params_from_vector layout
+    (ref: snes.cu:252-293)."""
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.potentials.nep.params import num_trainable
+    from gpumd_tpu.train.snes import type_of_variable_vector
+
+    cfg = NepTrainConfig(
+        num_types=2, symbols=("Te", "Pb"), n_max_radial=4, n_max_angular=4,
+        basis_size_radial=4, basis_size_angular=4, l_max=4, l_max_4body=2,
+        l_max_5body=0, neurons=10,
+    )
+    model = model_from_config(cfg)
+    tov = type_of_variable_vector(model)
+    assert tov.shape == (num_trainable(model),)
+    per_type = (model.dim + 2) * model.neurons
+    # ANN blocks
+    assert (tov[:per_type] == 0).all()
+    assert (tov[per_type : 2 * per_type] == 1).all()
+    # global bias is shared (class T)
+    assert tov[2 * per_type] == 2
+    # c-array rows: type-pair minor, owner = t1
+    tail = tov[2 * per_type + 1 :]
+    assert tail.shape[0] == 2 * 2 * (5 * 5 + 5 * 5)
+    assert list(tail[:4]) == [0, 0, 1, 1]
+
+
+def test_per_type_rmse_pooling():
+    """Per-type RMSEs pool only configs containing that element
+    (ref: dataset.cu:630-678)."""
+    import jax
+    from gpumd_tpu.io.nep_input import NepTrainConfig
+    from gpumd_tpu.potentials.nep.params import NepModel
+    from gpumd_tpu.train.nep_train import ConfigOutput
+    from gpumd_tpu.train.snes import per_type_rmses
+
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("A", "B"),
+        atomic_numbers=(1, 2), rc_radial=(6.0, 6.0), rc_angular=(4.0, 4.0),
+        mn_radial=8, mn_angular=8, n_max_radial=2, n_max_angular=2,
+        basis_size_radial=2, basis_size_angular=2, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=4,
+    )
+    cfg = NepTrainConfig(num_types=2, symbols=("A", "B"))
+
+    class FakeBatch:
+        # config 0: pure type-0 (2 atoms); config 1: mixed (1+1)
+        type = jnp.asarray([[0, 0], [0, 1]])
+        mask = jnp.ones((2, 2))
+        n_atoms = jnp.asarray([2, 2])
+        num_configs = 2
+        energy_ref = jnp.asarray([0.0, 0.0])
+        force_ref = jnp.zeros((2, 2, 3))
+        virial_ref = jnp.zeros((2, 6))
+        has_virial = jnp.asarray([1.0, 1.0])
+        weight = jnp.ones(2)
+        energy_weight = jnp.ones(2)
+
+    out = ConfigOutput(
+        energy=jnp.asarray([2.0, 4.0]),  # per-atom de: 1.0 and 2.0
+        force=jnp.zeros((2, 2, 3)),
+        virial=jnp.zeros((2, 6)),
+    )
+    e, f, v = per_type_rmses(model, cfg, out, FakeBatch())
+    # type 0 pools both configs; type 1 only config 1; global both
+    assert np.isclose(float(e[0]), np.sqrt((1.0 + 4.0) / 2))
+    assert np.isclose(float(e[1]), 2.0)
+    assert np.isclose(float(e[2]), np.sqrt((1.0 + 4.0) / 2))
+
+
+def test_fine_tune_init(tmp_path):
+    """Foundation-model bootstrap slices the right ANN blocks and c rows
+    (ref: snes.cu:144-238, parameters.cu:263-281)."""
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.potentials.nep.params import num_trainable
+    from gpumd_tpu.train.snes import (
+        _element_index_89, fine_tune_init,
+    )
+
+    nf = 89
+    cfg = NepTrainConfig(
+        num_types=2, symbols=("Si", "Ge"), n_max_radial=1, n_max_angular=1,
+        basis_size_radial=1, basis_size_angular=1, l_max=4, l_max_4body=0,
+        neurons=2,
+        fine_tune_nep_txt=str(tmp_path / "nep89.txt"),
+        fine_tune_nep_restart=str(tmp_path / "nep89.restart"),
+    )
+    model = model_from_config(cfg)
+    per_ann = (model.dim + 2) * model.neurons
+    nr = na = 4
+    num_tot = nf * per_ann + 1 + nf * nf * (nr + na)
+    rmu = np.arange(num_tot, dtype=float)
+    rsig = rmu + 0.5
+    np.savetxt(tmp_path / "nep89.restart", np.stack([rmu, rsig], 1))
+    with open(tmp_path / "nep89.txt", "w") as f:
+        for i in range(7):
+            f.write(f"header{i} x y\n")
+        for i in range(num_tot):
+            f.write("0.0\n")
+        for i in range(model.dim):
+            f.write(f"{float(i + 1)}\n")
+
+    mu, sigma, qs = fine_tune_init(model, cfg)
+    assert mu.shape == (num_trainable(model),)
+    e_si = _element_index_89(14)  # Si, Z=14 -> slot 13
+    assert e_si == 13
+    assert np.allclose(mu[:per_ann], rmu[e_si * per_ann : (e_si + 1) * per_ann])
+    # global bias frozen at zero
+    assert mu[2 * per_ann] == 0.0 and sigma[2 * per_ann] == 0.0
+    # first c row: (t1=Si, t2=Si) of nk=0
+    e_ge = _element_index_89(32)
+    c0 = mu[2 * per_ann + 1]
+    assert c0 == rmu[nf * per_ann + 1 + e_si * nf + e_si]
+    # descriptor sigmas frozen without fine_tune_descriptor
+    assert (sigma[2 * per_ann + 1 :] == 0.0).all()
+    assert np.allclose(qs, np.arange(1, model.dim + 1, dtype=float))
+    # element map skips Po..Ra
+    assert _element_index_89(83) == 82 and _element_index_89(89) == 83
