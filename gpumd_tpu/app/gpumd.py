@@ -172,6 +172,8 @@ class Session:
             from gpumd_tpu.potentials.nep.charge import NEPCharge
 
             pot = NEPCharge.from_file(path)
+            if getattr(self, "_kspace_method", None):
+                pot = pot._replace(kspace_method=self._kspace_method)
             self.type_names = list(pot.model.symbols)
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
@@ -321,6 +323,10 @@ class Session:
             self.ensemble = self._parse_mttk(name, args[1:])
         elif name == "ti_spring":
             self.ensemble = self._parse_ti_spring(args[1:])
+        elif name == "ti":
+            self.ensemble = self._parse_ti(args[1:])
+        elif name in ("ti_rs", "ti_as"):
+            self.ensemble = self._parse_ti_npt(name, args[1:])
         elif name == "msst":
             from gpumd_tpu.integrate.ensembles.msst import MSST
 
@@ -337,6 +343,78 @@ class Session:
         else:
             raise ValueError(f"unsupported ensemble {name!r}")
         self.log(f"ensemble: {name} {args[1:]}")
+
+    def _parse_ti(self, toks):
+        """ensemble ti lambda x temp T [tperiod tau] spring El k ...
+        (ref: ensemble_ti.cu:77-113)."""
+        from gpumd_tpu.integrate.ensembles.ti import TI
+
+        kw = dict(num_types=max(1, len(self.type_names)))
+        toks = list(toks)
+        i = 0
+        spring = {}
+        while i < len(toks):
+            t = toks[i]
+            if t == "lambda":
+                kw["lam"] = float(toks[i + 1]); i += 2
+            elif t == "temp":
+                kw["temperature"] = float(toks[i + 1]); i += 2
+            elif t == "tperiod":
+                kw["coupling"] = float(toks[i + 1]); i += 2
+            elif t == "spring":
+                i += 1
+                while i + 1 < len(toks):
+                    spring[toks[i]] = float(toks[i + 1])
+                    i += 2
+            else:
+                raise ValueError(f"unknown ti token {t!r}")
+        missing = [s for s in self.type_names if s not in spring]
+        if missing:
+            raise ValueError(f"ti: spring constants missing for {missing}")
+        kw["spring_k"] = tuple(spring[s] for s in self.type_names)
+        return TI(**kw)
+
+    def _parse_ti_npt(self, name, toks):
+        """ensemble ti_rs temp T Tmax iso|aniso|tri P [tperiod x]
+        [pperiod x] [tswitch n] [tequil n]   (ref: ensemble_ti_rs.cu:52-105)
+        ensemble ti_as temp T press pmin pmax iso P ...
+        (ref: ensemble_ti_as.cu:24-135)."""
+        from gpumd_tpu.integrate.ensembles.ti import TIAS, TIRS
+
+        toks = list(toks)
+        kw = {}
+        mode = "iso"
+        press = 0.0
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "temp":
+                if name == "ti_rs":
+                    kw["t_start"] = kw["t_stop"] = float(toks[i + 1])
+                    kw["t_max"] = float(toks[i + 2]); i += 3
+                else:
+                    kw["t_start"] = kw["t_stop"] = float(toks[i + 1]); i += 2
+            elif t == "press":
+                kw["p_min"] = float(toks[i + 1])
+                kw["p_max"] = float(toks[i + 2]); i += 3
+            elif t in ("iso", "aniso", "tri"):
+                mode = t
+                press = float(toks[i + 1]); i += 2
+            elif t == "tperiod":
+                kw["t_period"] = float(toks[i + 1]); i += 2
+            elif t == "pperiod":
+                kw["p_period"] = float(toks[i + 1]); i += 2
+            elif t == "tswitch":
+                kw["t_switch"] = int(toks[i + 1]); i += 2
+            elif t == "tequil":
+                kw["t_equil"] = int(toks[i + 1]); i += 2
+            else:
+                raise ValueError(f"unknown {name} token {t!r}")
+        cls = TIRS if name == "ti_rs" else TIAS
+        if name == "ti_as" and "p_min" not in kw:
+            kw["p_min"] = kw["p_max"] = press
+        cfg = cls._baro_config(press, press, mode)
+        return cls(use_thermostat=True, use_barostat=True, **cfg, **kw)
 
     def _parse_ti_spring(self, toks):
         """ensemble ti_spring temp T [tperiod tau] [tswitch n tequil n]
@@ -797,15 +875,11 @@ class Session:
         ]
         from gpumd_tpu.measure.properties import heat_current_5, stress_6
 
-        from gpumd_tpu.integrate.ensembles.ti import TISpring
-
-        is_ti = isinstance(ens, TISpring)
+        is_ti = hasattr(ens, "csv_name")
         if is_ti and (needs_heat or needs_stress):
-            raise ValueError("ti_spring runs do not support heat/stress observers")
+            raise ValueError("TI runs do not support heat/stress observers")
         if is_ti:
-            observer = lambda s, a: (  # noqa: E731
-                a["lambda"], a["dlambda"], a["pe"], a["espring"],
-            )
+            observer = lambda s, a: ens.observe(s, a)  # noqa: E731
         elif needs_heat or needs_stress or onsager_props:
             from gpumd_tpu.measure.properties import onsager_flux
 
@@ -832,15 +906,9 @@ class Session:
             state, (aux, cache), obs = runner(state, aux=aux, cache=cache)
             self._ens_aux = aux  # processors read e.g. heat-bath e_transfer
             if is_ti:
-                fcsv = self._file("ti_spring.csv", "lambda,dlambda,pe,espring\n")
-                lam, dlam, pe, es = (np.asarray(o) for o in obs)
-                inv_n = 1.0 / self._n
-                for r in range(len(lam)):
-                    if dlam[r] != 0.0:
-                        fcsv.write(
-                            f"{lam[r]:e},{dlam[r]:e},"
-                            f"{pe[r] * inv_n:e},{es[r] * inv_n:e}\n"
-                        )
+                fcsv = self._file(ens.csv_name, ens.csv_header)
+                for row in ens.csv_rows(obs, self._n):
+                    fcsv.write(row)
                 fcsv.flush()
             done += chunk
             self.global_step += chunk
@@ -893,7 +961,7 @@ class Session:
         wall = time.time() - t0
         rate = self._n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second")
-        if is_ti:
+        if is_ti and type(ens).__name__ == "TISpring":
             summary = ens.free_energy(state, aux)
             fy = self._file("ti_spring.yaml")
             for k2, v2 in summary.items():
@@ -1126,6 +1194,25 @@ class Session:
         self.log(
             f"minimize {method}: {int(steps)} steps, U = {e:.10f} eV"
         )
+
+    def kw_kspace(self, args):
+        """kspace ewald|pppm: k-space backend for qNEP electrostatics
+        (ref: nep_charge.cu:46-75 — scanned from run.in by the reference)."""
+        method = args[0]
+        if method not in ("ewald", "pppm"):
+            raise ValueError("kspace method can only be ewald or pppm")
+        self._kspace_method = method
+        # apply to already-loaded charge potentials
+        if getattr(self, "ff", None) is not None:
+            import dataclasses
+
+            pots = tuple(
+                p._replace(kspace_method=method)
+                if hasattr(p, "kspace_method") else p
+                for p in self.ff.potentials
+            )
+            self.ff = dataclasses.replace(self.ff, potentials=pots)
+        self.log(f"kspace {method}")
 
     def kw_mc(self, args):
         """mc canonical|sgc|vcsgc n_md n_mc T1 T2
@@ -1610,6 +1697,7 @@ class Session:
         "dump_polarizability": kw_dump_polarizability,
         "active": kw_active,
         "mc": kw_mc,
+        "kspace": kw_kspace,
         "move": kw_move,
         "deform": kw_deform,
         "run": kw_run,

@@ -55,6 +55,19 @@ class TISpring:
     seed: int = 12345
     mobile: Optional[object] = None
 
+    csv_name = "ti_spring.csv"
+    csv_header = "lambda,dlambda,pe,espring\n"
+
+    def observe(self, state, aux):
+        return (aux["lambda"], aux["dlambda"], aux["pe"], aux["espring"])
+
+    def csv_rows(self, obs, n):
+        lam, dlam, pe, es = (np.asarray(o) for o in obs)
+        for r in range(len(lam)):
+            if dlam[r] != 0.0:
+                yield (f"{lam[r]:e},{dlam[r]:e},"
+                       f"{pe[r] / n:e},{es[r] / n:e}\n")
+
     def _schedule(self):
         ts = self.t_switch if self.t_switch > 0 else int(self.n_steps * 0.4)
         te = self.t_equil if self.t_equil > 0 else int(self.n_steps * 0.1)
@@ -208,3 +221,225 @@ class TISpring:
             "P": self.target_pressure,
             "G": e_ein + e_diff + self.target_pressure * v,
         }
+
+
+@dataclass(frozen=True)
+class TI(TISpring):
+    """Equilibrium TI at fixed lambda (ref: src/integrate/ensemble_ti.cu):
+    f = (1 - lambda) f_pot + lambda (-k (x - x0)) under a global Langevin
+    thermostat; ti.csv rows (pe/N, espring/N) integrate dF/dlambda on a
+    user-chosen lambda grid across runs.
+
+    run.in: ensemble ti lambda x temp T [tperiod tau] spring El k ...
+    """
+
+    lam: float = 0.0
+
+    csv_name = "ti.csv"
+    csv_header = "pe,espring\n"
+
+    def init(self, state: MDState):
+        if self.spring_k is None:
+            raise ValueError("ti: spring constants are required")
+        aux = super().init(state)
+        dtype = state.velocity.dtype
+        aux["lambda"] = jnp.asarray(self.lam, dtype)
+        return aux
+
+    def step2(self, state, aux, dt):
+        disp = state.box.minimum_image(state.position - aux["x0"])
+        d2 = jnp.sum(disp * disp, axis=-1) * state.mask
+        pe = jnp.sum(state.potential_energy * state.mask)
+        espring = jnp.sum(0.5 * aux["k"] * d2)
+        f = (1.0 - self.lam) * state.force - self.lam * aux["k"][:, None] * disp
+        state = state._replace(force=f * state.mask[:, None])
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        key, sub = jax.random.split(aux["key"])
+        state = self._kick(state, sub)
+        return state, {
+            **aux, "key": key, "i": aux["i"] + 1,
+            "pe": pe, "espring": espring,
+        }
+
+    def observe(self, state, aux):
+        return (aux["pe"], aux["espring"])
+
+    def csv_rows(self, obs, n):
+        pe, es = (np.asarray(o) for o in obs)
+        for r in range(len(pe)):
+            yield f"{pe[r] / n:e},{es[r] / n:e}\n"
+
+
+from gpumd_tpu.integrate.ensembles.mttk import MTTK  # noqa: E402
+
+
+@dataclass(frozen=True)
+class TIRS(MTTK):
+    """Reversible-scaling TI (ref: src/integrate/ensemble_ti_rs.cu):
+    NPT MTTK with the whole Hamiltonian (forces, virial, target pressure)
+    scaled by lambda(t) ramping 1 -> lambda_f = T_start / T_max and back;
+    one run yields F(T) over [T_start, T_max] via reversible scaling.
+    Writes ti_rs.csv rows (lambda, dlambda, enthalpy/N).
+
+    run.in: ensemble ti_rs temp T Tmax iso|aniso|tri P
+            [tperiod x] [pperiod x] [tswitch n] [tequil n]
+    """
+
+    t_max: float = 0.0
+    t_switch: int = -1
+    t_equil: int = -1
+
+    csv_name = "ti_rs.csv"
+    csv_header = "lambda,dlambda,enthalpy\n"
+
+    @property
+    def lambda_f(self):
+        return self.t_start / self.t_max
+
+    def _schedule(self):
+        ts = self.t_switch if self.t_switch > 0 else int(self.n_steps * 0.4)
+        te = self.t_equil if self.t_equil > 0 else int(self.n_steps * 0.1)
+        return ts, te
+
+    # switch_func/dswitch_func (ref: ensemble_ti_rs.cu:283-289)
+    def _switch(self, x):
+        a = 1.0 / self.lambda_f - 1.0
+        return 1.0 / (1.0 + x * a)
+
+    def _dswitch(self, x, ts):
+        a = 1.0 / self.lambda_f - 1.0
+        return -(a / (1.0 + a * x) ** 2) / ts
+
+    def _lambda_update(self, aux, dtype):
+        ts, te = self._schedule()
+        t = (aux["i"] - te).astype(dtype)
+        r = 1.0 / ts
+        leg1 = (t >= 0) & (t < ts)
+        leg2 = (t >= te + ts) & (t <= te + 2 * ts)
+        x1 = jnp.clip(t * r, 0.0, 1.0)
+        x2 = jnp.clip(1.0 - (t - ts - te) * r, 0.0, 1.0)
+        lam = jnp.where(
+            leg1, self._switch(x1),
+            jnp.where(leg2, self._switch(x2), aux.get("lambda", 1.0)),
+        )
+        dlam = jnp.where(
+            leg1, self._dswitch(x1, ts),
+            jnp.where(leg2, -self._dswitch(x2, ts), 0.0),
+        )
+        return lam, dlam
+
+    def init(self, state: MDState):
+        aux = super().init(state)
+        dtype = state.velocity.dtype
+        aux["lambda"] = jnp.ones((), dtype)
+        aux["dlambda"] = jnp.zeros((), dtype)
+        aux["pe"] = jnp.zeros((), dtype)
+        aux["vol"] = state.box.volume.astype(dtype)
+        return aux
+
+    def _p_target(self, aux, dtype):
+        # target pressure scales with lambda (ref: get_target_pressure)
+        pt, hydro = super()._p_target(aux, dtype)
+        lam = aux["lambda"].astype(dtype)
+        return pt * lam, hydro * lam
+
+    def step2(self, state, aux, dt):
+        dtype = state.velocity.dtype
+        lam, dlam = self._lambda_update(aux, dtype)
+        aux = {**aux, "lambda": lam, "dlambda": dlam,
+               "pe": jnp.sum(state.potential_energy * state.mask),
+               "vol": state.box.volume.astype(dtype)}
+        state = state._replace(
+            force=state.force * lam, virial=state.virial * lam
+        )
+        return super().step2(state, aux, dt)
+
+    def observe(self, state, aux):
+        return (aux["lambda"], aux["dlambda"], aux["pe"], aux["vol"])
+
+    def csv_rows(self, obs, n):
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        lam, dlam, pe, vol = (np.asarray(o) for o in obs)
+        p0 = self.p_start[0][0] / PRESSURE_UNIT_CONVERSION
+        for r in range(len(lam)):
+            if dlam[r] != 0.0:
+                h = (pe[r] + p0 * vol[r]) / n
+                yield f"{lam[r]:e},{dlam[r]:e},{h:e}\n"
+
+
+@dataclass(frozen=True)
+class TIAS(MTTK):
+    """Adiabatic-switching TI over pressure (ref: ensemble_ti_as.cu):
+    MTTK NPT whose diagonal target pressure ramps p_min -> p_max and back;
+    G(p) follows from integrating V dp along the quasistatic ramp.
+    Writes ti_as.csv rows (p, V/N).
+
+    run.in: ensemble ti_as temp T press pmin pmax [iso P] [tperiod x]
+            [pperiod x] [tswitch n] [tequil n]
+    """
+
+    p_min: float = 0.0  # GPa
+    p_max: float = 0.0  # GPa
+    t_switch: int = -1
+    t_equil: int = -1
+
+    csv_name = "ti_as.csv"
+    csv_header = "p,V\n"
+
+    def _schedule(self):
+        ts = self.t_switch if self.t_switch > 0 else int(self.n_steps * 0.4)
+        te = self.t_equil if self.t_equil > 0 else int(self.n_steps * 0.1)
+        return ts, te
+
+    def _pp(self, aux, dtype):
+        """Instantaneous diagonal pressure target in eV/A^3 + in-leg flag
+        (ref: ensemble_ti_as.cu get_target_pressure; the backward leg here
+        subtracts the equilibration offset so the ramp returns exactly to
+        p_min — the reference's `(t - t_switch)` keeps a t_equil offset that
+        undershoots p_min at the end of the backward leg)."""
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        ts, te = self._schedule()
+        t = aux["i"].astype(dtype)
+        r = 1.0 / max(ts - 1, 1)
+        pmin = self.p_min / PRESSURE_UNIT_CONVERSION
+        pmax = self.p_max / PRESSURE_UNIT_CONVERSION
+        leg1 = (t >= 0) & (t < ts)
+        leg2 = (t >= te + ts) & (t <= te + 2 * ts)
+        back = jnp.clip((t - ts - te) * r, 0.0, 1.0)
+        pp = jnp.where(
+            leg1, pmin + t * r * (pmax - pmin),
+            jnp.where(leg2, pmax - back * (pmax - pmin), pmin),
+        )
+        # between the legs hold at p_max (equilibration at load)
+        hold = (t >= ts) & (t < te + ts)
+        pp = jnp.where(hold, pmax, pp)
+        return pp, (leg1 | leg2)
+
+    def _p_target(self, aux, dtype):
+        pp, _ = self._pp(aux, dtype)
+        pt = jnp.eye(3, dtype=dtype) * pp
+        return pt, pt
+
+    def init(self, state: MDState):
+        aux = super().init(state)
+        dtype = state.velocity.dtype
+        aux["vol"] = state.box.volume.astype(dtype)
+        return aux
+
+    def step2(self, state, aux, dt):
+        aux = {**aux, "vol": state.box.volume.astype(state.velocity.dtype)}
+        return super().step2(state, aux, dt)
+
+    def observe(self, state, aux):
+        pp, inleg = self._pp(aux, aux["vol"].dtype)
+        return (pp, aux["vol"], inleg)
+
+    def csv_rows(self, obs, n):
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        pp, vol, inleg = (np.asarray(o) for o in obs)
+        for r in range(len(pp)):
+            if inleg[r]:
+                yield f"{pp[r] * PRESSURE_UNIT_CONVERSION:e},{vol[r] / n:e}\n"

@@ -73,3 +73,75 @@ run 1600
     f = float(yaml["F"])
     assert np.isfinite(f)
     assert -0.09 < f < -0.065, f
+
+
+def test_ti_fixed_lambda(tmp_path):
+    """Fixed-lambda TI (ref: ensemble_ti.cu): mixed Hamiltonian runs and
+    logs per-step (pe/N, espring/N) rows."""
+    n = _write_argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble ti lambda 0.5 temp 20 tperiod 100 spring Ar 0.5
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    csv = np.genfromtxt(tmp_path / "ti.csv", delimiter=",", skip_header=1)
+    assert csv.shape == (200, 2)
+    assert np.isfinite(csv).all()
+    assert (csv[:, 0] < 0).all()  # cohesive pe
+    assert (csv[:, 1] >= 0).all()  # spring energy
+    # spring energy should be small at lambda=0.5, T=20K (bound atoms)
+    assert csv[-1, 1] < 0.05
+
+
+def test_ti_rs_lambda_ramp(tmp_path):
+    """Reversible scaling: lambda ramps 1 -> T/Tmax and back; csv rows
+    (lambda, dlambda, enthalpy/N) recorded in both legs
+    (ref: ensemble_ti_rs.cu)."""
+    n = _write_argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble ti_rs temp 20 40 iso 0 tperiod 100 pperiod 1000 tswitch 80 tequil 20
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    csv = np.genfromtxt(tmp_path / "ti_rs.csv", delimiter=",", skip_header=1)
+    assert csv.shape[1] == 3
+    lam = csv[:, 0]
+    assert lam.max() > 0.98  # starts at 1
+    assert abs(lam.min() - 0.5) < 0.02  # lambda_f = 20/40
+    assert np.isfinite(csv[:, 2]).all()
+    # both legs: dlambda changes sign
+    assert (csv[:, 1] < 0).any() and (csv[:, 1] > 0).any()
+
+
+def test_ti_as_pressure_ramp(tmp_path):
+    """Adiabatic switching: target pressure ramps p_min -> p_max and back;
+    V/N shrinks under load (ref: ensemble_ti_as.cu)."""
+    n = _write_argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble ti_as temp 20 press 0 0.2 tperiod 100 pperiod 500 tswitch 80 tequil 20
+run 260
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    csv = np.genfromtxt(tmp_path / "ti_as.csv", delimiter=",", skip_header=1)
+    assert csv.shape[1] == 2
+    p = csv[:, 0]
+    assert abs(p.max() - 0.2) < 1e-6 and abs(p.min()) < 1e-6
+    v = csv[:, 1]
+    assert np.isfinite(v).all()
+    # volume at max pressure below volume at zero pressure
+    assert v[np.argmax(p)] < v[0]
