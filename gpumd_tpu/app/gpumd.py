@@ -1094,6 +1094,137 @@ class Session:
         )
         self.log(f"deform: {self.deform} A/step")
 
+    def kw_compute_chunk(self, args):
+        """compute_chunk sample_int output_int bin/1d|2d|3d (axis lower
+        delta)... props... -> compute_chunk.out
+        (ref: compute_chunk.cu:147-350).
+
+        Row format per chunk per output: chunk_id coord(s) count props...
+        Temperature from per-chunk kinetic energy; density/number uses the
+        chunk volume; velocities/forces are per-atom chunk averages."""
+        sample_interval = int(args[0])
+        output_interval = int(args[1])
+        style = args[2]
+        ndim = {"bin/1d": 1, "bin/2d": 2, "bin/3d": 3}[style]
+        vol = float(self.box.volume)
+        thick = np.asarray(self.box.thickness(), float)
+        axes, deltas, nlayers, box_len = [], [], [], []
+        i = 3
+        for _ in range(ndim):
+            ax = {"x": 0, "y": 1, "z": 2}[args[i]]
+            if args[i + 1] != "lower":
+                raise ValueError("compute_chunk: origin must be lower")
+            delta = float(args[i + 2])
+            axes.append(ax)
+            deltas.append(delta)
+            bl = thick[ax]
+            box_len.append(bl)
+            nlayers.append(max(int(np.ceil(bl / delta)), 1))
+            i += 3
+        props = list(args[i:])
+        known = ("temperature", "density/number", "density/mass",
+                 "vx", "vy", "vz", "fx", "fy", "fz")
+        for p in props:
+            if p not in known:
+                raise ValueError(f"compute_chunk: invalid property {p!r}")
+        nchunk = int(np.prod(nlayers))
+
+        def bin_width(d, k):
+            rem = box_len[d] - (nlayers[d] - 1) * deltas[d]
+            return deltas[d] if k < nlayers[d] - 1 else rem
+
+        def bin_center(d, k):
+            if k < nlayers[d] - 1:
+                return (k + 0.5) * deltas[d]
+            rem = box_len[d] - (nlayers[d] - 1) * deltas[d]
+            return (nlayers[d] - 1) * deltas[d] + rem * 0.5
+
+        # chunk volumes + centers, reference ordering (fastest axis first)
+        volumes = np.zeros(nchunk)
+        coords = np.zeros((nchunk, ndim))
+        grids = [range(nl) for nl in nlayers]
+        idx2 = 0
+        import itertools
+
+        for combo in itertools.product(*reversed(grids)):
+            combo = tuple(reversed(combo))  # (i0, i1, i2) fastest first
+            if ndim == 1:
+                w = (vol / box_len[0]) * bin_width(0, combo[0])
+            elif ndim == 2:
+                third = 3 - axes[0] - axes[1]
+                w = bin_width(0, combo[0]) * bin_width(1, combo[1]) * thick[third]
+            else:
+                w = np.prod([bin_width(d, combo[d]) for d in range(3)])
+            volumes[idx2] = w
+            coords[idx2] = [bin_center(d, combo[d]) for d in range(ndim)]
+            idx2 += 1
+
+        acc = {
+            "count": np.zeros(nchunk),
+            "vals": np.zeros((nchunk, len(props))),
+            "n": 0,
+        }
+        fout = self._file("compute_chunk.out")
+
+        def process(session, state, step):
+            from gpumd_tpu.units import K_B
+
+            pos = np.asarray(state.box.wrap(state.position))
+            mask = np.asarray(state.mask) > 0
+            bins = np.zeros(pos.shape[0], np.int64)
+            mult = 1
+            for d in range(ndim):
+                b = (pos[:, axes[d]] / deltas[d]).astype(np.int64)
+                b = np.clip(b, 0, nlayers[d] - 1)
+                bins += b * mult
+                mult *= nlayers[d]
+            bins = np.where(mask, bins, nchunk)  # padding -> overflow bin
+            acc["count"] += np.bincount(bins, minlength=nchunk + 1)[:nchunk]
+            v = np.asarray(state.velocity)
+            f = np.asarray(state.force)
+            m = np.asarray(state.mass)
+            for j, p in enumerate(props):
+                if p == "temperature":
+                    val = 0.5 * m * (v**2).sum(axis=-1)
+                elif p == "density/number":
+                    val = np.ones_like(m)
+                elif p == "density/mass":
+                    val = m
+                elif p[0] == "v":
+                    val = v[:, "xyz".index(p[1])]
+                else:
+                    val = f[:, "xyz".index(p[1])]
+                acc["vals"][:, j] += np.bincount(
+                    bins, weights=val * mask, minlength=nchunk + 1
+                )[:nchunk]
+            acc["n"] += 1
+            if acc["n"] % output_interval == 0:
+                ns = acc["n"]
+                for c in range(nchunk):
+                    cnt = acc["count"][c] / ns
+                    row = [f"{c} "]
+                    row += [f"{coords[c][d]:.6f} " for d in range(ndim)]
+                    row.append(f"{cnt:.1f} ")
+                    for j, p in enumerate(props):
+                        s = acc["vals"][c, j] / ns
+                        if p == "temperature":
+                            t = (2.0 * s / (K_B * 3.0 * cnt)) if cnt > 0 else 0.0
+                            row.append(f"{t:.10e} ")
+                        elif p == "density/number":
+                            row.append(f"{cnt / volumes[c]:.10e} ")
+                        elif p == "density/mass":
+                            row.append(f"{s / volumes[c]:.10e} ")
+                        else:
+                            row.append(f"{s / cnt if cnt > 0 else 0.0:.10e} ")
+                    fout.write("".join(row) + "\n")
+                fout.flush()
+                acc["count"][:] = 0
+                acc["vals"][:] = 0
+                acc["n"] = 0
+
+        self.properties.append(PropertyRequest(sample_interval, process))
+        self.log(f"compute_chunk {args}")
+
     def kw_compute(self, args):
         """compute <method> <sample_int> <output_int> temperature|potential|
         force|virial|jp|jk|momentum ... -> compute.out.
@@ -1674,6 +1805,7 @@ class Session:
         "correct_velocity": kw_correct_velocity,
         "fix": kw_fix,
         "compute": kw_compute,
+        "compute_chunk": kw_compute_chunk,
         "minimize": kw_minimize,
         "replicate": kw_replicate,
         "compute_phonon": kw_compute_phonon,

@@ -38,13 +38,18 @@ from gpumd_tpu.units import K_C, PI
 
 
 class NEPCharge(NamedTuple):
-    """qNEP potential (charge_mode 1: Ewald real+reciprocal)."""
+    """qNEP potential (charge_mode 1: real-space + k-space electrostatics).
+
+    k-space backend: PPPM mesh solve by default, classical Ewald on demand
+    (ref: nep_charge.cuh:179 use_pppm default, run.in `kspace` keyword
+    nep_charge.cu:46-75)."""
 
     model: NepModel
     params: NepParams
     w1_charge: jnp.ndarray  # (T, neurons) charge head
     sqrt_epsilon_inf: jnp.ndarray  # ()
     charge_mode: int
+    kspace_method: str = "pppm"
 
     @property
     def rc(self) -> float:
@@ -239,10 +244,14 @@ class NEPCharge(NamedTuple):
         return np.asarray(ks), np.asarray(gs)
 
     def reciprocal_energy(self, q, positions, kvec, gk):
+        """E_rec = K_C sum_halfspace gk |S(k)|^2 with gk = 2 (2pi/V)/k^2
+        e^{-k^2/4a^2} (ref: ewald.cu find_k_and_G + per-atom sum; equals the
+        textbook (2 pi K_C / V) sum_fullspace |S|^2 e / k^2 — verified
+        against the NaCl Madelung constant)."""
         kr = positions @ kvec.T  # (N, K)
         s_re = jnp.sum(q[:, None] * jnp.cos(kr), axis=0)
         s_im = -jnp.sum(q[:, None] * jnp.sin(kr), axis=0)
-        return 0.5 * K_C * jnp.sum(gk * (s_re**2 + s_im**2))
+        return K_C * jnp.sum(gk * (s_re**2 + s_im**2))
 
     # ---- Potential interface ---------------------------------------------------
 
@@ -252,10 +261,25 @@ class NEPCharge(NamedTuple):
         mask = state.mask
         type_ = state.type
         t2 = type_[nbr.idx]
-        kvec_np, gk_np = self.kvectors(state.box)
         dtype = state.position.dtype
-        kvec = jnp.asarray(kvec_np, dtype)
-        gk = jnp.asarray(gk_np, dtype)
+        alpha = self._alpha()
+        use_pppm = self.kspace_method == "pppm"
+        if use_pppm:
+            from gpumd_tpu.potentials.nep.pppm import (
+                best_mesh,
+                pppm_reciprocal_energy,
+                pppm_virial_total,
+            )
+
+            mesh = best_mesh(state.box)
+            e_rec_fn = lambda q, pos: pppm_reciprocal_energy(
+                q, pos, state.box, alpha, mesh
+            )
+        else:
+            kvec_np, gk_np = self.kvectors(state.box)
+            kvec = jnp.asarray(kvec_np, dtype)
+            gk = jnp.asarray(gk_np, dtype)
+            e_rec_fn = lambda q, pos: self.reciprocal_energy(q, pos, kvec, gk)
 
         def total_energy(r12, pos):
             e_nep, q_raw = self.energy_and_charge(r12, type_, t2)
@@ -263,7 +287,7 @@ class NEPCharge(NamedTuple):
             n_real = jnp.maximum(jnp.sum(mask), 1.0)
             q = (q_raw - jnp.sum(q_raw) / n_real) * mask
             e_real = self.real_space_energy(q, r12, nbr.idx, nbr.mask)
-            e_rec = self.reciprocal_energy(q, pos, kvec, gk)
+            e_rec = e_rec_fn(q, pos)
             e_atoms = (e_nep + e_real) * mask
             return jnp.sum(e_atoms) + e_rec, (e_atoms, e_rec, q)
 
@@ -275,19 +299,21 @@ class NEPCharge(NamedTuple):
         force = force_pair - dpos  # direct position gradient (reciprocal)
         # Reciprocal virial: exact total via the analytic k-space expression,
         # spread uniformly (per-atom attribution planned).
-        kr = state.position @ kvec.T
-        s_re = jnp.sum(q[:, None] * jnp.cos(kr), axis=0)
-        s_im = -jnp.sum(q[:, None] * jnp.sin(kr), axis=0)
-        s2 = s_re**2 + s_im**2
-        alpha = self._alpha()
-        ksq = jnp.sum(kvec * kvec, axis=1)
-        pref = 0.5 * K_C * gk * s2
-        eye = jnp.eye(3, dtype=dtype)
-        w_rec = jnp.einsum("k,ab->ab", pref, eye) - jnp.einsum(
-            "k,ka,kb->ab",
-            pref * 2.0 * (1.0 / ksq + 1.0 / (4.0 * alpha**2)),
-            kvec, kvec,
-        )
+        if use_pppm:
+            w_rec = pppm_virial_total(q, state.position, state.box, alpha, mesh)
+        else:
+            kr = state.position @ kvec.T
+            s_re = jnp.sum(q[:, None] * jnp.cos(kr), axis=0)
+            s_im = -jnp.sum(q[:, None] * jnp.sin(kr), axis=0)
+            s2 = s_re**2 + s_im**2
+            ksq = jnp.sum(kvec * kvec, axis=1)
+            pref = K_C * gk * s2
+            eye = jnp.eye(3, dtype=dtype)
+            w_rec = jnp.einsum("k,ab->ab", pref, eye) - jnp.einsum(
+                "k,ka,kb->ab",
+                pref * 2.0 * (1.0 / ksq + 1.0 / (4.0 * alpha**2)),
+                kvec, kvec,
+            )
         n_real = jnp.maximum(jnp.sum(mask), 1.0)
         virial = virial + w_rec[None] / n_real * mask[:, None, None]
         # fold the reciprocal energy into per-atom energies uniformly

@@ -140,3 +140,47 @@ run 300
     assert np.isfinite(data).all()
     # shear correlation at lag 0 positive
     assert data[0, 4] > 0
+
+
+def test_compute_chunk(tmp_path):
+    """Spatial chunk binning (ref: compute_chunk.cu): 1-D bins along x with
+    temperature, number density, and vx columns."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 3
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        f"""potential lj.txt
+velocity 40
+time_step 5
+ensemble nve
+compute_chunk 5 10 bin/1d x lower {a0} temperature density/number vx
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    data = np.loadtxt(tmp_path / "compute_chunk.out")
+    # 3 bins x 2 output windows; columns: id coord count T rho vx
+    assert data.shape == (6, 6)
+    assert np.allclose(data[:3, 0], [0, 1, 2])
+    assert np.allclose(data[:3, 1], [a0 / 2, 1.5 * a0, 2.5 * a0])
+    # homogeneous crystal: each bin holds n/3 atoms on average
+    assert np.allclose(data[:, 2], n / 3, atol=n * 0.05)
+    # number density = 4 atoms per a0^3 cell
+    assert np.allclose(data[:, 4], 4.0 / a0**3, rtol=0.2)
+    # temperatures plausible (run started at 40 K)
+    assert (data[:, 3] > 5.0).all() and (data[:, 3] < 60.0).all()

@@ -107,3 +107,47 @@ def test_water_qnep_runs():
     out = ff.compute(state)
     assert np.isfinite(float(jnp.sum(out.potential_energy)))
     assert np.isfinite(np.asarray(out.force)).all()
+
+
+@requires_reference
+def test_ewald_pppm_consistency(batio3):
+    """PPPM mesh solve agrees with classical Ewald on energies and forces
+    (mirror of tests_pytest/test_kspace_consistency.py; the mesh error at
+    spacing ~1 A with order-5 splines is well under force tolerance)."""
+    nep, frame, state, ff = batio3
+    nbr = ff.neighbor.build(state.position, state.box, state.mask)
+    out_e = nep._replace(kspace_method="ewald").compute_with_state(state, nbr)
+    out_p = nep._replace(kspace_method="pppm").compute_with_state(state, nbr)
+    e_ew = float(jnp.sum(out_e.energy * state.mask))
+    e_pp = float(jnp.sum(out_p.energy * state.mask))
+    n = int(jnp.sum(state.mask))
+    assert abs(e_ew - e_pp) / n < 2e-4  # eV/atom
+    f_e = np.asarray(out_e.force)
+    f_p = np.asarray(out_p.force)
+    assert np.max(np.abs(f_e - f_p)) < 5e-3  # eV/A
+    w_e = np.asarray(jnp.sum(out_e.virial, axis=0))
+    w_p = np.asarray(jnp.sum(out_p.virial, axis=0))
+    assert np.max(np.abs(w_e - w_p)) < 5e-2  # eV total virial
+
+
+@requires_reference
+def test_pppm_energy_matches_ewald_point_charges():
+    """Bare k-space backends agree for random neutral point charges."""
+    from gpumd_tpu.potentials.nep.pppm import best_mesh, pppm_reciprocal_energy
+
+    rng = np.random.default_rng(3)
+    n = 24
+    lbox = 11.0
+    box = Box.orthogonal(np.array([lbox, lbox, lbox]))
+    pos = jnp.asarray(rng.random((n, 3)) * lbox)
+    q = rng.random(n) - 0.5
+    q -= q.mean()
+    q = jnp.asarray(q)
+
+    nep = NEPCharge.from_file(f"{MODELS}/qnep_mode1_BaTiO3.txt")
+    kv, gk = nep.kvectors(box)
+    e_ew = float(nep.reciprocal_energy(q, pos, jnp.asarray(kv), jnp.asarray(gk)))
+    alpha = nep._alpha()
+    mesh = best_mesh(box)
+    e_pp = float(pppm_reciprocal_energy(q, pos, box, alpha, mesh))
+    assert abs(e_ew - e_pp) < 2e-3 * max(abs(e_ew), 1.0), (e_ew, e_pp)
