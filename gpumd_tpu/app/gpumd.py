@@ -1420,6 +1420,54 @@ class Session:
         )
         self.log(f"compute_hac {args}")
 
+    def kw_compute_gkma(self, args):
+        """compute_gkma sample_int first_mode last_mode bin_size|f_bin_size x
+        -> heatmode.out (ref: modal_analysis.cu:650-748)."""
+        from gpumd_tpu.measure.properties import ModalAnalysis
+
+        kw = {}
+        if args[3] == "bin_size":
+            kw["bin_size"] = int(args[4])
+        elif args[3] == "f_bin_size":
+            kw["f_bin_size"] = float(args[4])
+        else:
+            raise ValueError("compute_gkma: invalid binning keyword")
+        self.measure_props.append(
+            ModalAnalysis(
+                "gkma", int(args[0]), int(args[1]), int(args[2]),
+                eig_path=os.path.join(self.workdir, "eigenvector.in"), **kw,
+            )
+        )
+        self.log(f"compute_gkma {args}")
+
+    def kw_compute_hnema(self, args):
+        """compute_hnema sample_int output_int fe_x fe_y fe_z first last
+        bin_size|f_bin_size x -> kappamode.out; also applies the HNEMD
+        driving force (ref: modal_analysis.cu:751-830)."""
+        import dataclasses
+
+        from gpumd_tpu.measure.properties import ModalAnalysis
+
+        fe_vec = (float(args[2]), float(args[3]), float(args[4]))
+        self.ff = dataclasses.replace(self.ff, hnemd_fe=fe_vec)
+        fe = float(np.sqrt(sum(x * x for x in fe_vec)))
+        kw = {}
+        if args[7] == "bin_size":
+            kw["bin_size"] = int(args[8])
+        elif args[7] == "f_bin_size":
+            kw["f_bin_size"] = float(args[8])
+        else:
+            raise ValueError("compute_hnema: invalid binning keyword")
+        self.measure_props.append(
+            ModalAnalysis(
+                "hnema", int(args[0]), int(args[5]), int(args[6]),
+                output_interval=int(args[1]), fe=fe,
+                temperature=self._ensemble_temperature(),
+                eig_path=os.path.join(self.workdir, "eigenvector.in"), **kw,
+            )
+        )
+        self.log(f"compute_hnema {args}")
+
     def kw_compute_hnemd(self, args):
         import dataclasses
 
@@ -1811,6 +1859,8 @@ class Session:
         "compute_phonon": kw_compute_phonon,
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,
+        "compute_gkma": kw_compute_gkma,
+        "compute_hnema": kw_compute_hnema,
         "compute_hnemdec": kw_compute_hnemdec,
         "compute_msd": kw_compute_msd,
         "compute_sdc": kw_compute_sdc,

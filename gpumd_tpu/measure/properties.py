@@ -911,3 +911,125 @@ class OrientOrder:
                 f.write(head + "\n")
                 for row in arr:
                     f.write(" ".join(f"{x:f}" for x in row) + "\n")
+
+
+class ModalAnalysis:
+    """compute_gkma / compute_hnema: modal decomposition of the heat
+    current onto normal-mode eigenvectors (ref: modal_analysis.cu:241-657).
+
+    Reads `eigenvector.in` (binary float32: 3*Np omega^2 values in
+    ascending order, then per mode [ex(Np), ey(Np), ez(Np)]).  Per sample,
+    with mass-scaled modal velocity xdot_c[m] = sum_i e_c[m,i] sqrt(m_i)
+    v_i,c and stress columns W[:, a, c]/sqrt(m_i):
+
+        jm_c[m, a] = (sum_i e_c[m,i] W[i,a,c]/sqrt(m_i)) * xdot_c[m]
+        jxi = jmx[:,0]+jmy[:,0]; jxo = jmz[:,0]; jyi = jmx[:,1]+jmy[:,1];
+        jyo = jmz[:,1]; jz = jmx[:,2]+jmy[:,2]+jmz[:,2]
+
+    GKMA (heatmode.out): per-sample binned modal currents (user runs the
+    Green-Kubo integral offline).  HNEMA (kappamode.out): accumulates over
+    samples and emits per-bin kappa scaled by
+    KAPPA_UNIT_CONVERSION / (V T fe samples_per_output).
+    """
+
+    def __init__(self, method, sample_interval, first_mode, last_mode,
+                 bin_size=None, f_bin_size=None, output_interval=None,
+                 fe=0.0, temperature=300.0, eig_path="eigenvector.in"):
+        self.method = method  # "gkma" | "hnema"
+        self.sample_interval = int(sample_interval)
+        self.output_interval = int(output_interval or sample_interval)
+        self.interval = self.sample_interval
+        self.first_mode = int(first_mode)
+        self.last_mode = int(last_mode)
+        self.num_modes = self.last_mode - self.first_mode + 1
+        self.bin_size = bin_size
+        self.f_bin_size = f_bin_size
+        self.fe = fe
+        self.temperature = temperature
+        self.eig_path = eig_path
+        self._eig = None
+        self._jm_acc = None
+        self._nsamp = 0
+
+    def _load(self, n_atoms):
+        raw = np.fromfile(self.eig_path, dtype=np.float32)
+        np3 = 3 * n_atoms
+        if raw.size < np3 * (1 + self.last_mode):
+            raise ValueError(
+                f"eigenvector.in too small: {raw.size} floats, need "
+                f">= {np3 * (1 + self.last_mode)}"
+            )
+        om2 = raw[:np3]
+        eig = raw[np3:np3 * (1 + self.last_mode)].reshape(-1, 3, n_atoms)
+        eig = eig[self.first_mode - 1 : self.last_mode]
+        self._eig = eig  # (num_modes, 3, Np)
+        # binning (ref: preprocess f_flag branch)
+        if self.f_bin_size is not None:
+            f = np.copysign(
+                np.sqrt(np.abs(om2)) / (2.0 * np.pi), om2
+            )[self.first_mode - 1 : self.last_mode]
+            eps = 1e-6
+            fmax = (np.floor(abs(f[-1]) / self.f_bin_size) + 1) * self.f_bin_size
+            fmin = np.floor(abs(f[0]) / self.f_bin_size) * self.f_bin_size
+            shift = int(np.floor(abs(fmin) / self.f_bin_size + eps))
+            self.num_bins = int(np.floor((fmax - fmin) / self.f_bin_size + eps))
+            self._mode_bin = (
+                np.abs(f / self.f_bin_size).astype(np.int64) - shift
+            )
+        else:
+            bs = int(self.bin_size)
+            self.num_bins = int(np.ceil(self.num_modes / bs))
+            self._mode_bin = np.arange(self.num_modes) // bs
+        self._jm_acc = np.zeros((self.num_modes, 5))
+
+    def sample_state(self, session, state, step):
+        mask = np.asarray(state.mask) > 0
+        n = int(mask.sum())
+        if self._eig is None:
+            self._load(n)
+        v = np.asarray(state.velocity)[:n]
+        w = np.asarray(state.virial)[:n]  # (Np, 3, 3), J_a = W_ab v_b
+        m = np.asarray(state.mass)[:n]
+        sq = np.sqrt(m)
+        jm_c = np.zeros((3, self.num_modes, 3))
+        for c in range(3):
+            e_c = self._eig[:, c, :]  # (modes, Np)
+            xdot = e_c @ (sq * v[:, c])  # (modes,)
+            sm = w[:, :, c] / sq[:, None]  # (Np, 3): columns W[a, c]
+            jm_c[c] = (e_c @ sm) * xdot[:, None]
+        jm = np.stack(
+            [
+                jm_c[0, :, 0] + jm_c[1, :, 0],  # jxi
+                jm_c[2, :, 0],                  # jxo
+                jm_c[0, :, 1] + jm_c[1, :, 1],  # jyi
+                jm_c[2, :, 1],                  # jyo
+                jm_c[0, :, 2] + jm_c[1, :, 2] + jm_c[2, :, 2],  # jz
+            ],
+            axis=1,
+        )  # (modes, 5)
+        if self.method == "gkma":
+            self._write_bins(session, jm)
+        else:
+            self._jm_acc += jm
+            self._nsamp += 1
+            if (self._nsamp * self.sample_interval) % self.output_interval == 0:
+                spo = self.output_interval // self.sample_interval
+                vol = float(state.box.volume)
+                factor = KAPPA_UNIT_CONVERSION / (
+                    vol * self.temperature * self.fe * spo
+                )
+                self._write_bins(session, self._jm_acc * factor)
+                self._jm_acc[:] = 0.0
+                self._nsamp = 0
+
+    def _write_bins(self, session, jm):
+        out = np.zeros((self.num_bins, 5))
+        np.add.at(out, self._mode_bin, jm)
+        name = "heatmode.out" if self.method == "gkma" else "kappamode.out"
+        f = session._file(name)
+        for row in out:
+            f.write(" ".join(f"{x:g}" for x in row) + "\n")
+        f.flush()
+
+    def postprocess(self, session):
+        pass

@@ -184,3 +184,108 @@ run 100
     assert np.allclose(data[:, 4], 4.0 / a0**3, rtol=0.2)
     # temperatures plausible (run started at 40 K)
     assert (data[:, 3] > 5.0).all() and (data[:, 3] < 60.0).all()
+
+
+def test_gkma_mode_completeness(tmp_path):
+    """With a complete orthonormal eigenbasis (identity modes), the summed
+    modal heat current equals the total heat current component-wise
+    (ref: modal_analysis.cu compute_heat)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+
+    # identity eigenbasis: 3n modes; mode m has e_c[i] = delta(3i+c == m).
+    # File layout: 3n omega^2 floats, then per mode [ex(n), ey(n), ez(n)].
+    nm = 3 * n
+    buf = [np.arange(1, nm + 1, dtype=np.float32)]  # fake ascending omega^2
+    for mode in range(nm):
+        e = np.zeros((3, n), np.float32)
+        e[mode % 3, mode // 3] = 1.0
+        buf.append(e.reshape(-1))
+    np.concatenate(buf).tofile(tmp_path / "eigenvector.in")
+
+    (tmp_path / "run.in").write_text(
+        f"""potential lj.txt
+velocity 40
+time_step 5
+ensemble nve
+compute_gkma 10 1 {nm} bin_size 1
+run 20
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    data = np.loadtxt(tmp_path / "heatmode.out")
+    assert data.shape == (2 * nm, 5)
+    jm = data[:nm]  # first sample, one bin per mode
+    # completeness: sum over modes = total per-atom heat current sums
+    state = s.state
+    mask = np.asarray(state.mask) > 0
+    v = np.asarray(state.velocity)[mask]
+    w = np.asarray(state.virial)[mask]
+    # use the SECOND sample (state at step 20 == final state)
+    jm2 = data[nm:]
+    jxi = float(np.sum(w[:, 0, 0] * v[:, 0] + w[:, 0, 1] * v[:, 1]))
+    jxo = float(np.sum(w[:, 0, 2] * v[:, 2]))
+    jz = float(np.sum(w[:, 2, 0] * v[:, 0] + w[:, 2, 1] * v[:, 1]
+                      + w[:, 2, 2] * v[:, 2]))
+    assert np.isclose(jm2[:, 0].sum(), jxi, rtol=1e-4, atol=1e-8)
+    assert np.isclose(jm2[:, 1].sum(), jxo, rtol=1e-4, atol=1e-8)
+    assert np.isclose(jm2[:, 4].sum(), jz, rtol=1e-4, atol=1e-8)
+
+
+def test_hnema_runs(tmp_path):
+    """HNEMA accumulates and scales modal kappa (kappamode.out)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    nm = 3 * n
+    buf = [np.arange(1, nm + 1, dtype=np.float32)]
+    rng = np.random.default_rng(0)
+    for mode in range(nm):
+        e = rng.normal(size=3 * n).astype(np.float32)
+        buf.append(e / np.linalg.norm(e))
+    np.concatenate(buf).tofile(tmp_path / "eigenvector.in")
+    (tmp_path / "run.in").write_text(
+        f"""potential lj.txt
+velocity 40
+time_step 5
+ensemble nvt_lan 40 40 100
+compute_hnema 5 20 0.0001 0 0 1 {nm} bin_size 8
+run 40
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    data = np.loadtxt(tmp_path / "kappamode.out")
+    nbins = int(np.ceil(nm / 8))
+    assert data.shape == (2 * nbins, 5)
+    assert np.isfinite(data).all()
