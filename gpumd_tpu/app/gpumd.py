@@ -1420,6 +1420,107 @@ class Session:
         )
         self.log(f"compute_hac {args}")
 
+    def kw_compute_extrapolation(self, args):
+        """compute_extrapolation asi_file <f> gamma_low x gamma_high x
+        [check_interval n] [dump_interval n] -> extrapolation_dump.xyz
+        (ref: extrapolation.cu:44-240).
+
+        gamma_i = max |ASI[type_i] @ B_i| with B_i the per-atom ANN-parameter
+        gradient (B-projection); structures with gamma in [low, high) are
+        dumped; gamma > high aborts the run."""
+        import jax as _jax
+
+        kw = {"check_interval": 1, "dump_interval": 1,
+              "gamma_low": 0.0, "gamma_high": 1e100}
+        i = 0
+        asi_file = None
+        while i < len(args):
+            k = args[i]
+            if k == "asi_file":
+                asi_file = args[i + 1]
+            elif k in ("gamma_low", "gamma_high"):
+                kw[k] = float(args[i + 1])
+            elif k in ("check_interval", "dump_interval"):
+                kw[k] = int(args[i + 1])
+            else:
+                raise ValueError(f"compute_extrapolation: bad token {k!r}")
+            i += 2
+        if asi_file is None:
+            raise ValueError("compute_extrapolation needs asi_file")
+        # parse ASI: blocks "Element shape1 shape2 <shape1*shape2 floats>"
+        toks = open(os.path.join(self.workdir, asi_file)).read().split()
+        asi_by_type = {}
+        p = 0
+        while p < len(toks):
+            el = toks[p]
+            s1, s2 = int(toks[p + 1]), int(toks[p + 2])
+            vals = np.asarray([float(x) for x in toks[p + 3 : p + 3 + s1 * s2]])
+            asi_by_type[self.type_names.index(el)] = vals.reshape(s1, s2)
+            p += 3 + s1 * s2
+        nep = self.ff.potentials[0]
+        if not hasattr(nep, "b_projection"):
+            raise ValueError("compute_extrapolation requires a NEP potential")
+        bsize = nep.model.neurons * (nep.model.dim + 2)
+        # per-atom ASI stack (types are static)
+        asi = np.zeros((len(self.type_names), bsize, bsize))
+        for t, m in asi_by_type.items():
+            if m.shape != (bsize, bsize):
+                raise ValueError(
+                    f"ASI for type {t}: shape {m.shape} != ({bsize},{bsize})"
+                )
+            asi[t] = m
+        asi_j = jnp.asarray(asi, jnp.float32)
+
+        @_jax.jit
+        def gamma_of(state):
+            pos = state.box.wrap(state.position)
+            nbr = self.ff.neighbor.build(pos, state.box, state.mask)
+            t2 = state.type[nbr.idx]
+            b = nep.b_projection(nbr.r12, state.type, t2)  # (N, bsize)
+            g_full = jnp.einsum("nij,nj->ni", asi_j[state.type], b)
+            return jnp.max(jnp.abs(g_full), axis=-1) * state.mask
+
+        holder = {"last_dump": -(10**9)}
+        fdump = self._file("extrapolation_dump.xyz")
+
+        def process(session, state, step):
+            gamma = np.asarray(gamma_of(state))
+            mg = float(gamma.max())
+            if mg >= kw["gamma_low"]:
+                if step == 0 or step - holder["last_dump"] >= kw["dump_interval"]:
+                    holder["last_dump"] = step
+                    self._dump_gamma(fdump, state, gamma, mg)
+            if mg > kw["gamma_high"]:
+                self._dump_gamma(fdump, state, gamma, mg)
+                raise RuntimeError(
+                    f"extrapolation grade {mg:.4f} exceeds gamma_high "
+                    f"at step {step}; terminating (ref: extrapolation.cu:207)"
+                )
+
+        self.properties.append(PropertyRequest(kw["check_interval"], process))
+        self.log(f"compute_extrapolation {args}")
+
+    def _dump_gamma(self, f, state, gamma, max_gamma):
+        mask = np.asarray(state.mask) > 0
+        pos = np.asarray(state.position)[mask]
+        types = np.asarray(state.type)[mask]
+        h = np.asarray(state.box.h)
+        n = int(mask.sum())
+        f.write(f"{n}\n")
+        pbc = " ".join("T" if p else "F" for p in np.asarray(state.box.pbc) > 0)
+        lat = " ".join(f"{h[i, j]:.8f}" for j in range(3) for i in range(3))
+        f.write(
+            f'max_gamma={max_gamma:.8f} pbc="{pbc}" Lattice="{lat}" '
+            f"Properties=species:S:1:pos:R:3:gamma:R:1\n"
+        )
+        g = gamma[mask]
+        for i in range(n):
+            f.write(
+                f"{self.type_names[types[i]]} {pos[i, 0]:.8f} "
+                f"{pos[i, 1]:.8f} {pos[i, 2]:.8f} {g[i]:8f}\n"
+            )
+        f.flush()
+
     def kw_compute_gkma(self, args):
         """compute_gkma sample_int first_mode last_mode bin_size|f_bin_size x
         -> heatmode.out (ref: modal_analysis.cu:650-748)."""
@@ -1860,6 +1961,7 @@ class Session:
         "compute_hac": kw_compute_hac,
         "compute_hnemd": kw_compute_hnemd,
         "compute_gkma": kw_compute_gkma,
+        "compute_extrapolation": kw_compute_extrapolation,
         "compute_hnema": kw_compute_hnema,
         "compute_hnemdec": kw_compute_hnemdec,
         "compute_msd": kw_compute_msd,

@@ -340,6 +340,29 @@ class NEP(NamedTuple):
         )
         return e.reshape(-1)[:n]
 
+    def b_projection(self, r12, t1, t2):
+        """Per-atom gradient of its energy wrt its element's ANN parameters,
+        layout [dE/dw0[n,:], dE/db0[n], dE/dw1[n]] per neuron n — the
+        MaxVol active-learning feature vector (ref: nep_utilities.cuh:
+        254-283 apply_ann_one_layer B_projection branch, nep.cu:394)."""
+        params = self.params
+        dtype = r12.dtype
+        q_raw, _ = self.raw_descriptors(r12, t1, t2)
+        q = q_raw * params.q_scaler.astype(dtype)
+        w0 = params.w0.astype(dtype)[t1]  # (B, neu, dim)
+        b0 = params.b0.astype(dtype)[t1]
+        w1 = params.w1.astype(dtype)[t1]
+        x1 = jnp.tanh(
+            jnp.einsum("pud,pd->pu", w0, q, preferred_element_type=dtype) - b0
+        )
+        td = 1.0 - x1 * x1
+        dw0 = td[:, :, None] * q[:, None, :] * w1[:, :, None]
+        db0 = -td * w1
+        b = jnp.concatenate(
+            [dw0, db0[..., None], x1[..., None]], axis=-1
+        )  # (B, neu, dim + 2)
+        return b.reshape(b.shape[0], -1)
+
     def raw_descriptors(self, r12, t1, t2):
         """Unscaled per-atom descriptor vectors q (B, dim) — used by the
         trainer to derive q_scaler (ref: find_max_min, main_nep/nep.cu)."""
