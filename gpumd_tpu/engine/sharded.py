@@ -1,0 +1,318 @@
+"""Sharded dense-grid NEP MD: 1-D z-slab domain decomposition over a mesh.
+
+TPU-native analog of the reference's NEP_MULTIGPU slab decomposition
+(ref: src/force/nep_multigpu.cu:1424-1802): the dense cell grid of
+engine/grid.py is sharded along its z (slowest) axis over a
+jax.sharding.Mesh; each device owns nz/ndev cell layers and exchanges ONE
+ghost cell layer per side per force call via `lax.ppermute` over ICI
+(cell width >= rc + skin, so one layer covers the cutoff — the reference
+uses 4 half-width cells for the same reach).  In contrast to the
+reference's GPU-0-staged scatter/gather, all communication is
+neighbor-to-neighbor ring permutes and the integration step runs fully
+sharded; there is no global gather in the hot loop.
+
+Atom migration across slab boundaries is handled by the periodic global
+re-bin (every `rebin_every` steps, outside the sharded scan) — the Verlet
+skin guarantees correctness in between, exactly like the single-chip
+dense engine's drift criterion.
+
+Layout: slot arrays reshape to (nz, ny*nx*cap) with z sharded; inside
+shard_map every block sees its local (nz_l, ...) slab and the kernels of
+nep_dense.py run unmodified on a local plan with grid (nx, ny, nz_l).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpumd_tpu.engine.grid import (
+    DenseGridPlan, FAR, apply_perm, bin_dense, fold_ghost_grad, pack_ghost,
+    plan_grid,
+)
+from gpumd_tpu.engine.nep_dense import DenseNepSpec, dense_nep_compute_v2
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import MDState
+from gpumd_tpu.potentials.nep.model import NEP
+
+AXIS = "slab"
+
+
+def _ring_halo(row_lo, row_hi, axis=AXIS):
+    """Send my bottom interior row up-ring and top interior row down-ring.
+
+    Returns (ghost_lo, ghost_hi): the rows that belong below/above my slab
+    (from my -z / +z neighbors).  Ring wraps periodically."""
+    nd = jax.lax.axis_size(axis)
+    down = [(i, (i - 1) % nd) for i in range(nd)]  # send to lower neighbor
+    up = [(i, (i + 1) % nd) for i in range(nd)]
+    # my ghost_lo is the top interior row of my lower neighbor -> they send
+    # their row_hi up-ring.
+    ghost_lo = jax.lax.ppermute(row_hi, axis, up)
+    ghost_hi = jax.lax.ppermute(row_lo, axis, down)
+    return ghost_lo, ghost_hi
+
+
+def _wrap_shift(garr_dtype, box: Box, idx, nd):
+    """Lattice z-shift applied at the periodic seam (device 0 / nd-1)."""
+    h = box.h.astype(garr_dtype)
+    return h[:, 2], idx == 0, idx == nd - 1
+
+
+def sharded_nep_force(position_slots, type_slots, slot_mask, box: Box,
+                      plan_local: DenseGridPlan, model, params,
+                      interpret: bool):
+    """Force/energy/virial on one z-slab with ppermute ghost exchange.
+
+    Runs INSIDE shard_map: `position_slots` etc. are the local slab's slots
+    ((nz_l * ny * nx * cap) rows).  Returns local per-slot outputs and this
+    slab's virial contribution (caller psums)."""
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    dtype = position_slots.dtype
+    nx, ny, nz_l = plan_local.grid
+
+    # x/y ghosts are intra-slab periodic; z is handled by the ring.
+    plan_noz = DenseGridPlan(
+        grid=plan_local.grid, cap=plan_local.cap, rc=plan_local.rc,
+        skin=plan_local.skin, pbc=(plan_local.pbc[0], plan_local.pbc[1], False),
+    )
+    garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan_noz)
+    # interior boundary rows (z rows 1 and nz_l of the z-padded array)
+    row_lo = garr[1]
+    row_hi = garr[nz_l]
+    ghost_lo, ghost_hi = _ring_halo(row_lo, row_hi)
+    hz, at_bottom, at_top = _wrap_shift(dtype, box, idx, nd)
+    if plan_local.pbc[2]:
+        # seam devices shift the wrapped ghost by one lattice vector
+        for k in range(3):
+            ghost_lo = ghost_lo.at[:, k].add(
+                jnp.where(at_bottom, -hz[k], 0.0)
+            )
+            ghost_hi = ghost_hi.at[:, k].add(jnp.where(at_top, hz[k], 0.0))
+    else:
+        far = jnp.full_like(ghost_lo[:, :3], FAR)
+        ghost_lo = ghost_lo.at[:, :3].set(
+            jnp.where(at_bottom, far, ghost_lo[:, :3])
+        )
+        ghost_hi = ghost_hi.at[:, :3].set(
+            jnp.where(at_top, far, ghost_hi[:, :3])
+        )
+    garr = garr.at[0].set(ghost_lo).at[nz_l + 1].set(ghost_hi)
+
+    # local fused evaluation, reusing the v2 pipeline pieces on the
+    # pre-built ghost array
+    from gpumd_tpu.engine import nep_dense as nd_mod
+    from gpumd_tpu.engine.grid import fold_candidate_grad, pack_candidates
+
+    spec = DenseNepSpec.from_model(model)
+    cap = plan_local.cap
+    centers, cand = pack_candidates(
+        garr, plan_local, lane_align=nd_mod._chunk_lanes(cap)
+    )
+    s_cat, a_cat = nd_mod.k1b_call(centers, cand, plan_local, spec, interpret)
+    ns = nz_l * ny * nx * cap
+    ns_slab = ny * nx * cap
+    type_z = type_slots.reshape(nz_l, ns_slab)
+    mask_z = slot_mask.reshape(nz_l, ns_slab)
+
+    def slab(z):
+        s_z = jax.lax.dynamic_slice_in_dim(s_cat, z, 1, 0)
+        a_z = jax.lax.dynamic_slice_in_dim(a_cat, z, 1, 0)
+        c_z = jax.lax.dynamic_slice_in_dim(centers, z, 1, 0)
+        w_z = jax.lax.dynamic_slice_in_dim(cand, z, 1, 0)
+        t_z = jax.lax.dynamic_slice_in_dim(type_z, z, 1, 0).reshape(ns_slab)
+        m_z = jax.lax.dynamic_slice_in_dim(mask_z, z, 1, 0).reshape(ns_slab)
+        s_flat = s_z.reshape(ns_slab, spec.s_width)
+        a_flat = jnp.moveaxis(a_z, 3, 4).reshape(ns_slab, spec.a_width)
+
+        def mid(sf, af):
+            e = nd_mod.middle_energy(sf, af, t_z, model, params)
+            return e * m_z
+
+        e_slab, vjp_mid = jax.vjp(mid, s_flat, a_flat)
+        cot_s, cot_a = vjp_mid(jnp.ones_like(e_slab))
+        cot_a6 = jnp.moveaxis(
+            cot_a.reshape(1, ny, nx, cap, spec.ch_a, spec.nlm), 4, 3
+        )
+        plan_z = DenseGridPlan(
+            grid=(nx, ny, 1), cap=cap, rc=plan_local.rc,
+            skin=plan_local.skin, pbc=plan_local.pbc,
+        )
+        dcenter_z, dcand_z = nd_mod.k2b_call(
+            c_z, w_z,
+            cot_s.reshape(1, ny, nx, cap, spec.s_width),
+            cot_a6, plan_z, spec, interpret,
+        )
+        return e_slab, dcenter_z[0], dcand_z[0]
+
+    e_atom, dcenter, dcand = jax.lax.map(slab, jnp.arange(nz_l))
+    e_atom = e_atom.reshape(ns)
+    dg = fold_candidate_grad(dcand[..., : 27 * cap], plan_local, garr.dtype)
+    dc = jnp.moveaxis(dcenter, 2, 3).reshape(nz_l, ny, 3, nx * cap)
+    dg = dg.at[1 : 1 + nz_l, 1 : 1 + ny, :, cap : cap + nx * cap].add(dc)
+
+    # total virial from the LOCAL ghost array before returning z cotangents
+    # (ghost coordinates carry their shifts, so this is exact after psum)
+    w_total = -jnp.einsum("zyax,zybx->ab", garr[:, :, :3], dg)
+    w_total = jax.lax.psum(w_total, AXIS)
+
+    # return z-ghost cotangents to their owner slabs: my lo-ghost cotangent
+    # is a gradient wrt my LOWER neighbor's top interior layer (and vice
+    # versa); the lattice shift is additive so gradients pass unchanged.
+    cg_lo = dg[0]
+    cg_hi = dg[nz_l + 1]
+    nd_ = jax.lax.axis_size(AXIS)
+    down = [(i, (i - 1) % nd_) for i in range(nd_)]
+    up = [(i, (i + 1) % nd_) for i in range(nd_)]
+    add_to_my_top = jax.lax.ppermute(cg_lo, AXIS, down)  # from upper nbr
+    add_to_my_bottom = jax.lax.ppermute(cg_hi, AXIS, up)  # from lower nbr
+    dg = dg.at[nz_l].add(add_to_my_top)
+    dg = dg.at[1].add(add_to_my_bottom)
+
+    # fold x/y ghosts locally; z ghosts already consumed
+    force = -fold_ghost_grad(dg, plan_noz) * slot_mask[:, None]
+    return e_atom, force, w_total
+
+
+class ShardedDenseMD:
+    """Multi-chip NEP MD driver: dense grid z-sharded over a 1-D mesh.
+
+    Build once per (box, N, mesh); `run_block` advances `steps_per_block`
+    steps fully sharded, then the caller re-bins globally (amortized)."""
+
+    def __init__(self, nep: NEP, box: Box, n_atoms: int, mesh: Mesh,
+                 position: Optional[np.ndarray] = None, skin: float = 1.0,
+                 cap: Optional[int] = None, interpret: Optional[bool] = None):
+        self.nep = nep
+        self.mesh = mesh
+        self.ndev = mesh.devices.size
+        plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
+                         position=position, cap=cap)
+        if plan is None:
+            raise ValueError("box too thin for the dense engine")
+        nx, ny, nz = plan.grid
+        # shrink nz to a multiple of ndev (cells get thicker, still >= rc)
+        nz = (nz // self.ndev) * self.ndev
+        if nz < self.ndev or nz // self.ndev < 1:
+            raise ValueError(
+                f"cannot split {plan.grid[2]} z-layers over {self.ndev} devices"
+            )
+        if nz != plan.grid[2]:
+            plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
+                             position=position, cap=None)
+            # re-plan with forced nz: recompute cap for the coarser grid
+            t = np.asarray(box.thickness(), np.float64)
+            grid = (plan.grid[0], plan.grid[1], nz)
+            if position is not None:
+                from gpumd_tpu.engine.grid import _max_occupancy
+
+                occ = _max_occupancy(np.asarray(position), box, grid)
+            else:
+                occ = n_atoms / (grid[0] * grid[1] * grid[2])
+            newcap = max(int(np.ceil(occ * 1.3 / 8.0)) * 8, 8)
+            plan = DenseGridPlan(grid=grid, cap=(cap or newcap), rc=plan.rc,
+                                 skin=plan.skin, pbc=plan.pbc)
+        self.plan = plan
+        nz_l = plan.grid[2] // self.ndev
+        self.plan_local = DenseGridPlan(
+            grid=(plan.grid[0], plan.grid[1], nz_l), cap=plan.cap,
+            rc=plan.rc, skin=plan.skin, pbc=plan.pbc,
+        )
+        self.skin = skin
+        self.interpret = interpret
+        if self.interpret is None:
+            self.interpret = jax.default_backend() != "tpu"
+        self.spec = P(AXIS)  # z-major leading axis sharding
+
+    # ---- global (replicated) rebin -----------------------------------
+
+    def bin_state(self, state: MDState):
+        """Input-order state -> slot-ordered arrays (z-major)."""
+        pos_w = state.box.wrap(state.position)
+        perm, slot_mask, overflow = bin_dense(
+            pos_w, state.box, state.mask, self.plan
+        )
+        g = lambda a, fill=0.0: apply_perm(a, perm, fill)
+        sstate = state._replace(
+            position=g(pos_w),
+            velocity=g(state.velocity),
+            force=g(state.force),
+            mass=g(state.mass, 1.0),
+            type=g(state.type.astype(jnp.int32), 0),
+            potential_energy=g(state.potential_energy),
+            virial=g(state.virial),
+            heat_current=g(state.heat_current),
+            mask=slot_mask,
+            unwrapped_position=None,
+        )
+        return sstate, overflow
+
+    # ---- sharded step block ------------------------------------------
+
+    def make_block(self, ensemble, dt, steps: int):
+        """jitted (slot_state) -> (slot_state, overflow_flag) advancing
+        `steps` steps with the force pass sharded over the mesh."""
+        plan_local = self.plan_local
+        model, params = self.nep.model, self.nep.params
+        interpret = self.interpret
+        nz = self.plan.grid[2]
+
+        def force_fn(pos, typ, mask, box):
+            return sharded_nep_force(
+                pos, typ, mask, box, plan_local, model, params, interpret
+            )
+
+        mesh = self.mesh
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(AXIS), P()),
+            check_vma=False,
+        )
+        def sharded_force(pos_z, typ_z, mask_z, box):
+            ns_l = pos_z.shape[0] * pos_z.shape[1]
+            e, f, w = force_fn(
+                pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
+                mask_z.reshape(ns_l), box,
+            )
+            return (
+                e.reshape(pos_z.shape[0], -1),
+                f.reshape(pos_z.shape[0], -1, 3),
+                w,
+            )
+
+        def compute(state: MDState) -> MDState:
+            pos_z = state.position.reshape(nz, -1, 3)
+            typ_z = state.type.reshape(nz, -1)
+            mask_z = state.mask.reshape(nz, -1)
+            e, f, w = sharded_force(pos_z, typ_z, mask_z, state.box)
+            n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+            wv = (w / n_real) * state.mask[:, None, None]
+            return state._replace(
+                force=f.reshape(-1, 3),
+                potential_energy=e.reshape(-1) * state.mask,
+                virial=wv,
+            )
+
+        def step(carry, _):
+            state, aux = carry
+            state, aux = ensemble.step1(state, aux, dt)
+            state = compute(state)
+            state, aux = ensemble.step2(state, aux, dt)
+            return (state, aux), None
+
+        def block(state: MDState, aux=None):
+            state = compute(state)
+            if aux is None:
+                aux = ensemble.init(state)
+            (state, aux), _ = jax.lax.scan(step, (state, aux), length=steps)
+            return state, aux
+
+        return block, compute

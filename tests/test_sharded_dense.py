@@ -1,0 +1,159 @@
+"""Z-slab sharded dense NEP engine vs the single-device dense engine
+(ref: nep_multigpu.cu slab decomposition semantics -> engine/sharded.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpumd_tpu.engine.grid import apply_perm, bin_dense, plan_grid
+from gpumd_tpu.engine.nep_dense import dense_nep_compute_v2
+from gpumd_tpu.engine.sharded import AXIS, ShardedDenseMD, sharded_nep_force
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import make_state
+from gpumd_tpu.potentials.nep.model import NEP
+from gpumd_tpu.potentials.nep.params import NepModel, random_params
+
+
+def _small_model(dtype=jnp.float64):
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(4.0, 4.0), rc_angular=(2.5, 2.5),
+        mn_radial=64, mn_angular=24, n_max_radial=3, n_max_angular=2,
+        basis_size_radial=3, basis_size_angular=2, l_max=4,
+        has_q=(0, 0, 0, 0, 0, 0), neurons=6,
+    )
+    return NEP(model=model, params=random_params(model, seed=7, dtype=dtype))
+
+
+def _system(rng, lengths, a0=2.6):
+    ncell = [int(l // a0) for l in lengths]
+    grid = np.stack(
+        np.meshgrid(*[np.arange(c) for c in ncell], indexing="ij"), -1
+    ).reshape(-1, 3)
+    pos = (grid + 0.5) * a0 * (np.asarray(lengths) / (np.asarray(ncell) * a0))
+    pos = pos + rng.uniform(-0.25, 0.25, pos.shape)
+    types = rng.integers(0, 2, len(pos))
+    return pos, types
+
+
+@pytest.fixture
+def mesh8():
+    devs = np.array(jax.devices()[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 devices")
+    return Mesh(devs, (AXIS,))
+
+
+def test_sharded_force_matches_dense(mesh8):
+    """Halo-exchange force pass == single-device dense v2 (all outputs)."""
+    rng = np.random.default_rng(3)
+    nep = _small_model()
+    skin = 0.5
+    lengths = [14.0, 14.0, 8 * (4.0 + skin) + 0.4]  # nz = 8 cell layers
+    box = Box.orthogonal(lengths)
+    pos, types = _system(rng, lengths)
+    n = len(pos)
+    plan = plan_grid(box, nep.model.rc_radial_max, skin, n, position=pos)
+    assert plan.grid[2] == 8, plan.grid
+    mask = jnp.ones(n)
+    posw = jnp.asarray(box.wrap(jnp.asarray(pos)))
+    perm, slot_mask, overflow = bin_dense(posw, box, mask, plan)
+    assert not bool(overflow)
+    pos_s = apply_perm(posw, perm, fill=1.0e5)
+    types_s = apply_perm(jnp.asarray(types, jnp.int32), perm, fill=0)
+
+    ref = dense_nep_compute_v2(
+        pos_s, types_s, slot_mask, box, plan, nep.model, nep.params,
+        interpret=True,
+    )
+
+    from gpumd_tpu.engine.grid import DenseGridPlan
+
+    nz = plan.grid[2]
+    nz_l = nz // 8
+    plan_local = DenseGridPlan(
+        grid=(plan.grid[0], plan.grid[1], nz_l), cap=plan.cap,
+        rc=plan.rc, skin=plan.skin, pbc=plan.pbc,
+    )
+
+    import functools
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh8,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    def run(pos_z, typ_z, mask_z):
+        ns_l = pos_z.shape[0] * pos_z.shape[1]
+        e, f, w = sharded_nep_force(
+            pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
+            mask_z.reshape(ns_l), box, plan_local, nep.model, nep.params,
+            True,
+        )
+        return e.reshape(pos_z.shape[0], -1), f.reshape(pos_z.shape[0], -1, 3), w
+
+    ns_layer = plan.n_slots // nz
+    e, f, w = run(
+        pos_s.reshape(nz, ns_layer, 3),
+        types_s.reshape(nz, ns_layer),
+        slot_mask.reshape(nz, ns_layer),
+    )
+    np.testing.assert_allclose(
+        np.asarray(e).reshape(-1), np.asarray(ref.energy), rtol=1e-9,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f).reshape(-1, 3), np.asarray(ref.force), rtol=1e-7,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(ref.virial_total), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_sharded_md_block_matches_dense(mesh8):
+    """A few sharded NVE steps == the single-device dense engine."""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    rng = np.random.default_rng(4)
+    nep = _small_model()
+    skin = 1.0
+    lengths = [16.0, 16.0, 8 * 5.0 + 0.4]
+    box = Box.orthogonal(lengths)
+    pos, types = _system(rng, lengths)
+    n = len(pos)
+    state = make_state(
+        pos, np.where(types == 1, 207.2, 127.6), types, box,
+        dtype=jnp.float64,
+    )
+    state = initialize_velocity(state, 50.0, seed=5)
+    dt = 1.0 / TIME_UNIT_CONVERSION
+
+    smd = ShardedDenseMD(nep, box, n, mesh8, position=pos, skin=skin,
+                         interpret=True)
+    assert smd.plan.grid[2] % 8 == 0
+    sstate, overflow = smd.bin_state(state)
+    assert not bool(overflow)
+    block, _ = smd.make_block(NVE(), dt, steps=4)
+    out_state, _ = block(sstate)
+
+    dmd = DenseNEPMD(nep, box, n, position=pos, skin=skin, interpret=True,
+                     cap=smd.plan.cap)
+    # force identical plans so slot layouts line up
+    assert dmd.plan.grid == smd.plan.grid, (dmd.plan, smd.plan)
+    carry, _ = jax.jit(lambda s: dmd.run(s, NVE(), dt, 4))(state)
+    np.testing.assert_allclose(
+        np.asarray(out_state.position), np.asarray(carry.state.position),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.velocity), np.asarray(carry.state.velocity),
+        rtol=1e-7, atol=1e-10,
+    )
