@@ -240,7 +240,8 @@ class Session:
         # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
         _kw_style = (
             name.endswith("_mttk") or name.startswith("ti")
-            or name in ("msst", "nvt_qtb")
+            or name in ("msst", "nvt_qtb", "nphug")
+            or name.startswith("wall_")
         )
         p = [] if _kw_style else [float(x) for x in args[1:]]
         if name == "nve":
@@ -327,6 +328,10 @@ class Session:
             self.ensemble = self._parse_ti(args[1:])
         elif name in ("ti_rs", "ti_as"):
             self.ensemble = self._parse_ti_npt(name, args[1:])
+        elif name == "nphug":
+            self.ensemble = self._parse_nphug(args[1:])
+        elif name in ("wall_piston", "wall_mirror", "wall_harmonic"):
+            self.ensemble = self._parse_wall(name, args[1:])
         elif name == "msst":
             from gpumd_tpu.integrate.ensembles.msst import MSST
 
@@ -343,6 +348,78 @@ class Session:
         else:
             raise ValueError(f"unsupported ensemble {name!r}")
         self.log(f"ensemble: {name} {args[1:]}")
+
+    def _parse_wall(self, name, toks):
+        """ensemble wall_piston vp v thickness d | wall_mirror vp v
+        [thickness d] | wall_harmonic vp v k kk [thickness d]
+        (ref: ensemble_wall_*.cu; vp input in km/s -> natural units via
+        /100 * TIME_UNIT_CONVERSION, ensemble_wall_piston.cu:109)."""
+        from gpumd_tpu.integrate.ensembles.walls import (
+            WallHarmonic, WallMirror, WallPiston,
+        )
+        from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+        kw = {}
+        i = 0
+        toks = list(toks)
+        while i < len(toks):
+            t = toks[i]
+            if t == "vp":
+                kw["vp"] = float(toks[i + 1]) / 100.0 * TIME_UNIT_CONVERSION
+            elif t == "thickness":
+                kw["thickness"] = float(toks[i + 1])
+            elif t == "k" and name == "wall_harmonic":
+                kw["k"] = float(toks[i + 1])
+            else:
+                raise ValueError(f"unknown {name} token {t!r}")
+            i += 2
+        cls = {"wall_piston": WallPiston, "wall_mirror": WallMirror,
+               "wall_harmonic": WallHarmonic}[name]
+        return cls(**kw)
+
+    def _parse_nphug(self, toks):
+        """ensemble nphug [tperiod x] [pperiod x]
+        iso|aniso|tri ps pe | x|y|z ps pe [p0 v] [v0 v] [e0 v]
+        (ref: ensemble_nphug.cu:27-160)."""
+        from gpumd_tpu.integrate.ensembles.mttk import NPHug
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        toks = list(toks)
+        kw = {}
+        mode = None
+        uni = -1
+        ps = pe = 0.0
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "tperiod":
+                kw["t_period"] = float(toks[i + 1]); i += 2
+            elif t == "pperiod":
+                kw["p_period"] = float(toks[i + 1]); i += 2
+            elif t in ("iso", "aniso", "tri"):
+                mode = t
+                ps, pe = float(toks[i + 1]), float(toks[i + 2]); i += 3
+            elif t in ("x", "y", "z"):
+                uni = "xyz".index(t)
+                ps, pe = float(toks[i + 1]), float(toks[i + 2]); i += 3
+            elif t == "p0":
+                kw["p0"] = float(toks[i + 1]) / PRESSURE_UNIT_CONVERSION
+                i += 2
+            elif t == "v0":
+                kw["v0"] = float(toks[i + 1]); i += 2
+            elif t == "e0":
+                kw["e0"] = float(toks[i + 1]); i += 2
+            else:
+                raise ValueError(f"unknown nphug token {t!r}")
+        if mode is None and uni < 0:
+            raise ValueError("nphug: must specify barostat parameters")
+        if uni >= 0:
+            comp = "xyz"[uni]
+            cfg = NPHug._baro_config({comp: (ps, pe)}, {comp: (ps, pe)}, None)
+        else:
+            cfg = NPHug._baro_config(ps, pe, mode)
+        return NPHug(use_thermostat=True, use_barostat=True, uniaxial=uni,
+                     **cfg, **kw)
 
     def _parse_ti(self, toks):
         """ensemble ti lambda x temp T [tperiod tau] spring El k ...

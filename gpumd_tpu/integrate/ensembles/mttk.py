@@ -496,3 +496,63 @@ class MTTK:
         if self.use_barostat:
             aux = self._nhc_press(state, aux, dt)
         return state, {**aux, "i": aux["i"] + 1}
+
+
+@dataclass(frozen=True)
+class NPHug(MTTK):
+    """NPT Hugoniostat (ref: src/integrate/ensemble_nphug.cu): MTTK NPT
+    whose thermostat target follows the Hugoniot condition
+
+        dHugo = [1/2 (P + P0)(V0 - V) + E0 - E] / (3 N kB)
+        T_target = T_current + dHugo   (floor 1 K)
+
+    P is the uniaxial stress component for x|y|z compression or the
+    hydrostatic mean for iso/aniso/tri; (P0, V0, E0) default to the
+    pre-shock state at step 0.  E includes the kinetic part via
+    E = U + 1.5 N kB T (ref: get_thermo/get_target_temp)."""
+
+    p0: Optional[float] = None  # eV/A^3
+    v0: Optional[float] = None  # A^3
+    e0: Optional[float] = None  # eV
+    uniaxial: int = -1  # -1 hydro, 0/1/2 = x/y/z
+
+    def _measure(self, state: MDState):
+        t_cur = self._temperature(state)
+        n_real = jnp.sum(state.mask)
+        pe = jnp.sum(state.potential_energy * state.mask)
+        e_cur = pe + 1.5 * n_real * K_B * t_cur
+        p = self._pressure(state)
+        if self.uniaxial >= 0:
+            p_h = p[self.uniaxial, self.uniaxial]
+        else:
+            p_h = jnp.trace(p) / 3.0
+        return t_cur, e_cur, p_h, state.box.volume
+
+    def init(self, state: MDState):
+        aux = super().init(state)
+        dtype = state.velocity.dtype
+        t_cur, e_cur, p_h, vol = self._measure(state)
+        aux["hug_p0"] = (
+            jnp.asarray(self.p0, dtype) if self.p0 is not None else p_h
+        ).astype(dtype)
+        aux["hug_v0"] = (
+            jnp.asarray(self.v0, dtype) if self.v0 is not None else vol
+        ).astype(dtype)
+        aux["hug_e0"] = (
+            jnp.asarray(self.e0, dtype) if self.e0 is not None else e_cur
+        ).astype(dtype)
+        aux["t_hug"] = t_cur.astype(dtype)
+        return aux
+
+    def _t_target(self, aux):
+        return aux["t_hug"]
+
+    def step1(self, state: MDState, aux, dt):
+        t_cur, e_cur, p_h, vol = self._measure(state)
+        n_real = jnp.sum(state.mask)
+        dhugo = (
+            0.5 * (p_h + aux["hug_p0"]) * (aux["hug_v0"] - vol)
+            + aux["hug_e0"] - e_cur
+        ) / (3.0 * n_real * K_B)
+        aux = {**aux, "t_hug": jnp.maximum(t_cur + dhugo, 1.0)}
+        return super().step1(state, aux, dt)

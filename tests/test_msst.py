@@ -78,3 +78,99 @@ run 200
     Session(str(tmp_path), quiet=True).execute()
     data = np.atleast_2d(np.loadtxt(tmp_path / "thermo.out"))
     assert np.isfinite(data).all()
+
+
+def _shock_slab(tmp_path, nx=8, nyz=2):
+    """Elongated argon slab along x, non-periodic x."""
+    import numpy as np
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nx) for j in range(nyz) for k in range(nyz)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nx * a0, nyz * a0, nyz * a0]),
+        pbc=(False, True, True),
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    return n, nx * a0
+
+
+def test_wall_piston_drives_compression(tmp_path):
+    """Piston atoms advance at vp; far wall stays frozen
+    (ref: ensemble_wall_piston.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+
+    n, lx = _shock_slab(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 2
+ensemble wall_piston vp 10 thickness 6
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    x0 = np.asarray(s.frame.positions)[:, 0]
+    x1 = np.asarray(s.state.position)[: n, 0]
+    piston = x0 < 6.0
+    frozen = x0 > lx - 6.0
+    # piston moved right by vp * t = 0.1 A/fs * 200 fs = 20 A
+    assert np.allclose(x1[piston] - x0[piston], 20.0, atol=0.5)
+    # frozen wall did not move
+    assert np.allclose(x1[frozen], x0[frozen], atol=1e-6)
+    assert np.isfinite(x1).all()
+
+
+def test_wall_mirror_reflects(tmp_path):
+    """Mirror advances at vp and reflects atoms ahead of it
+    (ref: ensemble_wall_mirror.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+
+    n, lx = _shock_slab(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 2
+ensemble wall_mirror vp 10 thickness 6
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    x1 = np.asarray(s.state.position)[: n, 0]
+    # all atoms stay ahead of the mirror at x = 20 A
+    assert (x1 > 20.0 - 1e-6).all() or np.isclose(x1.min(), 20.0, atol=0.5)
+    assert np.isfinite(x1).all()
+
+
+def test_wall_harmonic_pushes(tmp_path):
+    """Harmonic wall pushes atoms; energy stays finite
+    (ref: ensemble_wall_harmonic.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+
+    n, lx = _shock_slab(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 2
+ensemble wall_harmonic vp 5 k 2.0 thickness 6
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    x1 = np.asarray(s.state.position)[: n, 0]
+    # wall at 10 A after 200 fs; most atoms pushed beyond it
+    assert np.quantile(x1, 0.1) > 5.0
+    assert np.isfinite(x1).all()

@@ -139,3 +139,46 @@ def test_app_parses_mttk():
     )
     assert ens.non_hydrostatic
     assert ens.p_start[1][1] == 2.0
+
+
+def test_nphug_converges_toward_hugoniot(tmp_path):
+    """NPHug (ref: ensemble_nphug.cu): uniaxial shock compression — the
+    dynamic thermostat target follows dHugoniot and the box compresses
+    along the loaded axis."""
+    import numpy as np
+
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 3
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble nphug tperiod 100 pperiod 500 x 0.05 0.05
+dump_thermo 20
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    th = np.loadtxt(tmp_path / "thermo.out")
+    assert np.isfinite(th).all()
+    # box compressed along x under 0.05 GPa load (cold curve: crystal at
+    # ~0 GPa initially, so positive load shrinks Lx)
+    lx0, lx1 = th[0, 9], th[-1, 9]
+    assert lx1 < lx0
+    # temperature rose from shock heating (Hugoniot target > initial 20 K)
+    assert th[-1, 0] > th[0, 0] * 0.5
