@@ -240,7 +240,7 @@ class Session:
         # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
         _kw_style = (
             name.endswith("_mttk") or name.startswith("ti")
-            or name in ("msst", "nvt_qtb", "nphug")
+            or name in ("msst", "nvt_qtb", "nphug", "heat_hybrid")
             or name.startswith("wall_")
         )
         p = [] if _kw_style else [float(x) for x in args[1:]]
@@ -296,6 +296,29 @@ class Session:
                 temperature=t, coupling=tc, delta_t=dt_,
                 source_mask=np.asarray(self.groups.mask(0, src)),
                 sink_mask=np.asarray(self.groups.mask(0, snk)),
+            )
+        elif name == "heat_hybrid":
+            # ensemble heat_hybrid <kind>... T <coupling>... dT <label>...
+            # kind in {nhc, lan}; bath 0 = source (ref: heat_hybrid header)
+            from gpumd_tpu.integrate.ensembles.heat import HeatHybrid
+
+            toks = list(args[1:])
+            kinds = []
+            while toks and toks[0] in ("nhc", "lan"):
+                kinds.append(toks.pop(0))
+            nt = len(kinds)
+            if nt < 2:
+                raise ValueError("heat_hybrid needs >= 2 thermostats")
+            t = float(toks.pop(0))
+            coup = tuple(float(toks.pop(0)) for _ in range(nt))
+            dt_ = float(toks.pop(0))
+            labels = [int(toks.pop(0)) for _ in range(nt)]
+            masks = tuple(
+                np.asarray(self.groups.mask(0, lb)) for lb in labels
+            )
+            self.ensemble = HeatHybrid(
+                kinds=tuple(kinds), temperature=t, couplings=coup,
+                delta_t=dt_, masks=masks,
             )
         elif name in ("npt_ber", "npt_scr"):
             from gpumd_tpu.integrate.ensembles.npt import NPTSCR

@@ -265,3 +265,77 @@ class HeatBDP:
     def step2(self, state, aux, dt):
         state = velocity_verlet_step2(state, dt, self.mobile)
         return self._baths(state, aux, dt)
+
+
+@dataclass(frozen=True)
+class HeatHybrid:
+    """heat_hybrid: N local baths, each NHC or Langevin, on grouping-method-0
+    groups; bath 0 is the source at T + dT, the rest sinks at T - dT
+    (ref: ensemble_heat_hybrid.cu).  NHC baths act on COM-relative
+    velocities (momentum conserving); Langevin baths kick the whole group.
+    Per-bath injected energy accumulates in aux["e_transfer"] (nt,)."""
+
+    kinds: tuple  # ("nhc"|"lan", ...) per bath
+    temperature: float
+    couplings: tuple  # tau/dt per bath
+    delta_t: float
+    masks: tuple  # per-bath (N,) group masks
+    seed: int = 12345
+    mobile: Optional[object] = None
+
+    def _target(self, i):
+        return self.temperature + (self.delta_t if i == 0 else -self.delta_t)
+
+    def init(self, state):
+        dtype = state.velocity.dtype
+        nt = len(self.kinds)
+        vel0 = jnp.asarray([1.0, -1.0, 1.0, -1.0], dtype)
+        return {
+            "pos": jnp.zeros((nt, 4), dtype),
+            "vel": jnp.tile(vel0, (nt, 1)),
+            "key": jax.random.PRNGKey(self.seed),
+            "e_transfer": jnp.zeros((nt,), dtype),
+        }
+
+    def _baths(self, state, aux, dt):
+        dtype = state.velocity.dtype
+        key = aux["key"]
+        pos, vel = aux["pos"], aux["vel"]
+        de_all = []
+        for i, kind in enumerate(self.kinds):
+            g = jnp.asarray(self.masks[i], dtype)
+            kt = K_B * self._target(i)
+            if kind == "nhc":
+                dn = 3.0 * jnp.sum(g)
+                tau = dt * self.couplings[i]
+                mas = jnp.full((4,), kt * tau * tau, dtype).at[0].mul(dn)
+                vc, ek2 = _group_vc_ke2(state, g)
+                f, p_i, v_i = nhc_scalar(
+                    pos[i], vel[i], mas, ek2, kt, dn, 0.5 * dt
+                )
+                pos = pos.at[i].set(p_i)
+                vel = vel.at[i].set(v_i)
+                state = _scale_relative(state, g, vc, f)
+                de_all.append(ek2 * 0.5 * (1.0 - f * f))
+            else:  # langevin
+                key, sub = jax.random.split(key)
+                c1 = jnp.exp(-0.5 / self.couplings[i])
+                c2 = jnp.sqrt((1 - c1 * c1) * kt / state.mass).astype(dtype)
+                noise = jax.random.normal(sub, state.velocity.shape, dtype)
+                ke_b = 0.5 * state.mass * jnp.sum(state.velocity**2, -1)
+                v_new = c1 * state.velocity + c2[:, None] * noise
+                v = jnp.where(g[:, None] > 0, v_new, state.velocity)
+                state = state._replace(velocity=v * state.mask[:, None])
+                ke_a = 0.5 * state.mass * jnp.sum(state.velocity**2, -1)
+                de_all.append(jnp.sum((ke_b - ke_a) * g))
+        aux = {**aux, "pos": pos, "vel": vel, "key": key,
+               "e_transfer": aux["e_transfer"] + jnp.stack(de_all)}
+        return state, aux
+
+    def step1(self, state, aux, dt):
+        state, aux = self._baths(state, aux, dt)
+        return velocity_verlet_step1(state, dt, self.mobile), aux
+
+    def step2(self, state, aux, dt):
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        return self._baths(state, aux, dt)

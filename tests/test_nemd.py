@@ -84,3 +84,41 @@ run 20
     # potential sums must be negative (bound crystal)
     u = data[-1][ng : 2 * ng]
     assert (u < 0).all(), u
+
+
+def test_heat_hybrid_gradient(tmp_path):
+    """heat_hybrid with an NHC source and a Langevin sink builds a thermal
+    gradient (ref: ensemble_heat_hybrid.cu)."""
+    a0 = 5.26
+    nx, nyz = 8, 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nx) for j in range(nyz) for k in range(nyz)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    slab = np.minimum((pos[:, 0] / (nx * a0 / 4)).astype(int), 3)[:, None]
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nx * a0, nyz * a0, nyz * a0]),
+        pbc=(True, True, True), groups=slab,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 30
+time_step 5
+ensemble heat_hybrid nhc lan 30 100 100 15 0 2
+compute 0 10 40 temperature
+run 400
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    data = np.loadtxt(tmp_path / "compute.out")
+    # columns: per-group T ... + 2 bath-energy columns
+    t_src = data[-1, 0]
+    t_snk = data[-1, 2]
+    assert t_src > t_snk  # gradient from source group 0 to sink group 2
+    assert np.isfinite(data).all()
