@@ -1486,7 +1486,23 @@ class Session:
         )
         st = runner.init(seed=7)
         t0 = time.time()
-        st, obs = runner.run(st, self.dt, n_steps)
+        beads_cfg = getattr(self, "_dump_beads", None)
+        if beads_cfg is None:
+            st, obs = runner.run(st, self.dt, n_steps)
+        else:
+            # chunk the run at the bead-dump interval
+            # (ref: dump_beads.cu per-bead beads_dump_k.xyz frames)
+            interval, has_vel, has_force = beads_cfg
+            run_block = jax.jit(
+                lambda s: runner.run(s, self.dt, interval)
+            )
+            done2 = 0
+            obs = None
+            while done2 < n_steps:
+                st, obs = run_block(st)
+                done2 += interval
+                self._write_beads(st, nbeads, has_vel, has_force,
+                                  (self.global_step + done2) * self.dt)
         jax.block_until_ready(st.position)
         wall = time.time() - t0
         self.global_step += n_steps
@@ -1519,6 +1535,111 @@ class Session:
                 self._ensemble_temperature())
         )
         self.log(f"compute_hac {args}")
+
+    def kw_dump_beads(self, args):
+        """dump_beads interval has_velocity has_force ->
+        beads_dump_<k>.xyz per bead (ref: dump_beads.cu:36-90)."""
+        self._dump_beads = (int(args[0]), bool(int(args[1])),
+                            bool(int(args[2])))
+        self.log(f"dump_beads {args}")
+
+    def _write_beads(self, st, nbeads, has_vel, has_force, time_nat):
+        mask = np.asarray(self.state.mask) > 0
+        h = np.asarray(self.box.h)
+        pbc = " ".join(
+            "T" if p else "F" for p in np.asarray(self.box.pbc) > 0
+        )
+        lat = " ".join(f"{h[i, j]:.8f}" for j in range(3) for i in range(3))
+        props = "species:S:1:pos:R:3"
+        if has_vel:
+            props += ":vel:R:3"
+        if has_force:
+            props += ":forces:R:3"
+        from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+        for k in range(nbeads):
+            f = self._file(f"beads_dump_{k}.xyz")
+            pos = np.asarray(st.position[k])[mask]
+            vel = np.asarray(st.velocity[k])[mask] if has_vel else None
+            frc = np.asarray(st.force[k])[mask] if has_force else None
+            f.write(f"{int(mask.sum())}\n")
+            f.write(
+                f"Time={time_nat * TIME_UNIT_CONVERSION:.8f} "
+                f'pbc="{pbc}" Lattice="{lat}" Properties={props}\n'
+            )
+            for i, sym in enumerate(np.asarray(self.symbols)[mask]):
+                row = f"{sym} {pos[i, 0]:.8f} {pos[i, 1]:.8f} {pos[i, 2]:.8f}"
+                if vel is not None:
+                    row += f" {vel[i, 0]:.8f} {vel[i, 1]:.8f} {vel[i, 2]:.8f}"
+                if frc is not None:
+                    row += f" {frc[i, 0]:.8f} {frc[i, 1]:.8f} {frc[i, 2]:.8f}"
+                f.write(row + "\n")
+            f.flush()
+
+    def kw_dump_shock_nemd(self, args):
+        """dump_shock_nemd interval n bin_size d -> spatial histograms
+        temperature/pxx/pyy/pzz/density/vp _hist.txt, one row per dump
+        (ref: dump_shock_nemd.cu).  Per x-bin: COM-relative temperature,
+        stress (virial + convective) in GPa, density g/cm3, COM vx km/s."""
+        interval, bin_size = None, None
+        i = 0
+        while i < len(args):
+            if args[i] == "interval":
+                interval = int(args[i + 1])
+            elif args[i] == "bin_size":
+                bin_size = float(args[i + 1])
+            else:
+                raise ValueError(f"dump_shock_nemd: unknown {args[i]!r}")
+            i += 2
+        if interval is None or bin_size is None:
+            raise ValueError("dump_shock_nemd needs interval and bin_size")
+        lx = float(np.asarray(self.box.h)[0, 0])
+        h = np.asarray(self.box.h)
+        bins = int(lx / bin_size) + 1
+        slice_vol = h[1, 1] * h[2, 2] * bin_size
+        files = {
+            name: self._file(f"{name}_hist.txt")
+            for name in ("temperature", "pxx", "pyy", "pzz", "density", "vp")
+        }
+
+        def process(session, state, step):
+            from gpumd_tpu.units import (
+                K_B, PRESSURE_UNIT_CONVERSION, TIME_UNIT_CONVERSION,
+            )
+
+            mask = np.asarray(state.mask) > 0
+            x = np.asarray(state.position)[:, 0]
+            b = np.clip((x / bin_size).astype(np.int64), 0, bins - 1)
+            b = np.where(mask, b, bins)
+            m = np.asarray(state.mass)
+            v = np.asarray(state.velocity)
+            w = np.asarray(state.virial)
+            mw = m * mask
+            dens = np.bincount(b, weights=mw, minlength=bins + 1)[:bins]
+            com = np.stack(
+                [np.bincount(b, weights=mw * v[:, k], minlength=bins + 1)[:bins]
+                 for k in range(3)], axis=1,
+            )
+            com = np.where(dens[:, None] > 1e-5, com / np.maximum(dens, 1e-30)[:, None], 0.0)
+            vrel = v - com[np.minimum(b, bins - 1)]
+            ke2 = mw * (vrel**2).sum(axis=1)
+            temp = np.bincount(b, weights=ke2, minlength=bins + 1)[:bins]
+            num = np.bincount(b, weights=mask.astype(float), minlength=bins + 1)[:bins]
+            temp = np.where(num >= 20, temp / np.maximum(3 * num * K_B, 1e-30), temp)
+            rows = {}
+            for j, name in enumerate(("pxx", "pyy", "pzz")):
+                pk = w[:, j, j] + mw * vrel[:, j] ** 2
+                pv = np.bincount(b, weights=pk * mask, minlength=bins + 1)[:bins]
+                rows[name] = pv / slice_vol * PRESSURE_UNIT_CONVERSION
+            rows["temperature"] = temp
+            rows["density"] = dens / slice_vol * 1.660538921  # g/cm3
+            rows["vp"] = com[:, 0] / (0.01 * TIME_UNIT_CONVERSION)  # km/s
+            for name, arr in rows.items():
+                files[name].write(" ".join(f"{v2:f}" for v2 in arr) + "\n")
+                files[name].flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"dump_shock_nemd {args}")
 
     def kw_compute_extrapolation(self, args):
         """compute_extrapolation asi_file <f> gamma_low x gamma_high x
@@ -2062,6 +2183,8 @@ class Session:
         "compute_hnemd": kw_compute_hnemd,
         "compute_gkma": kw_compute_gkma,
         "compute_extrapolation": kw_compute_extrapolation,
+        "dump_shock_nemd": kw_dump_shock_nemd,
+        "dump_beads": kw_dump_beads,
         "compute_hnema": kw_compute_hnema,
         "compute_hnemdec": kw_compute_hnemdec,
         "compute_msd": kw_compute_msd,

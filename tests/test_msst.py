@@ -174,3 +174,33 @@ run 100
     # wall at 10 A after 200 fs; most atoms pushed beyond it
     assert np.quantile(x1, 0.1) > 5.0
     assert np.isfinite(x1).all()
+
+
+def test_dump_shock_nemd(tmp_path):
+    """Spatial shock histograms written per dump (ref: dump_shock_nemd.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+
+    n, lx = _shock_slab(tmp_path, nx=6)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 2
+ensemble wall_piston vp 5 thickness 6
+dump_shock_nemd interval 25 bin_size 5.0
+run 50
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    t = np.loadtxt(tmp_path / "temperature_hist.txt")
+    d = np.loadtxt(tmp_path / "density_hist.txt")
+    vp = np.loadtxt(tmp_path / "vp_hist.txt")
+    nbins = int(lx / 5.0) + 1
+    assert t.shape == (2, nbins)
+    assert d.shape == (2, nbins)
+    assert np.isfinite(t).all() and (d >= 0).all()
+    # argon density ~ 1.8 g/cm3 in occupied bins
+    assert 1.0 < np.median(d[d > 0.5]) < 2.5
+    # piston-adjacent bins move at ~vp = 0.5 km/s
+    assert vp.max() > 0.2
