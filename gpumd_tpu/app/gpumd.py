@@ -168,6 +168,12 @@ class Session:
 
             pot = EAMDai2006.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "fcp":
+            from gpumd_tpu.potentials.fcp import FCP
+
+            pot = FCP.from_file(path, workdir=self.workdir)
+            pot = pot.attach_box(self.box)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name.startswith("nep") and "charge" in name:
             from gpumd_tpu.potentials.nep.charge import NEPCharge
 
