@@ -1432,6 +1432,28 @@ class Session:
             f"minimize {method}: {int(steps)} steps, U = {e:.10f} eV"
         )
 
+    def kw_dftd3(self, args):
+        """dftd3 <functional> rc_potential rc_cn: attach the D3(BJ)
+        dispersion term to the loaded potential (ref: nep.cu:45-73 scans
+        run.in for this keyword; here it is first-class)."""
+        from gpumd_tpu.potentials.dftd3 import DFTD3
+
+        d3 = DFTD3.create(
+            args[0], float(args[1]), float(args[2]), self.type_names
+        )
+        if self.ff is None:
+            raise ValueError("dftd3 must come after the potential keyword")
+        import dataclasses
+
+        pots = self.ff.potentials + (d3,)
+        from gpumd_tpu.forcefield import ForceField
+
+        self.ff = ForceField.create(
+            pots, self.box, self._n, mn=_auto_mn(pots), skin=self.ff.skin,
+        )
+        self.potentials = list(pots)
+        self.log(f"dftd3 {args}")
+
     def kw_kspace(self, args):
         """kspace ewald|pppm: k-space backend for qNEP electrostatics
         (ref: nep_charge.cu:46-75 — scanned from run.in by the reference)."""
@@ -2211,6 +2233,7 @@ class Session:
         "active": kw_active,
         "mc": kw_mc,
         "kspace": kw_kspace,
+        "dftd3": kw_dftd3,
         "move": kw_move,
         "deform": kw_deform,
         "run": kw_run,
@@ -2229,11 +2252,17 @@ class Session:
 
 
 def _auto_mn(potentials) -> int:
-    """Neighbor capacity: NEP files carry MN hints; otherwise default."""
+    """Neighbor capacity: NEP files carry MN hints; otherwise default.
+    A long-cutoff term (DFTD3, rc 15 A) scales the cap by volume ratio."""
     mn = 0
+    rc_max = max((getattr(p, "rc", 0.0) for p in potentials), default=0.0)
+    rc_base = 0.0
     for p in potentials:
         if hasattr(p, "model"):
             mn = max(mn, p.model.mn_radial)
+            rc_base = max(rc_base, p.rc)
+    if mn and rc_base and rc_max > rc_base:
+        mn = int(mn * (rc_max / rc_base) ** 3)
     return int(mn * 1.3) if mn else 256
 
 
