@@ -51,10 +51,8 @@ def build_pbte(n_cells_x, n_cells_y, n_cells_z, a0=6.57):
     return pos, types, lengths
 
 
-def run_once(target_n, n_steps):
-    from gpumd_tpu.forcefield import ForceField
+def run_once(target_n, n_steps, engine="dense"):
     from gpumd_tpu.integrate.ensembles.nve import NVE
-    from gpumd_tpu.integrate.run import md_run
     from gpumd_tpu.integrate.velocity import initialize_velocity
     from gpumd_tpu.model.box import Box
     from gpumd_tpu.model.state import make_state
@@ -78,13 +76,30 @@ def run_once(target_n, n_steps):
     box = Box.orthogonal(lengths)
     state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
     state = initialize_velocity(state, 300.0, seed=3)
-    ff = ForceField.create([nep], box, n, mn=112, skin=1.0, per_atom_virial=False)
-
     dt = 1.0 / TIME_UNIT_CONVERSION
+
+    if engine == "dense":
+        # fused cell-grid engine (engine/dense_md.py): the TPU hot path
+        from gpumd_tpu.engine.dense_md import DenseNEPMD
+
+        md = DenseNEPMD(nep, box, n, position=pos, skin=1.0)
+        run_block = jax.jit(lambda s: md.run(s, NVE(), dt, n_steps))
+        carry, _ = run_block(state)  # compile + warmup
+        jax.block_until_ready(carry.state.position)
+        t0 = time.time()
+        carry, _ = run_block(state)
+        # force a real host sync (block_until_ready alone can be unreliable
+        # through the axon tunnel)
+        ok = bool(jnp.isfinite(carry.state.position).all())
+        wall = time.time() - t0
+        if not ok or bool(carry.overflow):
+            raise RuntimeError("dense benchmark invalid (overflow/non-finite)")
+        return n, n_steps, wall
+
+    from gpumd_tpu.forcefield import ForceField
     from gpumd_tpu.integrate.run import make_md_step
 
-    # ONE jit for the whole benchmark body (separate compiles of the
-    # initial force pass / cache refresh would each cost minutes).
+    ff = ForceField.create([nep], box, n, mn=112, skin=1.0, per_atom_virial=False)
     step = make_md_step(ff, NVE(), dt, observer=lambda s: 0)
 
     @jax.jit
@@ -100,25 +115,31 @@ def run_once(target_n, n_steps):
 
     t0 = time.time()
     s2 = run_block(state)
-    jax.block_until_ready(s2.position)
+    ok = bool(jnp.isfinite(s2.position).all() & jnp.isfinite(s2.velocity).all())
     wall = time.time() - t0
 
-    if not bool(jnp.isfinite(s2.position).all() & jnp.isfinite(s2.velocity).all()):
+    if not ok:
         raise RuntimeError("benchmark trajectory went non-finite")
     return n, n_steps, wall
 
 
 def main():
-    target_n = int(os.environ.get("GPUMD_BENCH_N", 128_000))
-    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 30))
+    # BASELINE.json config 3: NEP PbTe at 1M atoms
+    target_n = int(os.environ.get("GPUMD_BENCH_N", 1_000_000))
+    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
+    engine = os.environ.get("GPUMD_BENCH_ENGINE", "dense")
     sizes = [target_n, target_n // 4, target_n // 16]
     result = None
     for size in sizes:
-        try:
-            result = run_once(size, n_steps)
+        for eng in (engine, "list") if engine == "dense" else (engine,):
+            try:
+                result = run_once(size, n_steps, engine=eng)
+                break
+            except Exception as e:  # OOM / device errors: fall back
+                print(f"# bench at N~{size} ({eng}) failed: {e}",
+                      file=sys.stderr)
+        if result is not None:
             break
-        except Exception as e:  # OOM / device errors: fall back smaller
-            print(f"# bench at N~{size} failed: {e}", file=sys.stderr)
     if result is None:
         raise SystemExit("benchmark failed at all sizes")
     n, n_steps, wall = result

@@ -32,14 +32,17 @@ from gpumd_tpu.train.snes import SNESTrainer
 
 
 def build_batches(
-    frames, symbols, rc, batch_size, mn=200, log=print
+    frames, symbols, rc, batch_size, mn=200, log=print, model_type=0
 ) -> List[StructureBatch]:
     """Split frames into batches of <= batch_size configs (ref: fitness.cu
     45-84: consecutive split), padding each batch to its own max_atoms."""
     batches = []
     for i in range(0, len(frames), batch_size):
         chunk = frames[i : i + batch_size]
-        batches.append(batch_structures(chunk, symbols, rc=rc, mn=mn))
+        batches.append(
+            batch_structures(chunk, symbols, rc=rc, mn=mn,
+                             model_type=model_type)
+        )
     log(f"{len(frames)} configurations -> {len(batches)} batch(es)")
     return batches
 
@@ -82,7 +85,8 @@ def main(argv=None):
     model = model_from_config(cfg)
     frames = read_xyz_frames(os.path.join(workdir, "train.xyz"))
     batches = build_batches(
-        frames, cfg.symbols, rc=model.rc_radial_max, batch_size=cfg.batch_size
+        frames, cfg.symbols, rc=model.rc_radial_max,
+        batch_size=cfg.batch_size, model_type=cfg.model_type,
     )
     if cfg.prediction:
         run_prediction(cfg, model, batches, workdir)
@@ -93,7 +97,7 @@ def main(argv=None):
         test_frames = read_xyz_frames(test_path)
         test_batches = build_batches(
             test_frames, cfg.symbols, rc=model.rc_radial_max,
-            batch_size=cfg.batch_size,
+            batch_size=cfg.batch_size, model_type=cfg.model_type,
         )
     trainer = SNESTrainer(
         model, cfg, batches, workdir=workdir, test_batches=test_batches

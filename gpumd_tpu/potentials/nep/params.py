@@ -283,8 +283,24 @@ def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
             p += 1
     b1 = theta[p]
     p += 1
+    # polarizability models carry a SECOND full ANN (the diagonal head),
+    # laid out as another round of per-type blocks + bias
+    # (ref: snes.cu:256-266 num_ann = 2 for train_mode 2)
+    w0p = b0p = w1p = None
+    b1p = None
     if model.model_type == 2:
-        raise NotImplementedError("polarizability training vectorization")
+        w0p, b0p, w1p = [], [], []
+        for ty in range(t):
+            w0p.append(theta[p : p + neu * dim].reshape(neu, dim))
+            p += neu * dim
+            b0p.append(theta[p : p + neu])
+            p += neu
+            w1p.append(theta[p : p + neu])
+            p += neu
+            if model.version == 5:
+                p += 1  # per-type bias slot (unused by the pol head)
+        b1p = theta[p]
+        p += 1
     t2 = t * t
     nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
     na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
@@ -311,6 +327,10 @@ def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
         c_radial=c_rad,
         c_angular=c_ang,
         q_scaler=q_scaler,
+        w0_pol=jnp.stack(w0p) if w0p is not None else None,
+        b0_pol=jnp.stack(b0p) if w0p is not None else None,
+        w1_pol=jnp.stack(w1p) if w0p is not None else None,
+        b1_pol=b1p,
     )
 
 

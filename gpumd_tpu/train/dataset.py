@@ -80,6 +80,7 @@ def batch_structures(
     mn: int,
     max_atoms: Optional[int] = None,
     dtype=np.float32,
+    model_type: int = 0,
 ) -> StructureBatch:
     """Build a dense batch. Neighbor lists are computed per config with the
     brute-force + periodic-image path (training cells are small)."""
@@ -127,6 +128,28 @@ def batch_structures(
             force_ref[ci, :n] = f.forces
         if "energy" in f.info:
             energy_ref[ci] = float(f.info["energy"])
+        if model_type == 1:
+            # TNEP dipole training: total dipole rides the virial slots
+            # (ref: structure.cu:351-374)
+            if "dipole" in f.info:
+                mu = [float(x) for x in f.info["dipole"].split()]
+                virial_ref[ci, :3] = mu
+                has_virial[ci] = 1.0
+            if "weight" in f.info:
+                weight[ci] = float(f.info["weight"])
+            continue
+        if model_type == 2:
+            # TNEP polarizability training: 9 -> Voigt (xx yy zz xy yz zx)
+            # (ref: structure.cu:384-404 reduced_index)
+            if "pol" in f.info:
+                pv = np.asarray([float(x) for x in f.info["pol"].split()])
+                m = pv.reshape(3, 3)
+                virial_ref[ci] = [m[0, 0], m[1, 1], m[2, 2],
+                                  m[0, 1], m[1, 2], m[2, 0]]
+                has_virial[ci] = 1.0
+            if "weight" in f.info:
+                weight[ci] = float(f.info["weight"])
+            continue
         v = _parse_virial(f.info)
         if v is not None:
             key, m = v

@@ -34,7 +34,13 @@ class ConfigOutput(NamedTuple):
 def batched_forward(
     model: NepModel, params: NepParams, batch: StructureBatch
 ) -> ConfigOutput:
-    """Energy/forces/virial for every config in the batch (vmapped)."""
+    """Energy/forces/virial for every config in the batch (vmapped).
+
+    For TNEP models the tensorial observable rides the virial slots like
+    the reference (dipole -> first 3 Voigt components, polarizability ->
+    all 6; ref: tnep.cu, structure.cu:351-404)."""
+    if model.model_type in (1, 2):
+        return _batched_forward_tnep(model, params, batch)
 
     def one_config(r12, idx, nbr_mask, type_, mask):
         t2 = type_[idx]
@@ -57,6 +63,54 @@ def batched_forward(
         w = -jnp.einsum("amx,amy->xy", rm, p)
         voigt = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[1, 2], w[2, 0]])
         return e_total, force, voigt
+
+    e, f, v = jax.vmap(one_config)(
+        batch.r12, batch.idx, batch.nbr_mask, batch.type, batch.mask
+    )
+    return ConfigOutput(energy=e, force=f, virial=v)
+
+
+def _batched_forward_tnep(
+    model: NepModel, params: NepParams, batch: StructureBatch
+) -> ConfigOutput:
+    """TNEP dipole/polarizability forward: the observable lands in the
+    virial slots (dipole -> 0:3; polarizability -> Voigt 6 incl. the
+    second-head diagonal; ref: tnep.cu find_descriptors/apply_ann)."""
+    nep = NEP(model, params)
+
+    def one_config(r12, idx, nbr_mask, type_, mask):
+        t2 = type_[idx]
+        e_atom, vjp = jax.vjp(
+            lambda r: nep.per_atom_energy(r, type_, t2), r12
+        )
+        (p,) = vjp(mask)
+        if model.model_type == 1:
+            # mu_a = - sum_pairs |r12|^2 p_a (both pair directions listed)
+            r2 = jnp.sum(r12 * r12, axis=-1) * nbr_mask
+            mu = -jnp.einsum("nm,nma->a", r2, p)
+            voigt = jnp.concatenate([mu, jnp.zeros((3,), mu.dtype)])
+        else:
+            rm = r12 * nbr_mask[..., None]
+            w = -jnp.einsum("amx,amy->xy", rm, p)
+            w = 0.5 * (w + w.T)
+            dtype = r12.dtype
+            q, _ = nep.raw_descriptors(r12, type_, t2)
+            q = q * params.q_scaler.astype(dtype)
+            x1 = jnp.tanh(
+                jnp.einsum("pd,tud->ptu", q, params.w0_pol.astype(dtype))
+                - params.b0_pol.astype(dtype)[None]
+            )
+            f_t = jnp.einsum("ptu,tu->pt", x1, params.w1_pol.astype(dtype))
+            f_pol = jnp.take_along_axis(f_t, type_[:, None], axis=1)[:, 0]
+            f_pol = (f_pol - params.b1_pol.astype(dtype)) * mask
+            diag = jnp.sum(f_pol)
+            voigt = jnp.stack([
+                w[0, 0] + diag, w[1, 1] + diag, w[2, 2] + diag,
+                w[0, 1], w[1, 2], w[2, 0],
+            ])
+        zero_e = jnp.zeros((), r12.dtype)
+        zero_f = jnp.zeros_like(r12[:, 0, :])
+        return zero_e, zero_f, voigt
 
     e, f, v = jax.vmap(one_config)(
         batch.r12, batch.idx, batch.nbr_mask, batch.type, batch.mask

@@ -66,9 +66,11 @@ def type_of_variable_vector(model: NepModel) -> np.ndarray:
     neu, dim = model.neurons, model.dim
     per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
     tov = []
-    for ty in range(t):
-        tov.extend([ty] * per_type)
-    tov.append(t)  # global output bias
+    num_ann = 2 if model.model_type == 2 else 1  # pol: second head
+    for _ in range(num_ann):
+        for ty in range(t):
+            tov.extend([ty] * per_type)
+        tov.append(t)  # global output bias
     t2 = t * t
     nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
     na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)

@@ -21,12 +21,12 @@ from bench import build_pbte
 
 
 def timeit(f, *a, reps=3):
-    o = f(*a)
-    s = float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])  # sync
+    # scalar-reduce inside jit so the host sync transfers one float
+    g = jax.jit(lambda *x: sum(jnp.sum(l) for l in jax.tree.leaves(f(*x))))
+    s = float(np.asarray(g(*a)))
     t0 = time.time()
     for _ in range(reps):
-        o = f(*a)
-        s += float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])
+        s += float(np.asarray(g(*a)))
     return (time.time() - t0) / reps
 
 

@@ -86,3 +86,96 @@ run 4
     data = np.loadtxt(tmp_path / "dipole.out")
     assert data.shape == (2, 4)
     assert np.isfinite(data).all()
+
+
+def test_tnep_dipole_training(tmp_path):
+    """SNES trains a dipole model (train_mode 1): dipole refs ride the
+    virial slots and the dipole RMSE drops (ref: tnep.cu, structure.cu:351)."""
+    import numpy as np
+    from gpumd_tpu.app.nep import main as nep_main
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    rng = np.random.default_rng(3)
+    frames = []
+    lines = []
+    for c in range(6):
+        n = 4
+        pos = rng.random((n, 3)) * 4.0 + 1.0
+        mu = rng.normal(size=3) * 0.5
+        lines.append(f"{n}")
+        lat = "6 0 0 0 6 0 0 0 6"
+        lines.append(
+            f'Lattice="{lat}" Properties=species:S:1:pos:R:3 '
+            f'dipole="{mu[0]:.6f} {mu[1]:.6f} {mu[2]:.6f}" pbc="T T T"'
+        )
+        for i in range(n):
+            s = "O" if i % 2 == 0 else "H"
+            lines.append(f"{s} {pos[i,0]:.6f} {pos[i,1]:.6f} {pos[i,2]:.6f}")
+    (tmp_path / "train.xyz").write_text("\n".join(lines) + "\n")
+    (tmp_path / "nep.in").write_text(
+        """type 2 O H
+version 4
+model_type 1
+cutoff 5 4
+n_max 3 3
+basis_size 3 3
+l_max 4 0 0
+neuron 8
+lambda_v 1.0
+population 12
+generation 40
+batch 6
+output_interval 10
+"""
+    )
+    nep_main([str(tmp_path)])
+    loss = np.loadtxt(tmp_path / "loss.out")
+    # dipole loss (rmse_v column) decreased
+    assert loss[-1, 6] < loss[0, 6]
+    head = (tmp_path / "nep.txt").read_text().split()[0]
+    assert head == "nep4_dipole"
+
+
+def test_tnep_polarizability_training(tmp_path):
+    """train_mode 2: two-ANN parameter vector and pol refs (Voigt)."""
+    import numpy as np
+    from gpumd_tpu.app.nep import main as nep_main
+
+    rng = np.random.default_rng(4)
+    lines = []
+    for c in range(4):
+        n = 4
+        pos = rng.random((n, 3)) * 4.0 + 1.0
+        p9 = rng.normal(size=9) * 0.3
+        p9[1] = p9[3]; p9[2] = p9[6]; p9[5] = p9[7]  # symmetric
+        lines.append(f"{n}")
+        pol = " ".join(f"{x:.6f}" for x in p9)
+        lines.append(
+            f'Lattice="6 0 0 0 6 0 0 0 6" Properties=species:S:1:pos:R:3 '
+            f'pol="{pol}" pbc="T T T"'
+        )
+        for i in range(n):
+            s = "O" if i % 2 == 0 else "H"
+            lines.append(f"{s} {pos[i,0]:.6f} {pos[i,1]:.6f} {pos[i,2]:.6f}")
+    (tmp_path / "train.xyz").write_text("\n".join(lines) + "\n")
+    (tmp_path / "nep.in").write_text(
+        """type 2 O H
+version 4
+model_type 2
+cutoff 5 4
+n_max 2 2
+basis_size 2 2
+l_max 4 0 0
+neuron 6
+lambda_v 1.0
+population 10
+generation 30
+batch 4
+output_interval 10
+"""
+    )
+    nep_main([str(tmp_path)])
+    loss = np.loadtxt(tmp_path / "loss.out")
+    assert loss[-1, 6] < loss[0, 6]
+    head = (tmp_path / "nep.txt").read_text().split()[0]
+    assert head == "nep4_polarizability"
