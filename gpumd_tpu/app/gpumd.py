@@ -246,7 +246,7 @@ class Session:
         # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
         _kw_style = (
             name.endswith("_mttk") or name.startswith("ti")
-            or name in ("msst", "nvt_qtb", "nphug", "heat_hybrid")
+            or name in ("msst", "nvt_qtb", "npt_qtb", "nphug", "heat_hybrid")
             or name.startswith("wall_")
         )
         p = [] if _kw_style else [float(x) for x in args[1:]]
@@ -280,6 +280,48 @@ class Session:
                     raise ValueError(f"unknown nvt_qtb keyword {args[i3]!r}")
                 i3 += 2
             self.ensemble = NVTQTB(**kwq)
+        elif name == "npt_qtb":
+            # ensemble npt_qtb temp T1 T2 [tperiod x] [f_max v] [N_f n]
+            # iso|aniso|tri ps pe | x|y|z ps pe [pperiod x]
+            # (ref: ensemble_npt_qtb.cu:115-200)
+            from gpumd_tpu.integrate.ensembles.mttk import MTTK
+            from gpumd_tpu.integrate.ensembles.qtb import NPTQTB, NVTQTB
+
+            toks = list(args[1:])
+            kwq = dict(dt=self.dt)
+            mode, uni = None, None
+            ps = pe = 0.0
+            p_period = 1000.0
+            i3 = 0
+            while i3 < len(toks):
+                tkn = toks[i3]
+                if tkn == "temp":
+                    kwq["temperature"] = float(toks[i3 + 1]); i3 += 3
+                elif tkn == "tperiod":
+                    kwq["coupling"] = float(toks[i3 + 1]); i3 += 2
+                elif tkn == "f_max":
+                    kwq["f_max"] = float(toks[i3 + 1]); i3 += 2
+                elif tkn == "N_f":
+                    kwq["n_f"] = int(toks[i3 + 1]); i3 += 2
+                elif tkn in ("iso", "aniso", "tri"):
+                    mode = tkn
+                    ps, pe = float(toks[i3 + 1]), float(toks[i3 + 2]); i3 += 3
+                elif tkn in ("x", "y", "z"):
+                    uni = tkn
+                    ps, pe = float(toks[i3 + 1]), float(toks[i3 + 2]); i3 += 3
+                elif tkn == "pperiod":
+                    p_period = float(toks[i3 + 1]); i3 += 2
+                else:
+                    raise ValueError(f"unknown npt_qtb keyword {tkn!r}")
+            if mode is None and uni is None:
+                raise ValueError("npt_qtb requires pressure specification")
+            if uni is not None:
+                cfg2 = MTTK._baro_config({uni: (ps, pe)}, {uni: (ps, pe)}, None)
+            else:
+                cfg2 = MTTK._baro_config(ps, pe, mode)
+            baro = MTTK(use_thermostat=False, use_barostat=True,
+                        p_period=p_period, **cfg2)
+            self.ensemble = NPTQTB(qtb=NVTQTB(**kwq), baro=baro)
         elif name in ("pimd", "rpmd", "trpmd"):
             # ensemble pimd <nbeads> T1 T2 Tc | rpmd/trpmd <nbeads>
             nbeads = int(p[0])

@@ -132,3 +132,40 @@ class NVTQTB:
         state = self._half_kick(state, aux, dt)
         alpha = self._alpha()
         return state, {**aux, "counter": (aux["counter"] + 1) % alpha}
+
+
+@dataclass(frozen=True)
+class NPTQTB:
+    """npt_qtb: QTB colored-noise thermostat + MTTK Parrinello-Rahman
+    barostat (ref: src/integrate/ensemble_npt_qtb.cu): the barostat runs
+    without its own NHC temperature chain; the QTB Langevin-like kicks
+    wrap the MTTK half-steps."""
+
+    qtb: NVTQTB
+    baro: object  # MTTK with use_barostat=True, use_thermostat=False
+
+    # app plumbing passthroughs
+    @property
+    def mobile(self):
+        return self.qtb.mobile
+
+    def init(self, state: MDState):
+        return {**self.baro.init(state), **self.qtb.init(state)}
+
+    def step1(self, state, aux, dt):
+        import jax as _jax
+
+        aux = _jax.lax.cond(
+            aux["counter"] == 0,
+            lambda a: self.qtb._refresh(state, a),
+            lambda a: a,
+            aux,
+        )
+        state = self.qtb._half_kick(state, aux, dt)
+        return self.baro.step1(state, aux, dt)
+
+    def step2(self, state, aux, dt):
+        state, aux = self.baro.step2(state, aux, dt)
+        state = self.qtb._half_kick(state, aux, dt)
+        alpha = self.qtb._alpha()
+        return state, {**aux, "counter": (aux["counter"] + 1) % alpha}

@@ -91,3 +91,43 @@ run 50
     s = Session(str(tmp_path), quiet=True)
     s.execute()
     assert np.isfinite(np.asarray(s.state.velocity)).all()
+
+
+def test_npt_qtb_runs_and_relaxes(tmp_path):
+    """npt_qtb: QTB thermostat + MTTK barostat; box responds to pressure
+    (ref: ensemble_npt_qtb.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 3
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble npt_qtb temp 20 20 tperiod 50 f_max 10 N_f 30 iso 0.5 0.5 pperiod 300
+dump_thermo 20
+run 300
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    th = np.loadtxt(tmp_path / "thermo.out")
+    assert np.isfinite(th).all()
+    # box compressed under 0.5 GPa external pressure (dominates the
+    # QTB zero-point thermal expansion)
+    assert th[-1, 9] < th[0, 9]
+    # QTB keeps a nonzero effective temperature (zero-point motion)
+    assert th[-1, 0] > 3.0
