@@ -180,6 +180,9 @@ class Session:
             pot = NEPCharge.from_file(path)
             if getattr(self, "_kspace_method", None):
                 pot = pot._replace(kspace_method=self._kspace_method)
+            from gpumd_tpu.potentials.nep.pppm import best_mesh
+
+            pot = pot._replace(pppm_mesh=best_mesh(self.box))
             self.type_names = list(pot.model.symbols)
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
@@ -1606,6 +1609,114 @@ class Session:
         )
         self.log(f"compute_hac {args}")
 
+    def kw_compute_ic(self, args):
+        """compute_ic sample_int Nc type charge -> ic.out
+        (ref: iron_conductivity.cu)."""
+        from gpumd_tpu.measure.properties import IonicConductivity
+
+        self.measure_props.append(
+            IonicConductivity(
+                int(args[0]), int(args[1]), int(args[2]), float(args[3]),
+                self.dt, self._ensemble_temperature(),
+            )
+        )
+        self.log(f"compute_ic {args}")
+
+    def kw_compute_dpdt(self, args):
+        """compute_dpdt sample_interval -> dpdt.out: dP/dt = sum_i Z*_i v_i
+        and the integrated polarization (ref: compute_dpdt.cu; needs a
+        NEP-Charge model for the Born effective charges)."""
+        import jax as _jax
+
+        interval = int(args[0])
+        pot = self.ff.potentials[0]
+        if not hasattr(pot, "born_effective_charges"):
+            raise ValueError("compute_dpdt needs a NEP-Charge model")
+
+        @_jax.jit
+        def dpdt_of(state):
+            pos = state.box.wrap(state.position)
+            nbr = self.ff.neighbor.build(pos, state.box, state.mask)
+            bec = pot.born_effective_charges(state, nbr)  # (N, 3, 3)
+            return jnp.einsum(
+                "nab,nb->a", bec, state.velocity * state.mask[:, None]
+            )
+
+        from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+        f = self._file("dpdt.out")
+        f.write(f"# compute_dpdt {interval}\n# format_version 1\n")
+        f.write(f"# num_atoms {self._n}\n")
+        f.write(
+            f"# dt_output {self.dt * interval * TIME_UNIT_CONVERSION:.10e} fs\n"
+        )
+        f.write("# columns time_fs dpdt_x dpdt_y dpdt_z P_x P_y P_z\n")
+        acc = {"P": np.zeros(3)}
+
+        def process(session, state, step):
+            dp = np.asarray(dpdt_of(state))
+            acc["P"] += dp * self.dt * interval
+            t_fs = step * self.dt * TIME_UNIT_CONVERSION
+            row = [t_fs, *dp, *acc["P"]]
+            f.write(" ".join(f"{x:.10e}" for x in row) + "\n")
+            f.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"compute_dpdt {args}")
+
+    def kw_compute_es(self, args):
+        """compute_es sample_interval -> elactrostatic_force.out /
+        elactrostatic_energy.out (reference filenames preserved, typo and
+        all; ref: compute_es.cu): the electrostatic contribution = full
+        qNEP output minus the short-range NEP+ZBL part, so the
+        charge-gradient chain is included exactly."""
+        import jax as _jax
+
+        interval = int(args[0])
+        pot = self.ff.potentials[0]
+        if not hasattr(pot, "energy_and_charge"):
+            raise ValueError("compute_es needs a NEP-Charge model")
+
+        @_jax.jit
+        def es_of(state):
+            pos = state.box.wrap(state.position)
+            st = state._replace(position=pos)
+            nbr = self.ff.neighbor.build(pos, state.box, state.mask)
+            full = pot.compute_with_state(st, nbr)
+            t2 = st.type[nbr.idx]
+
+            def e_short(r12):
+                e, _ = pot.energy_and_charge(r12, st.type, t2)
+                return e * st.mask
+
+            e_s, vjp = _jax.vjp(e_short, nbr.r12)
+            (p,) = vjp(st.mask)
+            own = jnp.sum(p, axis=1)
+            recv = _jax.ops.segment_sum(
+                p.reshape(-1, 3), nbr.idx.reshape(-1),
+                num_segments=st.mask.shape[0],
+            )
+            f_short = (own - recv) * st.mask[:, None]
+            f_es = full.force - f_short
+            e_es = jnp.sum((full.energy - e_s) * st.mask)
+            return f_es, e_es
+
+        ff_out = self._file("elactrostatic_force.out")
+        fe_out = self._file("elactrostatic_energy.out")
+
+        def process(session, state, step):
+            f_es, e_es = es_of(state)
+            f_np = np.asarray(f_es)
+            mask = np.asarray(state.mask) > 0
+            for r in f_np[mask]:
+                ff_out.write(f"{r[0]:16.8e}{r[1]:16.8e}{r[2]:16.8e}\n")
+            fe_out.write(f"{float(e_es):16.8e}\n")
+            ff_out.flush()
+            fe_out.flush()
+
+        self.properties.append(PropertyRequest(interval, process))
+        self.log(f"compute_es {args}")
+
     def kw_dump_beads(self, args):
         """dump_beads interval has_velocity has_force ->
         beads_dump_<k>.xyz per bead (ref: dump_beads.cu:36-90)."""
@@ -2255,6 +2366,9 @@ class Session:
         "compute_extrapolation": kw_compute_extrapolation,
         "dump_shock_nemd": kw_dump_shock_nemd,
         "dump_beads": kw_dump_beads,
+        "compute_ic": kw_compute_ic,
+        "compute_dpdt": kw_compute_dpdt,
+        "compute_es": kw_compute_es,
         "compute_hnema": kw_compute_hnema,
         "compute_hnemdec": kw_compute_hnemdec,
         "compute_msd": kw_compute_msd,

@@ -1033,3 +1033,56 @@ class ModalAnalysis:
 
     def postprocess(self, session):
         pass
+
+
+class IonicConductivity:
+    """compute_ic sample_int Nc type charge -> ic.out: Nernst-Einstein
+    ionic conductivity from the per-type MSD derivative
+    (ref: iron_conductivity.cu; factor = q^2 e / (V kB T dt) in S/cm
+    units via 1.602176634e7)."""
+
+    def __init__(self, sample_interval, nc, target_type, charge, dt,
+                 temperature):
+        self.sample_interval = int(sample_interval)
+        self.nc = int(nc)
+        self.target_type = int(target_type)
+        self.charge = float(charge)
+        self.dt = dt
+        self.temperature = temperature
+        self.interval = self.sample_interval
+        self.frames: List[np.ndarray] = []
+        self._volume = None
+
+    def sample_state(self, session, state, step):
+        if state.unwrapped_position is None:
+            raise ValueError("compute_ic requires unwrapped positions")
+        n = session._n
+        sel = np.asarray(state.type)[:n] == self.target_type
+        self.frames.append(
+            np.asarray(state.unwrapped_position)[:n][sel].copy()
+        )
+        self._volume = float(state.box.volume)
+
+    def postprocess(self, session):
+        frames = np.stack(self.frames)  # (Nd, Nt, 3)
+        nd = len(frames)
+        nc = min(self.nc, nd)
+        dt_nat = self.dt * self.sample_interval
+        dt_ps = dt_nat * TIME_UNIT_CONVERSION / 1000.0
+        # summed (not per-atom-averaged) squared displacement per lag
+        msd = np.zeros((nc, 3))
+        for lag in range(1, nc):
+            d = frames[lag:] - frames[: nd - lag]
+            msd[lag] = np.mean(np.sum(d * d, axis=1), axis=0)
+        factor = (
+            self.charge**2 * 1.602176634e7 * 0.5
+            / (TIME_UNIT_CONVERSION * self._volume * K_B
+               * self.temperature * dt_nat)
+        )
+        ic = np.zeros((nc, 3))
+        ic[1:] = (msd[1:] - msd[:-1]) * factor
+        with open(os.path.join(session.workdir, "ic.out"), "a") as f:
+            for i in range(nc):
+                f.write(
+                    f"{i * dt_ps:g} {ic[i, 0]:g} {ic[i, 1]:g} {ic[i, 2]:g}\n"
+                )

@@ -50,6 +50,9 @@ class NEPCharge(NamedTuple):
     sqrt_epsilon_inf: jnp.ndarray  # ()
     charge_mode: int
     kspace_method: str = "pppm"
+    # static PPPM mesh shape; () = derive from the box (host-side only —
+    # set this when calling under jit, e.g. at potential load)
+    pppm_mesh: tuple = ()
 
     @property
     def rc(self) -> float:
@@ -271,7 +274,7 @@ class NEPCharge(NamedTuple):
                 pppm_virial_total,
             )
 
-            mesh = best_mesh(state.box)
+            mesh = self.pppm_mesh or best_mesh(state.box)
             e_rec_fn = lambda q, pos: pppm_reciprocal_energy(
                 q, pos, state.box, alpha, mesh
             )

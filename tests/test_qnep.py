@@ -151,3 +151,74 @@ def test_pppm_energy_matches_ewald_point_charges():
     mesh = best_mesh(box)
     e_pp = float(pppm_reciprocal_energy(q, pos, box, alpha, mesh))
     assert abs(e_ew - e_pp) < 2e-3 * max(abs(e_ew), 1.0), (e_ew, e_pp)
+
+
+@requires_reference
+def test_compute_dpdt_and_es_app(tmp_path):
+    """compute_dpdt (BEC . v) and compute_es (electrostatic split) run
+    through the app on a qNEP model (ref: compute_dpdt.cu, compute_es.cu)."""
+    import shutil
+
+    shutil.copy(f"{MODELS}/qnep_mode1_BaTiO3.txt", tmp_path / "nep.txt")
+    shutil.copy(f"{STRUCTS}/BaTiO3-nat40-rattled.xyz", tmp_path / "model.xyz")
+    (tmp_path / "run.in").write_text(
+        """potential nep.txt
+velocity 300
+time_step 1
+ensemble nve
+compute_dpdt 5
+compute_es 10
+run 20
+"""
+    )
+    from gpumd_tpu.app.gpumd import Session
+
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    dp = np.loadtxt(tmp_path / "dpdt.out")
+    assert dp.shape == (4, 7)
+    assert np.isfinite(dp).all()
+    # integrated polarization accumulates
+    assert not np.allclose(dp[-1, 4:], 0.0)
+    ee = np.loadtxt(tmp_path / "elactrostatic_energy.out")
+    assert ee.shape == (2,)
+    ef = np.loadtxt(tmp_path / "elactrostatic_force.out")
+    assert ef.shape == (2 * 40, 3)
+    assert np.isfinite(ef).all()
+
+
+def test_compute_ic(tmp_path):
+    """Nernst-Einstein ionic conductivity columns (ref: iron_conductivity.cu)."""
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    rng = np.random.default_rng(0)
+    a0, nc_ = 5.26, 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc_) for j in range(nc_) for k in range(nc_)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc_ * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 60
+time_step 5
+ensemble nve
+compute_ic 5 10 0 1.0
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    ic = np.loadtxt(tmp_path / "ic.out")
+    assert ic.shape == (10, 4)
+    assert np.isfinite(ic).all()
+    # some diffusion signal at warm T
+    assert np.abs(ic[1:, 1:]).max() > 0
