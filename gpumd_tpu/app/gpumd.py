@@ -1609,6 +1609,17 @@ class Session:
         )
         self.log(f"compute_hac {args}")
 
+    def kw_compute_lsqt(self, args):
+        """compute_lsqt x|y|z Nm Ne E_start E_end E_max -> lsqt_dos.out /
+        lsqt_velocity.out / lsqt_sigma.out (ref: lsqt.cu:962-1035)."""
+        from gpumd_tpu.measure.lsqt import LSQT
+
+        self.measure_props.append(
+            LSQT(args[0], int(args[1]), int(args[2]), float(args[3]),
+                 float(args[4]), float(args[5]), dt=self.dt)
+        )
+        self.log(f"compute_lsqt {args}")
+
     def kw_compute_ic(self, args):
         """compute_ic sample_int Nc type charge -> ic.out
         (ref: iron_conductivity.cu)."""
@@ -2367,6 +2378,7 @@ class Session:
         "dump_shock_nemd": kw_dump_shock_nemd,
         "dump_beads": kw_dump_beads,
         "compute_ic": kw_compute_ic,
+        "compute_lsqt": kw_compute_lsqt,
         "compute_dpdt": kw_compute_dpdt,
         "compute_es": kw_compute_es,
         "compute_hnema": kw_compute_hnema,
