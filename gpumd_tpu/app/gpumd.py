@@ -2272,6 +2272,71 @@ class Session:
         )
         self.log(f"add_efield {args}")
 
+    def kw_change_box(self, args):
+        """change_box dxx | dxx dyy dzz | dxx dyy dzz eyz exz exy
+        (ref: run.cu:712-810): diagonal entries are length CHANGES in A,
+        off-diagonals are strains; positions deform affinely with the box."""
+        d = np.zeros((3, 3))
+        d[0, 0] = float(args[0])
+        if len(args) >= 3:
+            d[1, 1], d[2, 2] = float(args[1]), float(args[2])
+        else:
+            d[1, 1] = d[2, 2] = d[0, 0]
+        if len(args) == 6:
+            d[1, 2] = d[2, 1] = float(args[3])
+            d[0, 2] = d[2, 0] = float(args[4])
+            d[0, 1] = d[1, 0] = float(args[5])
+        h = np.asarray(self.state.box.h)
+        for k in range(3):
+            d[k, k] = (h[k, k] + d[k, k]) / h[k, k]
+        h_new = d @ h
+        from gpumd_tpu.model.box import Box
+
+        new_box = Box.from_lattice(
+            h_new.T, pbc=np.asarray(self.box.pbc) > 0
+        )
+        dm = jnp.asarray(d, self.state.position.dtype)
+        pos = self.state.position @ dm.T
+        unw = (self.state.unwrapped_position @ dm.T
+               if self.state.unwrapped_position is not None else None)
+        self.state = self.state._replace(
+            position=pos, box=new_box, unwrapped_position=unw
+        )
+        self.box = new_box
+        self.log(f"change_box {args}")
+
+    def kw_add_spring(self, args):
+        """add_spring ghost_com <gm> <gid> vx vy vz couple k R0 x0 y0 z0 |
+        add_spring ghost_com <gm> <gid> vx vy vz decouple kx ky kz x0 y0 z0
+        (ref: add_spring.cu)."""
+        from gpumd_tpu.integrate.drivers import AddSpring
+
+        if args[0] != "ghost_com":
+            raise ValueError(
+                f"add_spring mode {args[0]!r} not supported (ghost_com only)"
+            )
+        gm, gid = int(args[1]), int(args[2])
+        vel = tuple(float(x) for x in args[3:6])
+        stiff = args[6]
+        gmask = np.asarray(self.groups.mask(gm, gid))
+        pos = np.asarray(self.state.position)
+        m = np.asarray(self.state.mass) * gmask
+        com0 = (m[:, None] * pos).sum(0) / max(m.sum(), 1e-30)
+        if stiff == "couple":
+            k, r0 = float(args[7]), float(args[8])
+            off = tuple(float(x) for x in args[9:12])
+            drv = AddSpring(gmask=gmask, com0=tuple(com0), velocity=vel,
+                            offset=off, couple=True, k=k, r0=r0)
+        elif stiff == "decouple":
+            k3 = tuple(float(x) for x in args[7:10])
+            off = tuple(float(x) for x in args[10:13])
+            drv = AddSpring(gmask=gmask, com0=tuple(com0), velocity=vel,
+                            offset=off, couple=False, k3=k3)
+        else:
+            raise ValueError("add_spring: expected couple|decouple")
+        self.drivers.append(drv)
+        self.log(f"add_spring {args}")
+
     def kw_add_random_force(self, args):
         from gpumd_tpu.integrate.drivers import AddRandomForce
 
@@ -2387,6 +2452,8 @@ class Session:
         "compute_sdc": kw_compute_sdc,
         "compute_dos": kw_compute_dos,
         "add_force": kw_add_force,
+        "add_spring": kw_add_spring,
+        "change_box": kw_change_box,
         "add_efield": kw_add_efield,
         "add_random_force": kw_add_random_force,
         "electron_stop": kw_electron_stop,

@@ -153,3 +153,44 @@ def parse_table_or_values(args, workdir="."):
         vals = np.asarray([float(x) for x in toks[1 : 1 + 3 * n]])
         return vals.reshape(n, 3)
     raise ValueError("expected 'fx fy fz' or a table filename")
+
+
+@dataclass(frozen=True)
+class AddSpring:
+    """add_spring ghost_com <gm> <gid> vx vy vz couple k R0 x0 y0 z0 |
+    ... decouple kx ky kz x0 y0 z0 (ref: add_spring.cu MODE_GHOST_COM):
+    a ghost anchor starts at the group's initial COM + offset and moves at
+    `velocity` A/step; the spring force on the anchor-COM separation is
+    distributed mass-weighted over the group (SMD pulling)."""
+
+    gmask: object  # (N,) 1.0 on pulled atoms
+    com0: object  # (3,) group COM at registration
+    velocity: object  # (3,) A/step
+    offset: object  # (3,)
+    couple: bool = True
+    k: float = 0.0  # couple spring constant
+    r0: float = 0.0  # couple rest length
+    k3: object = (0.0, 0.0, 0.0)  # decouple constants
+
+    def apply(self, state):
+        dtype = state.force.dtype
+        gm = jnp.asarray(self.gmask, dtype)
+        m = state.mass * gm
+        msum = jnp.maximum(jnp.sum(m), 1e-30)
+        pos = (state.unwrapped_position
+               if state.unwrapped_position is not None else state.position)
+        com = jnp.sum(m[:, None] * pos, axis=0) / msum
+        ghost = (
+            jnp.asarray(self.com0, dtype) + jnp.asarray(self.offset, dtype)
+            + jnp.asarray(self.velocity, dtype) * state.step.astype(dtype)
+        )
+        d = ghost - com
+        if self.couple:
+            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d), 1e-40))
+            f_tot = jnp.where(
+                r > 1e-20, self.k * (r - self.r0) / r, 0.0
+            ) * d
+        else:
+            f_tot = jnp.asarray(self.k3, dtype) * d
+        f = state.force + (m / msum)[:, None] * f_tot[None, :]
+        return state._replace(force=f * state.mask[:, None])

@@ -99,3 +99,48 @@ run 10
 
     with pytest.raises(ValueError, match="charge"):
         s.execute()
+
+
+def test_add_spring_pulls_group(tmp_path):
+    """SMD ghost-COM spring pulls the group along the anchor path
+    (ref: add_spring.cu MODE_GHOST_COM couple)."""
+    n, _ = _argon(tmp_path, groups=np.zeros((32, 1), int))
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 10
+time_step 5
+ensemble nve
+add_spring ghost_com 0 0 0.02 0 0 couple 1.0 0.0 0 0 0
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    g = np.asarray(s.groups.mask(0, 0)) > 0
+    x0 = np.asarray(s.frame.positions)[:, 0]
+    x1 = np.asarray(s.state.unwrapped_position)[: len(x0), 0]
+    # anchor moved 0.02*200 = 4 A; group pulled along +x
+    dx_group = (x1[g] - x0[g]).mean()
+    assert dx_group > 1.0, dx_group
+
+
+def test_change_box(tmp_path):
+    """change_box deforms the cell and positions affinely
+    (ref: run.cu:712-810)."""
+    n, _ = _argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+change_box 2.0 0.0 0.0
+time_step 5
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    h = np.asarray(s.state.box.h)
+    lx0 = np.asarray(s.frame.lattice)[0, 0]
+    assert np.isclose(h[0, 0], lx0 + 2.0)
+    # positions scaled by the same factor
+    scale = (lx0 + 2.0) / lx0
+    x0 = np.asarray(s.frame.positions)[:, 0]
+    x1 = np.asarray(s.state.position)[: len(x0), 0]
+    assert np.allclose(x1, x0 * scale, atol=1e-6)
