@@ -249,7 +249,8 @@ class Session:
         # MTTK/TI/MSST-style ensembles carry keyword tokens, not floats
         _kw_style = (
             name.endswith("_mttk") or name.startswith("ti")
-            or name in ("msst", "nvt_qtb", "npt_qtb", "nphug", "heat_hybrid")
+            or name in ("msst", "nvt_qtb", "npt_qtb", "nphug",
+                        "heat_hybrid", "ttm", "heat_ttm")
             or name.startswith("wall_")
         )
         p = [] if _kw_style else [float(x) for x in args[1:]]
@@ -404,6 +405,8 @@ class Session:
             self.ensemble = self._parse_ti_npt(name, args[1:])
         elif name == "nphug":
             self.ensemble = self._parse_nphug(args[1:])
+        elif name in ("ttm", "heat_ttm"):
+            self.ensemble = self._parse_ttm(args[1:])
         elif name in ("wall_piston", "wall_mirror", "wall_harmonic"):
             self.ensemble = self._parse_wall(name, args[1:])
         elif name == "msst":
@@ -450,6 +453,44 @@ class Session:
         cls = {"wall_piston": WallPiston, "wall_mirror": WallMirror,
                "wall_harmonic": WallHarmonic}[name]
         return cls(**kw)
+
+    def _parse_ttm(self, toks):
+        """ensemble ttm gm gid Ce rho_e kappa_e gamma_p gamma_s v_0
+        nx ny nz T_e_init [ttm_out_interval n] [ttm_source s]
+        (ref: ensemble_ttm.cu:84-300, unit conversions 742-790)."""
+        from gpumd_tpu.integrate.ensembles.ttm import TTM
+        from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+        gm, gid = int(toks[0]), int(toks[1])
+        ce, rho_e, kappa_e = (float(toks[i]) for i in (2, 3, 4))
+        gamma_p, gamma_s, v0 = (float(toks[i]) for i in (5, 6, 7))
+        nx, ny, nz = (int(toks[i]) for i in (8, 9, 10))
+        t_e = float(toks[11])
+        kw = {}
+        i = 12
+        while i < len(toks):
+            if toks[i] == "ttm_out_interval":
+                kw["out_interval"] = int(toks[i + 1])
+            elif toks[i] == "ttm_source":
+                kw["source"] = float(toks[i + 1]) / 1000.0
+            else:
+                raise ValueError(f"unknown ttm keyword {toks[i]!r}")
+            i += 2
+        h = np.asarray(self.box.h)
+        dcell = (h[0, 0] / nx, h[1, 1] / ny, h[2, 2] / nz)
+        v0_nat = v0 * TIME_UNIT_CONVERSION / 1000.0
+        return TTM(
+            gmask=np.asarray(self.groups.mask(gm, gid)),
+            c_vol=ce * rho_e,
+            kappa_e=kappa_e / 1000.0,
+            gamma_p=gamma_p * TIME_UNIT_CONVERSION / 1000.0,
+            gamma_s=gamma_s * TIME_UNIT_CONVERSION / 1000.0,
+            v0_sq=v0_nat * v0_nat,
+            grid=(nx, ny, nz),
+            t_e_init=t_e,
+            dcell_static=dcell,
+            **kw,
+        )
 
     def _parse_nphug(self, toks):
         """ensemble nphug [tperiod x] [pperiod x]

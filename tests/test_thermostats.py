@@ -69,3 +69,45 @@ def test_temperature_ramp():
     t = np.asarray(th.temperature)
     # late-run temperature clearly above early-run
     assert t[-100:].mean() > t[100:200].mean() + 20.0
+
+
+def test_ttm_electron_phonon_equilibration(tmp_path):
+    """TTM (ref: ensemble_ttm.cu): hot electrons (T_e = 600 K) heat the
+    cold lattice through the e-ph coupling and T_e itself relaxes down."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.26, 3
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3,
+        groups=np.zeros((n, 1), int),
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble ttm 0 0 1.0e-5 1.0 1.0 5.0 0 100 2 2 2 600
+dump_thermo 20
+run 400
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    th = np.loadtxt(tmp_path / "thermo.out")
+    assert np.isfinite(th).all()
+    # lattice heated well above the initial 20 K by hot electrons
+    assert th[-1, 0] > 60.0, th[-1, 0]
+    # electron field cooled below its 600 K start (energy conservation)
+    t_e = np.asarray(s._ens_aux["t_e"])
+    assert np.isfinite(t_e).all()
+    assert t_e.mean() < 600.0
