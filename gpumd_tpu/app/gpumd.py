@@ -1809,6 +1809,83 @@ class Session:
                 f.write(row + "\n")
             f.flush()
 
+    def kw_dump_cg(self, args):
+        """dump_cg interval grouping_method -> train.xyz frames of
+        coarse-grained beads: COM positions, window-averaged bead forces /
+        energy / virial, + the missing-DoF ideal-gas virial correction
+        (ref: dump_cg.cu)."""
+        interval = int(args[0])
+        gm = int(args[1])
+        onehot = np.asarray(self.groups.onehot(gm))  # (N, Ngroups)
+        nbeads = onehot.shape[1]
+        # bead species = first member atom's symbol (ref: dump_cg.cu:352)
+        labels = np.asarray(self.groups.labels)[:, gm]
+        first_sym = []
+        for b in range(nbeads):
+            members = np.nonzero(labels == b)[0]
+            first_sym.append(self.symbols[members[0]])
+        acc = {"f": np.zeros((nbeads, 3)), "e": 0.0,
+               "w": np.zeros((3, 3)), "n": 0}
+        fout = self._file("train.xyz")
+
+        def process(session, state, step):
+            from gpumd_tpu.units import K_B
+
+            n = self._n
+            mask = np.asarray(state.mask)[:n] > 0
+            f = np.asarray(state.force)[:n]
+            acc["f"] += onehot.T @ f
+            acc["e"] += float(
+                np.asarray(state.potential_energy)[:n][mask].sum()
+            )
+            acc["w"] += np.asarray(
+                jnp.sum(state.virial * state.mask[:, None, None], axis=0)
+            )
+            acc["n"] += 1
+            if acc["n"] % interval != 0:
+                return
+            inv = 1.0 / acc["n"]
+            m = np.asarray(state.mass)[:n]
+            pos = np.asarray(
+                state.unwrapped_position
+                if state.unwrapped_position is not None else state.position
+            )[:n]
+            msum = onehot.T @ m
+            com = (onehot.T @ (m[:, None] * pos)) / msum[:, None]
+            t_now = self._ensemble_temperature()
+            extra = (int(mask.sum()) - nbeads) * K_B * t_now
+            h = np.asarray(state.box.h)
+            pbc = " ".join(
+                "T" if p else "F" for p in np.asarray(state.box.pbc) > 0
+            )
+            lat = " ".join(
+                f"{h[i2, j2]:.8f}" for j2 in range(3) for i2 in range(3)
+            )
+            w = acc["w"] * inv
+            wrow = [w[0, 0] + extra, w[0, 1], w[0, 2],
+                    w[1, 0], w[1, 1] + extra, w[1, 2],
+                    w[2, 0], w[2, 1], w[2, 2] + extra]
+            fout.write(f"{nbeads}\n")
+            fout.write(
+                f'pbc="{pbc}" Lattice="{lat}" energy={acc["e"] * inv:.8f} '
+                f'virial="{" ".join(f"{x:.8f}" for x in wrow)}" '
+                "Properties=species:S:1:pos:R:3:forces:R:3\n"
+            )
+            for b in range(nbeads):
+                fb = acc["f"][b] * inv
+                fout.write(
+                    f"{first_sym[b]} {com[b, 0]:.8f} {com[b, 1]:.8f} "
+                    f"{com[b, 2]:.8f} {fb[0]:.8f} {fb[1]:.8f} {fb[2]:.8f}\n"
+                )
+            fout.flush()
+            acc["f"][:] = 0.0
+            acc["e"] = 0.0
+            acc["w"][:] = 0.0
+            acc["n"] = 0
+
+        self.properties.append(PropertyRequest(1, process))
+        self.log(f"dump_cg {args}")
+
     def kw_dump_shock_nemd(self, args):
         """dump_shock_nemd interval n bin_size d -> spatial histograms
         temperature/pxx/pyy/pzz/density/vp _hist.txt, one row per dump
@@ -2483,6 +2560,7 @@ class Session:
         "compute_extrapolation": kw_compute_extrapolation,
         "dump_shock_nemd": kw_dump_shock_nemd,
         "dump_beads": kw_dump_beads,
+        "dump_cg": kw_dump_cg,
         "compute_ic": kw_compute_ic,
         "compute_lsqt": kw_compute_lsqt,
         "compute_dpdt": kw_compute_dpdt,

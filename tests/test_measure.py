@@ -289,3 +289,46 @@ run 40
     nbins = int(np.ceil(nm / 8))
     assert data.shape == (2 * nbins, 5)
     assert np.isfinite(data).all()
+
+
+def test_dump_cg(tmp_path):
+    """Coarse-grained bead dump: COM positions + averaged bead forces and
+    the missing-DoF virial correction (ref: dump_cg.cu)."""
+    import numpy as np
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+    from gpumd_tpu.io.xyz import read_xyz_frames
+
+    a0, nc = 5.26, 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    beads = (np.arange(n) // 4)[:, None]  # one bead per fcc cell
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0] * 3), pbc=(True,) * 3, groups=beads,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame, with_groups=True)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 30
+time_step 5
+ensemble nve
+dump_cg 10 0
+run 30
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    frames = read_xyz_frames(str(tmp_path / "train.xyz"))
+    assert len(frames) == 3
+    f0 = frames[0]
+    assert f0.n_atoms == n // 4
+    assert "energy" in f0.info and "virial" in f0.info
+    assert f0.forces is not None and np.isfinite(f0.forces).all()
+    # bead COMs sit near the fcc cell centers
+    assert np.isfinite(f0.positions).all()
