@@ -51,6 +51,11 @@ class NepTrainConfig:
     fine_tune_nep_restart: str = ""
     fine_tune_descriptor: bool = False
     import_q_scaler: bool = False
+    # gnep (gradient trainer) keywords (ref: main_gnep/parameters.cu)
+    epoch: int = 100
+    start_lr: float = 1e-3
+    stop_lr: float = 1e-7
+    weight_decay: float = 0.0
 
     @property
     def fine_tune(self) -> bool:
@@ -140,6 +145,14 @@ def parse_nep_in(path: str) -> NepTrainConfig:
                     cfg.fine_tune_descriptor = bool(int(args[2]))
             elif kw == "import_q_scaler":
                 cfg.import_q_scaler = True
+            elif kw == "epoch":
+                cfg.epoch = int(args[0])
+            elif kw == "start_lr":
+                cfg.start_lr = float(args[0])
+            elif kw == "stop_lr":
+                cfg.stop_lr = float(args[0])
+            elif kw == "weight_decay":
+                cfg.weight_decay = float(args[0])
             else:
                 raise ValueError(f"unknown nep.in keyword {kw!r}")
     if cfg.num_types == 0:

@@ -244,3 +244,39 @@ def test_fine_tune_init(tmp_path):
     assert np.allclose(qs, np.arange(1, model.dim + 1, dtype=float))
     # element map skips Po..Ra
     assert _element_index_89(83) == 82 and _element_index_89(89) == 83
+
+
+@requires_reference
+def test_gnep_epoch_driver(workdir, tmp_path):
+    """gnep app: Adam + cosine LR over epochs; loss drops and nep.txt
+    round-trips (ref: main_gnep/fitness.cu:212-280)."""
+    import shutil
+
+    shutil.copy(os.path.join(workdir, "train.xyz"), tmp_path / "train.xyz")
+    (tmp_path / "nep.in").write_text(
+        """type 2 Te Pb
+version 4
+cutoff 6 4
+n_max 3 3
+basis_size 3 3
+l_max 4 0 0
+neuron 8
+batch 8
+epoch 12
+start_lr 5e-3
+stop_lr 1e-4
+output_interval 4
+"""
+    )
+    from gpumd_tpu.app.gnep import main as gnep_main
+
+    gnep_main([str(tmp_path)])
+    loss = np.loadtxt(tmp_path / "loss.out")
+    assert loss.shape[1] == 6
+    assert loss[-1, 2] < loss[0, 2]  # total loss decreased
+    # cosine schedule decayed the lr
+    assert loss[-1, 1] < loss[0, 1]
+    from gpumd_tpu.potentials.nep import NEP
+
+    nep = NEP.from_file(str(tmp_path / "nep.txt"))
+    assert nep.model.num_types == 2
