@@ -259,8 +259,11 @@ class NEPCharge(NamedTuple):
     # ---- Potential interface ---------------------------------------------------
 
     def compute_with_state(self, state, nbr: NeighborList) -> PotentialOutput:
-        if self.charge_mode != 1:
-            raise NotImplementedError("charge_mode 2/3 planned")
+        if self.charge_mode not in (1, 2):
+            raise NotImplementedError(
+                "only charge_mode 1 (real + k-space) and 2 (k-space only) "
+                "exist (ref: nep_charge.cu:118-141)"
+            )
         mask = state.mask
         type_ = state.type
         t2 = type_[nbr.idx]
@@ -289,7 +292,14 @@ class NEPCharge(NamedTuple):
             q_raw = q_raw * mask
             n_real = jnp.maximum(jnp.sum(mask), 1.0)
             q = (q_raw - jnp.sum(q_raw) / n_real) * mask
-            e_real = self.real_space_energy(q, r12, nbr.idx, nbr.mask)
+            if self.charge_mode == 1:
+                e_real = self.real_space_energy(q, r12, nbr.idx, nbr.mask)
+            else:
+                # charge_mode 2: k-space electrostatics only — the real-
+                # space erfc pair term and the self energy are absent
+                # (ref: find_force_charge_real_space is mode-1 gated,
+                # nep_charge.cu:1429)
+                e_real = jnp.zeros_like(q)
             e_rec = e_rec_fn(q, pos)
             e_atoms = (e_nep + e_real) * mask
             return jnp.sum(e_atoms) + e_rec, (e_atoms, e_rec, q)

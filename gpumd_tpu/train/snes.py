@@ -342,7 +342,27 @@ class SNESTrainer:
         workdir: str = ".",
         dtype=jnp.float32,
         test_batches: List[StructureBatch] = (),
+        mesh=None,
     ):
+        # population-parallel over a device mesh: the vmapped population
+        # axis is sharded, batches replicated (the TPU analog of the
+        # reference's one-individual-per-GPU round-robin,
+        # ref: fitness.cu:158-199); population is rounded up to a
+        # multiple of the device count like parameters.cu:132-140.
+        if mesh is None and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), ("pop",))
+        self.mesh = mesh
+        if mesh is not None:
+            nd = mesh.devices.size
+            pop = cfg.population_size
+            if pop % nd:
+                import dataclasses as _dc
+
+                cfg = _dc.replace(
+                    cfg, population_size=pop + nd - pop % nd
+                )
         self.model = model
         self.cfg = cfg
         self.batches = batches
@@ -414,9 +434,17 @@ class SNESTrainer:
         gens = generations or self.cfg.maximum_generation
         loss_path = os.path.join(self.workdir, "loss.out")
         t0 = time.time()
+        shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
         for g in range(gens):
             gi = g % len(self.batches)
             key, z, thetas = self._sample(self.state)
+            if shard is not None:
+                thetas = jax.device_put(thetas, shard)
+                z = jax.device_put(z, shard)
             re, rf, rv = self._eval(thetas, self.batches[gi])
             if self.cfg.use_full_batch and len(self.batches) > 1:
                 # quadratic mean of per-batch RMSEs (ref: fitness.cu:202-256)

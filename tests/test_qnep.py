@@ -222,3 +222,34 @@ run 200
     assert np.isfinite(ic).all()
     # some diffusion signal at warm T
     assert np.abs(ic[1:, 1:]).max() > 0
+
+
+@requires_reference
+def test_charge_mode2_runs():
+    """charge_mode 2 (k-space-only electrostatics) evaluates and passes
+    the force FD check (ref: nep_charge.cu:128-141, 1429)."""
+    nep = NEPCharge.from_file(f"{MODELS}/qnep_mode2_BaTiO3.txt")
+    assert nep.charge_mode == 2
+    frame = read_xyz(f"{STRUCTS}/BaTiO3-nat40-rattled.xyz")
+    types = np.array([nep.model.symbols.index(s) for s in frame.symbols])
+    box = Box.from_lattice(frame.lattice, pbc=frame.pbc)
+    state = make_state(frame.positions, frame.default_masses(), types, box)
+    ff = ForceField.create([nep], box, frame.n_atoms, mn=512)
+    nbr = ff.neighbor.build(state.position, state.box, state.mask)
+    out = nep.compute_with_state(state, nbr)
+    assert np.isfinite(np.asarray(out.force)).all()
+    e0 = float(jnp.sum(out.energy * state.mask))
+    assert np.isfinite(e0)
+    # FD check on one coordinate
+    h = 1e-3
+
+    def e_of(pos):
+        st = state._replace(position=pos)
+        nb = ff.neighbor.build(pos, st.box, st.mask)
+        o = nep.compute_with_state(st, nb)
+        return float(jnp.sum(o.energy * st.mask))
+
+    ep = e_of(state.position.at[3, 1].add(h))
+    em = e_of(state.position.at[3, 1].add(-h))
+    f_fd = -(ep - em) / (2 * h)
+    assert np.isclose(float(out.force[3, 1]), f_fd, rtol=5e-3, atol=1e-4)

@@ -157,3 +157,41 @@ def test_sharded_md_block_matches_dense(mesh8):
         np.asarray(out_state.velocity), np.asarray(carry.state.velocity),
         rtol=1e-7, atol=1e-10,
     )
+
+
+def test_snes_population_sharded(mesh8, tmp_path):
+    """SNES population axis sharded over the mesh: training runs and the
+    population was rounded to a device multiple (ref: fitness.cu:158-199,
+    parameters.cu:132-140)."""
+    import os
+
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame
+    from gpumd_tpu.train.dataset import batch_structures
+    from gpumd_tpu.train.snes import SNESTrainer
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(4):
+        n = 4
+        posr = rng.random((n, 3)) * 4 + 0.5
+        f = XYZFrame(
+            symbols=["Si"] * n, positions=posr,
+            lattice=np.diag([6.0, 6.0, 6.0]), pbc=(True,) * 3,
+            info={"energy": str(rng.normal())},
+            forces=rng.normal(size=(n, 3)) * 0.1,
+        )
+        frames.append(f)
+    cfg = NepTrainConfig(
+        num_types=1, symbols=("Si",), rc_radial=5.0, rc_angular=4.0,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=4, l_max_4body=0, neurons=4,
+        population_size=10, maximum_generation=4, output_interval=2,
+    )
+    model = model_from_config(cfg)
+    batch = batch_structures(frames, cfg.symbols, rc=5.0, mn=16)
+    tr = SNESTrainer(model, cfg, [batch], workdir=str(tmp_path), mesh=mesh8)
+    # rounded 10 -> 16 on 8 devices
+    assert tr.cfg.population_size == 16
+    tr.train(generations=4, log=lambda *a: None)
+    assert os.path.exists(os.path.join(str(tmp_path), "loss.out"))
