@@ -168,6 +168,28 @@ class Session:
 
             pot = EAMDai2006.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name in ("tersoff_ilp", "nep_ilp"):
+            from gpumd_tpu.potentials.ilp import load_nep_ilp, load_tersoff_ilp
+
+            if len(args) < 2:
+                raise ValueError(f"{name} needs two potential files")
+            path2 = os.path.join(self.workdir, args[1])
+            self.type_names = head[2 : 2 + int(head[1])]
+            # parse the group method from the ILP file, then bind labels
+            if name == "tersoff_ilp":
+                pot, gm_ilp = load_tersoff_ilp(
+                    path, path2,
+                    np.zeros(self._n, np.int32),
+                )
+            else:
+                pot, gm_ilp = load_nep_ilp(
+                    path, path2, np.zeros(self._n, np.int32),
+                    workdir=self.workdir,
+                )
+            labels = np.asarray(self.groups.labels)[:, gm_ilp]
+            pot = pot._replace(ilp=pot.ilp._replace(
+                labels=jnp.asarray(labels, jnp.int32)
+            ))
         elif name == "fcp":
             from gpumd_tpu.potentials.fcp import FCP
 
@@ -221,7 +243,8 @@ class Session:
         else:
             driving = list(self.potentials)
         ff = ForceField.create(
-            driving, self.box, self._n, mn=_auto_mn(self.potentials),
+            driving, self.box, self._n,
+            mn=_auto_mn(self.potentials, self._n, self.box),
             skin=1.0,
         )
         if len(driving) > 1 and mode == "average":
@@ -896,7 +919,8 @@ class Session:
         # one neighbor plan sized for the most-compressed geometry
         smallest = self.state.box.with_h(jnp.asarray(base_h * start))
         ff = ForceField.create(
-            self.potentials, smallest, self._n, mn=_auto_mn(self.potentials)
+            self.potentials, smallest, self._n,
+            mn=_auto_mn(self.potentials, self._n, smallest)
         )
         state0 = self.state
 
@@ -934,7 +958,8 @@ class Session:
             box = self.state.box.with_h(h)
             pos = jnp.asarray(base_pos @ defm.T)
             ff = ForceField.create(
-                self.potentials, box, self._n, mn=_auto_mn(self.potentials)
+                self.potentials, box, self._n,
+                mn=_auto_mn(self.potentials, self._n, box)
             )
             out = jax.jit(ff.compute)(
                 self.state._replace(position=pos, box=box)
@@ -997,6 +1022,8 @@ class Session:
     def kw_run(self, args):
         self._require_state()
         n_steps = int(args[0])
+        if getattr(self, "_deposit", None) is not None:
+            self._prepare_deposit(n_steps)
         if self.ensemble is None:
             self.ensemble = NVE()
         if isinstance(self.ensemble, tuple):  # PIMD family
@@ -1084,6 +1111,20 @@ class Session:
         else:
             observer = lambda s: 0  # noqa: E731
 
+        # loud neighbor-capacity check: the reference aborts on overflow
+        # (ref: nep.cu neighbor.out diagnostics / abort); a silently
+        # truncated list corrupts forces
+        _nbr0 = self.ff.neighbor.build(
+            self.state.box.wrap(self.state.position), self.state.box,
+            self.state.mask,
+        )
+        _cnt = int(np.asarray(_nbr0.count).max())
+        if _cnt > _nbr0.idx.shape[1]:
+            raise RuntimeError(
+                f"neighbor overflow: an atom has {_cnt} neighbors but the "
+                f"list capacity is {_nbr0.idx.shape[1]}; increase mn"
+            )
+        del _nbr0
         state = jax.jit(self.ff.compute)(self.state)
         cache = (
             jax.jit(self.ff.refresh_cache)(state) if self.ff.skin > 0 else None
@@ -1227,7 +1268,7 @@ class Session:
             )
             self.ff = ForceField.create(
                 self.potentials, self.box, self._n,
-                mn=_auto_mn(self.potentials), skin=1.0,
+                mn=_auto_mn(self.potentials, self._n, self.box), skin=1.0,
             )
         self.log(f"replicate: {cx} x {cy} x {cz} -> {self._n} atoms")
 
@@ -1535,7 +1576,8 @@ class Session:
         from gpumd_tpu.forcefield import ForceField
 
         self.ff = ForceField.create(
-            pots, self.box, self._n, mn=_auto_mn(pots), skin=self.ff.skin,
+            pots, self.box, self._n,
+            mn=_auto_mn(pots, self._n, self.box), skin=self.ff.skin,
         )
         self.potentials = list(pots)
         self.log(f"dftd3 {args}")
@@ -2390,6 +2432,110 @@ class Session:
         )
         self.log(f"add_efield {args}")
 
+    def kw_deposit(self, args):
+        """deposit interval direction hmin hmax atom type number velocity
+        (ref: deposition.cu:48-170, 440-470): every `interval` steps,
+        `number` new atoms of `type` appear at random lateral positions
+        with the deposition-axis coordinate in [hmin, hmax] and velocity
+        `velocity` (natural units) along the axis.  TPU-native: the state
+        is pre-padded with masked atoms at run start and deposition is a
+        mask-activation event — static shapes throughout."""
+        interval = int(args[0])
+        direction = int(args[1])
+        hmin, hmax = float(args[2]), float(args[3])
+        if args[4] != "atom":
+            raise ValueError("deposit: only 'atom' mode supported")
+        atype = int(args[5])
+        number = int(args[6])
+        vel = float(args[7])
+        self._deposit = dict(
+            interval=interval, direction=direction, hmin=hmin, hmax=hmax,
+            type=atype, number=number, velocity=vel, next_slot=None,
+            rng=np.random.default_rng(777),
+        )
+        self.log(f"deposit {args}")
+
+    def _prepare_deposit(self, n_steps):
+        """Grow the padded state for this run's deposition events and
+        register the activation processor."""
+        dep = self._deposit
+        events = n_steps // dep["interval"]
+        need = events * dep["number"]
+        if need <= 0:
+            return
+        old_n = self._n
+        new_n = old_n + need
+        st = self.state
+
+        def pad(a, fill=0.0):
+            if a is None:
+                return None
+            pad_shape = (need,) + tuple(a.shape[1:])
+            return jnp.concatenate(
+                [a, jnp.full(pad_shape, fill, a.dtype)], axis=0
+            )
+
+        from gpumd_tpu.elements import MASS_TABLE
+
+        mass_new = MASS_TABLE.get(self.type_names[dep["type"]], 1.0)
+        self.state = st._replace(
+            position=pad(st.position),
+            velocity=pad(st.velocity),
+            force=pad(st.force),
+            mass=pad(st.mass, mass_new),
+            type=pad(st.type.astype(jnp.int32), dep["type"]),
+            potential_energy=pad(st.potential_energy),
+            virial=pad(st.virial),
+            heat_current=pad(st.heat_current),
+            mask=pad(st.mask, 0.0),
+            unwrapped_position=pad(st.unwrapped_position),
+        )
+        self.symbols = list(self.symbols) + (
+            [self.type_names[dep["type"]]] * need
+        )
+        lab = np.asarray(self.groups.labels)
+        if lab.shape[1]:
+            self.groups.labels = np.pad(
+                lab, ((0, need), (0, 0)), constant_values=-1
+            )
+        self._n = new_n
+        self.ff = ForceField.create(
+            self.potentials, self.box, new_n,
+            mn=_auto_mn(self.potentials, new_n, self.box), skin=1.0,
+        )
+        dep["next_slot"] = old_n
+
+        def process(session, state, step):
+            s0 = dep["next_slot"]
+            k = dep["number"]
+            if s0 is None or s0 + k > session._n:
+                return
+            rng = dep["rng"]
+            h = np.asarray(state.box.h)
+            pos = np.array(state.position)
+            velarr = np.array(state.velocity)
+            mask = np.array(state.mask)
+            for m in range(k):
+                p = np.array([rng.random() * h[0, 0],
+                              rng.random() * h[1, 1],
+                              rng.random() * h[2, 2]])
+                p[dep["direction"]] = (
+                    dep["hmin"] + rng.random() * (dep["hmax"] - dep["hmin"])
+                )
+                pos[s0 + m] = p
+                v = np.zeros(3)
+                v[dep["direction"]] = dep["velocity"]
+                velarr[s0 + m] = v
+                mask[s0 + m] = 1.0
+            dep["next_slot"] = s0 + k
+            session.state = state._replace(
+                position=jnp.asarray(pos),
+                velocity=jnp.asarray(velarr),
+                mask=jnp.asarray(mask),
+            )
+
+        self.properties.append(PropertyRequest(dep["interval"], process))
+
     def kw_change_box(self, args):
         """change_box dxx | dxx dyy dzz | dxx dyy dzz eyz exz exy
         (ref: run.cu:712-810): diagonal entries are length CHANGES in A,
@@ -2573,6 +2719,7 @@ class Session:
         "add_force": kw_add_force,
         "add_spring": kw_add_spring,
         "change_box": kw_change_box,
+        "deposit": kw_deposit,
         "add_efield": kw_add_efield,
         "add_random_force": kw_add_random_force,
         "electron_stop": kw_electron_stop,
@@ -2605,9 +2752,10 @@ class Session:
         self._files.clear()
 
 
-def _auto_mn(potentials) -> int:
+def _auto_mn(potentials, n_atoms=None, box=None) -> int:
     """Neighbor capacity: NEP files carry MN hints; otherwise default.
-    A long-cutoff term (DFTD3, rc 15 A) scales the cap by volume ratio."""
+    Long-cutoff terms (DFTD3 rc 15 A, ILP rc_global 16 A) get a
+    density-based bound so the list cannot silently truncate."""
     mn = 0
     rc_max = max((getattr(p, "rc", 0.0) for p in potentials), default=0.0)
     rc_base = 0.0
@@ -2617,7 +2765,16 @@ def _auto_mn(potentials) -> int:
             rc_base = max(rc_base, p.rc)
     if mn and rc_base and rc_max > rc_base:
         mn = int(mn * (rc_max / rc_base) ** 3)
-    return int(mn * 1.3) if mn else 256
+    out = int(mn * 1.3) if mn else 256
+    if n_atoms and box is not None and rc_max > 0.0:
+        import math
+
+        dens = n_atoms / float(np.asarray(box.volume))
+        bound = dens * 4.0 / 3.0 * math.pi * (rc_max + 1.5) ** 3
+        # images of a small periodic cell can exceed n_atoms, so no
+        # clamp by atom count here
+        out = max(out, int(bound * 1.5) + 8)
+    return out
 
 
 def main(argv=None):

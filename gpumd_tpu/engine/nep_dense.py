@@ -711,25 +711,27 @@ def dense_nep_compute_v2(
         interpret = jax.default_backend() != "tpu"
     garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan)
     centers, cand = pack_candidates(garr, plan, lane_align=_chunk_lanes(plan.cap))
-    s_cat, a_cat = k1b_call(centers, cand, plan, spec, interpret)
     ns = plan.n_slots
     nx, ny, nz = plan.grid
     cap = plan.cap
     ns_slab = ny * nx * cap
     type_z = type_slots.reshape(nz, ns_slab)
     mask_z = slot_mask.reshape(nz, ns_slab)
+    plan_z1 = DenseGridPlan(
+        grid=(nx, ny, 1), cap=cap, rc=plan.rc, skin=plan.skin, pbc=plan.pbc,
+    )
 
-    # The middle contraction + K2 run PER Z-SLAB under lax.map: at 1M atoms
-    # the full-grid angular cotangent arrays alone are ~2.5 GB each and
-    # their transposed copies blew HBM (measured 22 GB); slab-wise, only
-    # a_cat persists full-size.
+    # The WHOLE per-slab pipeline (K1 forward, middle contraction, K2
+    # backward) runs under one lax.map over z: the full-grid angular
+    # basis/cotangent arrays would be ~2.5 GB each at 1M atoms (measured
+    # OOM on a 16 GB chip); slab-wise, only the packed candidates persist
+    # full-size (~0.9 GB at 1M).
     def slab(z):
-        s_z = jax.lax.dynamic_slice_in_dim(s_cat, z, 1, 0)
-        a_z = jax.lax.dynamic_slice_in_dim(a_cat, z, 1, 0)
         c_z = jax.lax.dynamic_slice_in_dim(centers, z, 1, 0)
         w_z = jax.lax.dynamic_slice_in_dim(cand, z, 1, 0)
         t_z = jax.lax.dynamic_slice_in_dim(type_z, z, 1, 0).reshape(ns_slab)
         m_z = jax.lax.dynamic_slice_in_dim(mask_z, z, 1, 0).reshape(ns_slab)
+        s_z, a_z = k1b_call(c_z, w_z, plan_z1, spec, interpret)
         s_flat = s_z.reshape(ns_slab, spec.s_width)
         a_flat = jnp.moveaxis(a_z, 3, 4).reshape(ns_slab, spec.a_width)
 

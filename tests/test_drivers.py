@@ -144,3 +144,42 @@ time_step 5
     x0 = np.asarray(s.frame.positions)[:, 0]
     x1 = np.asarray(s.state.position)[: len(x0), 0]
     assert np.allclose(x1, x0 * scale, atol=1e-6)
+
+
+def test_deposit_grows_system(tmp_path):
+    """Vapor deposition: masked pre-padded atoms activate at intervals and
+    fall onto the substrate (ref: deposition.cu)."""
+    a0 = 5.26
+    nc = 2
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Ar"] * n, positions=pos,
+        lattice=np.diag([nc * a0, nc * a0, 40.0]), pbc=(True, True, False),
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 20
+time_step 5
+ensemble nve
+deposit 40 2 30.0 35.0 atom 0 2 -0.05
+run 200
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    mask = np.asarray(s.state.mask)
+    # 200/40 = 5 events x 2 atoms activated
+    assert int(mask.sum()) == n + 10
+    # deposited atoms moved downward from the spawn slab
+    z = np.asarray(s.state.position)[n:, 2]
+    act = mask[n:] > 0
+    assert act.sum() == 10
+    assert np.isfinite(z[act]).all()
+    assert (z[act] < 35.1).all()
