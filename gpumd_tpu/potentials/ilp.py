@@ -168,6 +168,10 @@ class ILPHybrid(NamedTuple):
     intra: object  # any repo potential evaluated on the masked list
     ilp: ILPTerm
     rc: float
+    # global ILP type index -> intralayer-potential type index (the NEP of
+    # a nep_ilp hybrid may cover a subset of the ILP element list,
+    # ref: ilp_nep.cu nep map type handling)
+    type_map: Optional[tuple] = None
 
     def compute_with_state(self, state, nbr: NeighborList) -> PotentialOutput:
         labels = self.ilp.labels
@@ -177,12 +181,15 @@ class ILPHybrid(NamedTuple):
             r12=jnp.where(same[..., None], nbr.r12, _FAR),
             mask=jnp.where(same, nbr.mask, 0.0),
         )
+        t_intra = state.type
+        if self.type_map is not None:
+            t_intra = jnp.asarray(self.type_map, jnp.int32)[state.type]
         if hasattr(self.intra, "compute_with_state"):
             out_a = self.intra.compute_with_state(
-                state._replace(), nbr_intra
+                state._replace(type=t_intra), nbr_intra
             )
         else:
-            out_a = self.intra.compute(state.type, nbr_intra, state.mask)
+            out_a = self.intra.compute(t_intra, nbr_intra, state.mask)
         out_b = self.ilp.compute(state.type, nbr, state.mask)
         return PotentialOutput(
             energy=out_a.energy + out_b.energy,
@@ -243,4 +250,12 @@ def load_nep_ilp(ilp_path: str, map_path: str, labels, workdir=".") -> ILPHybrid
     if not os.path.isabs(nep_path):
         nep_path = os.path.join(os.path.dirname(map_path), nep_path)
     intra = NEP.from_file(nep_path)
-    return ILPHybrid(intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc)), gms[0]
+    # map the global ILP element indices onto the NEP's own element list
+    ilp_syms = open(ilp_path).read().split()[2 : 2 + t]
+    tmap = tuple(
+        intra.model.symbols.index(sym) if sym in intra.model.symbols else 0
+        for sym in ilp_syms
+    )
+    return ILPHybrid(
+        intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc), type_map=tmap
+    ), gms[0]

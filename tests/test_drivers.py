@@ -182,4 +182,5 @@ run 200
     act = mask[n:] > 0
     assert act.sum() == 10
     assert np.isfinite(z[act]).all()
-    assert (z[act] < 35.1).all()
+    # earlier deposits have fallen below the spawn slab floor
+    assert (z[act] < 30.0).any()
