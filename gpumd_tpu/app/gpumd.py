@@ -168,8 +168,10 @@ class Session:
 
             pot = EAMDai2006.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
-        elif name in ("tersoff_ilp", "nep_ilp"):
-            from gpumd_tpu.potentials.ilp import load_nep_ilp, load_tersoff_ilp
+        elif name in ("tersoff_ilp", "nep_ilp", "sw_ilp"):
+            from gpumd_tpu.potentials.ilp import (
+                load_nep_ilp, load_sw_ilp, load_tersoff_ilp,
+            )
 
             if len(args) < 2:
                 raise ValueError(f"{name} needs two potential files")
@@ -181,6 +183,10 @@ class Session:
                     path, path2,
                     np.zeros(self._n, np.int32),
                 )
+            elif name == "sw_ilp":
+                pot, gm_ilp = load_sw_ilp(
+                    path, path2, np.zeros(self._n, np.int32),
+                )
             else:
                 pot, gm_ilp = load_nep_ilp(
                     path, path2, np.zeros(self._n, np.int32),
@@ -190,6 +196,11 @@ class Session:
             pot = pot._replace(ilp=pot.ilp._replace(
                 labels=jnp.asarray(labels, jnp.int32)
             ))
+        elif name == "sw_1985":
+            from gpumd_tpu.potentials.sw import SW
+
+            pot = SW.from_file(path)
+            self.type_names = head[2 : 2 + int(head[1])]
         elif name == "fcp":
             from gpumd_tpu.potentials.fcp import FCP
 

@@ -259,3 +259,15 @@ def load_nep_ilp(ilp_path: str, map_path: str, labels, workdir=".") -> ILPHybrid
     return ILPHybrid(
         intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc), type_map=tmap
     ), gms[0]
+
+
+def load_sw_ilp(ilp_path: str, sw_path: str, labels) -> tuple:
+    """potential sw_ilp <ilp_file> <sw_file>
+    (ref: force.cu:196-202, ilp_tmd_sw.cu:40-240)."""
+    from gpumd_tpu.potentials.sw import SW
+
+    name, t, gms, rows, _ = _parse_ilp_header(ilp_path, 1)
+    ilp = ILPTerm.parse_rows(rows, t, labels)
+    vals = [float(x) for x in open(sw_path).read().split()]
+    intra = SW.from_tokens(np.asarray(vals), t)
+    return ILPHybrid(intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc)), gms[0]

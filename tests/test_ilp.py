@@ -109,3 +109,63 @@ def test_nep_ilp_forces_match_fd(tmp_path, ilp_files):
         assert np.isclose(f[i, a], f_fd, rtol=2e-2, atol=2e-4), (
             i, a, f[i, a], f_fd,
         )
+
+
+def test_sw_silicon_basics(tmp_path):
+    """Standalone SW (Si, classic 1985 parameters): cohesive energy near
+    -4.34 eV/atom at the equilibrium diamond lattice and forces match FD
+    (ref: ilp_tmd_sw.cu:146-165 single-element form)."""
+    import jax
+    import jax.numpy as jnp
+    from gpumd_tpu.app.gpumd import Session
+
+    a0 = 5.431
+    base = np.array([
+        [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+        [0.25, 0.25, 0.25], [0.75, 0.75, 0.25], [0.75, 0.25, 0.75],
+        [0.25, 0.75, 0.75],
+    ])
+    cells = np.array(
+        [[i, j, k] for i in range(2) for j in range(2) for k in range(2)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    frame = XYZFrame(
+        symbols=["Si"] * n, positions=pos,
+        lattice=np.diag([2 * a0] * 3), pbc=(True,) * 3,
+    )
+    write_xyz(str(tmp_path / "model.xyz"), frame)
+    # classic SW Si: eps=2.1683 eV, lambda=21.0, A=7.049556277,
+    # B=0.6022245584, a=1.80, gamma=1.20, sigma=2.0951, cos0=-1/3
+    (tmp_path / "sw.txt").write_text(
+        "sw_1985 1 Si\n"
+        "2.1683 21.0 7.049556277 0.6022245584 1.80 1.20 2.0951 "
+        "-0.333333333333\n"
+    )
+    (tmp_path / "run.in").write_text("potential sw.txt\ntime_step 1\n")
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    out = jax.jit(s.ff.compute)(s.state)
+    e = float(jnp.sum(out.potential_energy * out.mask)) / n
+    assert np.isclose(e, -4.3363, atol=0.02), e
+    assert np.allclose(np.asarray(out.force)[:n], 0.0, atol=1e-4)
+
+    # FD force check on a rattled configuration
+    rng = np.random.default_rng(1)
+    st = s.state._replace(
+        position=s.state.position
+        + jnp.asarray(rng.uniform(-0.1, 0.1, s.state.position.shape))
+    )
+    out2 = jax.jit(s.ff.compute)(st)
+    f = np.asarray(out2.force)
+
+    def e_of(p):
+        o = jax.jit(s.ff.compute)(st._replace(position=p))
+        return float(jnp.sum(o.potential_energy * o.mask))
+
+    h = 1e-4
+    for i, ax in [(0, 0), (7, 2)]:
+        ep = e_of(st.position.at[i, ax].add(h))
+        em = e_of(st.position.at[i, ax].add(-h))
+        assert np.isclose(f[i, ax], -(ep - em) / (2 * h), rtol=2e-3,
+                          atol=1e-5)
