@@ -435,6 +435,8 @@ class Session:
             self.ensemble = self._parse_ti_spring(args[1:])
         elif name == "ti":
             self.ensemble = self._parse_ti(args[1:])
+        elif name == "ti_liquid":
+            self.ensemble = self._parse_ti_liquid(args[1:])
         elif name in ("ti_rs", "ti_as"):
             self.ensemble = self._parse_ti_npt(name, args[1:])
         elif name == "nphug":
@@ -599,6 +601,43 @@ class Session:
             raise ValueError(f"ti: spring constants missing for {missing}")
         kw["spring_k"] = tuple(spring[s] for s in self.type_names)
         return TI(**kw)
+
+    def _parse_ti_liquid(self, toks):
+        """ensemble ti_liquid temp T [press P] [tperiod tau] [tswitch n]
+        [tequil n] [sigmasqrd s2] [p P_UF]
+        (ref: ensemble_ti_liquid.cu:151-203)."""
+        from gpumd_tpu.integrate.ensembles.ti import TILiquid
+        from gpumd_tpu.units import PRESSURE_UNIT_CONVERSION
+
+        kw = dict(num_types=max(1, len(self.type_names)))
+        toks = list(toks)
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "temp":
+                kw["temperature"] = float(toks[i + 1]); i += 2
+            elif t == "press":
+                kw["target_pressure"] = (
+                    float(toks[i + 1]) / PRESSURE_UNIT_CONVERSION
+                ); i += 2
+            elif t == "tperiod":
+                kw["coupling"] = float(toks[i + 1]); i += 2
+            elif t == "tswitch":
+                kw["t_switch"] = int(toks[i + 1]); i += 2
+            elif t == "tequil":
+                kw["t_equil"] = int(toks[i + 1]); i += 2
+            elif t == "sigmasqrd":
+                kw["sigma_sqrd"] = float(toks[i + 1]); i += 2
+            elif t == "p":
+                p_uf = float(toks[i + 1])
+                if int(round(p_uf)) not in (1, 25, 50, 75, 100):
+                    raise ValueError(
+                        "ti_liquid: p must be 1, 25, 50, 75 or 100"
+                    )
+                kw["p_uf"] = p_uf; i += 2
+            else:
+                raise ValueError(f"unknown ti_liquid token {t!r}")
+        return TILiquid(**kw)
 
     def _parse_ti_npt(self, name, toks):
         """ensemble ti_rs temp T Tmax iso|aniso|tri P [tperiod x]
@@ -1205,16 +1244,15 @@ class Session:
         wall = time.time() - t0
         rate = self._n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second")
-        if is_ti and type(ens).__name__ == "TISpring":
+        if is_ti and getattr(ens, "yaml_name", None):
             summary = ens.free_energy(state, aux)
-            fy = self._file("ti_spring.yaml")
+            fy = self._file(ens.yaml_name)
             for k2, v2 in summary.items():
                 fy.write(f"{k2}: {v2:f}\n")
             fy.flush()
             self.log(
-                f"ti_spring: F = {summary['F']:.6f} eV/atom "
-                f"(E_Ein {summary['E_Einstein']:.6f}, "
-                f"E_diff {summary['E_diff']:.6f})"
+                f"{type(ens).__name__}: F = {summary['F']:.6f} eV/atom "
+                f"(G {summary['G']:.6f})"
             )
         # reset per-run observers (ref: run.cu:329-340 finalize())
         for m in self.measure_props:

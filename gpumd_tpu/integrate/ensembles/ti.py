@@ -57,6 +57,7 @@ class TISpring:
 
     csv_name = "ti_spring.csv"
     csv_header = "lambda,dlambda,pe,espring\n"
+    yaml_name = "ti_spring.yaml"
 
     def observe(self, state, aux):
         return (aux["lambda"], aux["dlambda"], aux["pe"], aux["espring"])
@@ -237,6 +238,7 @@ class TI(TISpring):
 
     csv_name = "ti.csv"
     csv_header = "pe,espring\n"
+    yaml_name = None
 
     def init(self, state: MDState):
         if self.spring_k is None:
@@ -291,6 +293,7 @@ class TIRS(MTTK):
 
     csv_name = "ti_rs.csv"
     csv_header = "lambda,dlambda,enthalpy\n"
+    yaml_name = None
 
     @property
     def lambda_f(self):
@@ -386,6 +389,7 @@ class TIAS(MTTK):
 
     csv_name = "ti_as.csv"
     csv_header = "p,V\n"
+    yaml_name = None
 
     def _schedule(self):
         ts = self.t_switch if self.t_switch > 0 else int(self.n_steps * 0.4)
@@ -443,3 +447,215 @@ class TIAS(MTTK):
         for r in range(len(pp)):
             if inleg[r]:
                 yield f"{pp[r] * PRESSURE_UNIT_CONVERSION:e},{vol[r] / n:e}\n"
+
+
+@dataclass(frozen=True)
+class TILiquid(TISpring):
+    """ti_liquid — nonequilibrium switching to the Uhlenbeck-Ford fluid
+    (ref: src/integrate/ensemble_ti_liquid.cu:1-528).
+
+    The UF reference model is the purely repulsive pair fluid
+        beta u(r) = -p ln(1 - exp(-r^2 / sigma^2)),
+    whose excess free energy is known analytically (spline tables over the
+    reduced density x = (pi sigma^2)^{3/2} rho / 2, extracted from
+    ensemble_ti_liquid.cuh:77-760 into assets/uf_spline.npz).  The run mixes
+        f = (1 - lambda) f_pot + lambda f_UF
+    under the global Langevin thermostat with the same quintic switch
+    schedule as ti_spring, accumulates
+        E_diff = 1/2 integral (U - U_UF) |dlambda| / N,
+    and combines with E_ref = (F_UF + F_idealgas)/N for the absolute
+    Helmholtz/Gibbs free energy of the liquid (ref destructor, :284-387).
+
+    UF pair sums are evaluated all-pairs with MIC in row blocks (the model
+    is only used at liquid sizes; exp(-r^2/sigma^2) decays in ~2 A so the
+    masked far pairs contribute exactly zero force and energy).
+
+    run.in: ensemble ti_liquid temp T [tperiod tau] [tswitch n tequil n]
+            [press P] [sigmasqrd s2] [p P_UF]
+    """
+
+    sigma_sqrd: float = 2.0  # sigma^2 (A^2)
+    p_uf: float = 50.0  # UF softness p in {1, 25, 50, 75, 100}
+
+    csv_name = "ti_liquid.csv"
+    csv_header = "lambda,dlambda,pe,eUF\n"
+    yaml_name = "ti_liquid.yaml"
+
+    def init(self, state: MDState):
+        dtype = state.velocity.dtype
+        return {
+            "i": jnp.zeros((), jnp.int32),
+            "key": jax.random.PRNGKey(self.seed),
+            "lambda": jnp.zeros((), dtype),
+            "dlambda": jnp.zeros((), dtype),
+            "e_diff": jnp.zeros((), dtype),
+            "pe": jnp.zeros((), dtype),
+            "euf": jnp.zeros((), dtype),
+        }
+
+    def _uf_pair(self, state):
+        """Per-atom UF energies + forces, all-pairs MIC in row blocks
+        (ref: calc_UF_force, ensemble_ti_liquid.cu:38-96)."""
+        dtype = state.velocity.dtype
+        pos = state.position
+        mask = state.mask
+        n = pos.shape[0]
+        beta = 1.0 / (K_B * self.temperature)
+        s2 = self.sigma_sqrd
+        pref_f = -2.0 * self.p_uf / (beta * s2)
+        block = 512
+        n_pad = ((n + block - 1) // block) * block
+        idx = jnp.arange(n_pad).reshape(-1, block)
+
+        def row_block(rows):
+            valid = (rows < n) & (mask[jnp.clip(rows, 0, n - 1)] > 0)
+            xi = pos[jnp.clip(rows, 0, n - 1)]
+            disp = state.box.minimum_image(pos[None, :, :] - xi[:, None, :])
+            d2 = jnp.sum(disp * disp, axis=-1)  # (block, n)
+            pair = (
+                valid[:, None]
+                & (mask[None, :] > 0)
+                & (d2 > 1e-9)
+            )
+            x = jnp.clip(d2 / s2, 1e-12, 60.0)
+            # force factor -2p / (beta s2 (exp(x) - 1)); e = -p/beta ln(1-e^-x)
+            fac = jnp.where(pair, pref_f / jnp.expm1(x), 0.0)
+            e = jnp.where(
+                pair,
+                -(self.p_uf / beta) * jnp.log1p(-jnp.exp(-x)),
+                0.0,
+            )
+            f = jnp.einsum("bn,bnx->bx", fac, disp)
+            return 0.5 * jnp.sum(e, axis=1).astype(dtype), f.astype(dtype)
+
+        e_uf, f_uf = jax.lax.map(row_block, idx)
+        return e_uf.reshape(n_pad)[:n], f_uf.reshape(n_pad, 3)[:n]
+
+    def step2(self, state, aux, dt):
+        dtype = state.velocity.dtype
+        ts, te = self._schedule()
+        i = aux["i"]
+        n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+        # lambda schedule (identical switch to ti_spring; ref :469-497)
+        t = (i - te).astype(dtype)
+        r = 1.0 / ts
+        leg1 = (t >= 0) & (t <= ts)
+        leg2 = (t >= te + ts) & (t <= te + 2 * ts)
+        x1 = jnp.clip(t * r, 0.0, 1.0)
+        x2 = jnp.clip(1.0 - (t - ts - te) * r, 0.0, 1.0)
+        lam = jnp.where(
+            leg1, self._switch(x1),
+            jnp.where(leg2, self._switch(x2), aux["lambda"]),
+        )
+        dlam = jnp.where(
+            leg1, self._dswitch(x1, ts),
+            jnp.where(leg2, -self._dswitch(x2, ts), 0.0),
+        )
+        e_uf_atom, f_uf = self._uf_pair(state)
+        pe = jnp.sum(state.potential_energy * state.mask)
+        euf = jnp.sum(e_uf_atom * state.mask)
+        de = jnp.where(
+            leg1 | leg2, 0.5 * (pe - euf) * jnp.abs(dlam) / n_real, 0.0
+        )
+        f = (1.0 - lam) * state.force + lam * f_uf
+        state = state._replace(force=f * state.mask[:, None])
+        state = velocity_verlet_step2(state, dt, self.mobile)
+        key, sub = jax.random.split(aux["key"])
+        state = self._kick(state, sub)
+        return state, {
+            **aux, "key": key, "i": i + 1, "lambda": lam, "dlambda": dlam,
+            "e_diff": aux["e_diff"] + de, "pe": pe, "euf": euf,
+        }
+
+    def observe(self, state, aux):
+        return (aux["lambda"], aux["dlambda"], aux["pe"], aux["euf"])
+
+    def csv_rows(self, obs, n):
+        lam, dlam, pe, euf = (np.asarray(o) for o in obs)
+        for r in range(len(lam)):
+            if dlam[r] != 0.0:
+                yield (f"{lam[r]:e},{dlam[r]:e},"
+                       f"{pe[r] / n:e},{euf[r] / n:e}\n")
+
+    # ---- host-side absolute free energy (ref destructor :284-387) ---------
+
+    @staticmethod
+    def _fe_uf(x, coef, sum_spline, index):
+        """Piecewise spline-integrated UF excess free energy (in kT/atom)
+        at reduced density x (ref: Ensemble_TI_Liquid::fe, :205-240)."""
+        if x < 0.0025:
+            return coef[0] * x * x / 2.0 + coef[1] * x
+        if x < 0.1:
+            if int(x * 10000) % 25 == 0:
+                return sum_spline[index - 1]
+            x0 = 0.0025 * int(x * 400)
+        elif x < 1:
+            if int(x * 1000) % 25 == 0:
+                return sum_spline[index - 1]
+            x0 = 0.025 * int(x * 40)
+        elif x < 4:
+            if int(x * 100) % 10 == 0:
+                return sum_spline[index - 1]
+            x0 = 0.1 * int(x * 10)
+        else:
+            return sum_spline[index]
+        return (
+            sum_spline[index - 1]
+            + coef[0] * (x * x - x0 * x0) / 2.0
+            + coef[1] * (x - x0)
+            + (coef[2] - 1.0) * np.log(x / x0)
+            - coef[3] * (1.0 / x - 1.0 / x0)
+        )
+
+    def free_energy(self, state: MDState, aux) -> dict:
+        import os
+
+        kT = K_B * self.temperature
+        mask = np.asarray(state.mask) > 0
+        mass = np.asarray(state.mass)[mask]
+        types = np.asarray(state.type)[mask]
+        n = int(mask.sum())
+        v = float(state.box.volume) / n  # volume per atom; rho = 1/v
+
+        x_uf = (np.pi * self.sigma_sqrd) ** 1.5 / (2.0 * v)
+        if x_uf < 0.1:
+            index = int(x_uf * 400)
+        elif x_uf < 1:
+            index = 40 + int(x_uf * 40 - 4)
+        elif x_uf < 4:
+            index = 76 + int(x_uf * 10 - 10)
+        else:
+            index = 105
+        asset = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "assets", "uf_spline.npz",
+        )
+        tab = np.load(asset)
+        pkey = int(round(self.p_uf))
+        coef = tab[f"spline{pkey}"][index]
+        sums = tab[f"sum_spline{pkey}"]
+        f_uf = self._fe_uf(x_uf, coef, sums, index) * kT * n
+
+        # ideal-gas part: F_IG = N kT (ln rho - 1 + sum_c c ln c)
+        #                        + 3 kT sum_i ln(hbar sqrt(2 pi / m_i kT))
+        de_broglie = float(
+            np.sum(np.log(HBAR * np.sqrt(2.0 * np.pi / (mass * kT))))
+        )
+        c_sum = 0.0
+        for tt in np.unique(types):
+            c = float((types == tt).sum()) / n
+            if c > 0:
+                c_sum += c * np.log(c)
+        f_ig = n * kT * (np.log(1.0 / v) - 1.0 + c_sum) + 3.0 * kT * de_broglie
+        e_ref = (f_uf + f_ig) / n
+        e_diff = float(aux["e_diff"])
+        return {
+            "E_UFmodel": e_ref,
+            "ES_diff": e_diff,
+            "F": e_ref + e_diff,
+            "T": self.temperature,
+            "V": v,
+            "P": self.target_pressure,
+            "G": e_ref + e_diff + self.target_pressure * v,
+        }

@@ -145,3 +145,60 @@ run 260
     assert np.isfinite(v).all()
     # volume at max pressure below volume at zero pressure
     assert v[np.argmax(p)] < v[0]
+
+
+def test_ti_liquid_uf_force_consistency():
+    """UF forces must equal -grad of the summed UF energy."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpumd_tpu.integrate.ensembles.ti import TILiquid
+    from gpumd_tpu.model import Box, make_state
+
+    rng = np.random.default_rng(0)
+    n = 24
+    box = Box.orthogonal([8.0, 8.0, 8.0])
+    pos = rng.uniform(0, 8.0, (n, 3))
+    state = make_state(pos, np.full(n, 39.948), np.zeros(n, int), box)
+    ens = TILiquid(temperature=100.0, sigma_sqrd=2.0, p_uf=50.0)
+
+    e_uf, f_uf = ens._uf_pair(state)
+
+    def total_e(x):
+        return jnp.sum(ens._uf_pair(state._replace(position=x))[0])
+
+    g = jax.grad(total_e)(state.position)
+    np.testing.assert_allclose(
+        np.asarray(f_uf), -np.asarray(g), rtol=1e-6, atol=1e-8
+    )
+    assert float(e_uf.sum()) > 0.0  # purely repulsive model
+
+
+def test_ti_liquid_run(tmp_path):
+    n = _write_argon(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 90
+time_step 5
+ensemble ti_liquid temp 90 tperiod 100 tswitch 300 tequil 100 sigmasqrd 2.0 p 25 press 0
+run 1100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    yaml = dict(
+        line.split(": ")
+        for line in (tmp_path / "ti_liquid.yaml").read_text().splitlines()
+    )
+    f = float(yaml["F"])
+    e_ref = float(yaml["E_UFmodel"])
+    assert np.isfinite(f) and np.isfinite(e_ref)
+    # argon near melt: absolute F/atom must land near the lattice energy
+    # scale (between -0.2 and 0 eV/atom), far from garbage
+    assert -0.2 < f < 0.0, f
+    csv = np.genfromtxt(tmp_path / "ti_liquid.csv", delimiter=",",
+                        skip_header=1)
+    assert csv.shape[1] == 4
+    assert (csv[:, 0] >= 0).all() and csv[:, 0].max() > 0.99
+    # UF energy column is positive (repulsive reference fluid)
+    assert csv[:, 3].max() > 0.0
