@@ -13,6 +13,7 @@ reference launches kernels per step and writes from the host mid-loop).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -1596,9 +1597,20 @@ class Session:
         method = args[0]
         tol = float(args[1])
         max_steps = int(args[2])
-        fn = {"sd": minimize_sd, "fire": minimize_fire}.get(method)
-        if fn is None:
-            raise ValueError(f"unsupported minimizer {method!r}")
+        # minimize fire tol steps [box_change [hydrostatic_strain]]
+        # (ref: minimize.cu:80-116)
+        box_change = len(args) > 3 and int(args[3]) == 1
+        if box_change:
+            if method != "fire":
+                raise ValueError("box relaxation requires the fire minimizer")
+            from gpumd_tpu.minimize.minimizers import minimize_fire_box
+
+            hydro = len(args) > 4 and int(args[4]) == 1
+            fn = functools.partial(minimize_fire_box, hydrostatic=hydro)
+        else:
+            fn = {"sd": minimize_sd, "fire": minimize_fire}.get(method)
+            if fn is None:
+                raise ValueError(f"unsupported minimizer {method!r}")
         runner = jax.jit(
             lambda st: fn(self.ff, st, tol, max_steps),
         )

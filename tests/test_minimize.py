@@ -63,3 +63,43 @@ def test_app_minimize_keyword(tmp_path):
     s.execute()
     fmax = float(jnp.sqrt(jnp.max(jnp.sum(s.state.force**2, axis=-1))))
     assert fmax < 1e-4
+
+
+def test_fire_box_relax(tmp_path):
+    """FIRE with box_change relaxes a compressed argon fcc cell to zero
+    pressure and the known LJ lattice constant (~5.28 A at rc=9)."""
+    import numpy as np
+
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0, nc = 5.0, 3
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    )
+    cells = np.array(
+        [[i, j, k] for i in range(nc) for j in range(nc) for k in range(nc)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar"] * n, positions=pos,
+                 lattice=np.diag([nc * a0] * 3), pbc=(True, True, True)),
+    )
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        "potential lj.txt\nminimize fire 1e-5 2000 1 1\n"
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    import jax.numpy as jnp
+
+    vol = float(s.state.box.volume)
+    w = np.asarray(
+        jnp.sum(s.state.virial * s.state.mask[:, None, None], axis=0)
+    )
+    p_gpa = np.trace(w) / vol / 3 * 160.2176621
+    assert abs(p_gpa) < 2e-4, p_gpa
+    a_final = (vol / nc**3) ** (1 / 3)
+    assert 5.2 < a_final < 5.35, a_final
