@@ -932,6 +932,57 @@ class Session:
 
         self.properties.append(PropertyRequest(interval, process))
 
+    def kw_dump_netcdf(self, args):
+        """dump_netcdf grouping_method group_id interval has_velocity file
+        [precision single|double] [compression N] -> AMBER NetCDF trajectory
+        (ref: dump_netcdf.cu:86-200; written with scipy's NetCDF-3 backend,
+        compression is NetCDF-4-only and ignored)."""
+        from gpumd_tpu.measure.netcdf_dump import DumpNetCDF
+
+        method, gid = int(args[0]), int(args[1])
+        interval = int(args[2])
+        has_vel = int(args[3]) == 1
+        filename = args[4]
+        precision = "double"
+        k = 5
+        while k < len(args):
+            if args[k] == "precision":
+                precision = args[k + 1]; k += 2
+            elif args[k] == "compression":
+                self.log("dump_netcdf: compression ignored (NetCDF-3)")
+                k += 2
+            else:
+                raise ValueError(f"unknown dump_netcdf token {args[k]!r}")
+        if method >= 0:
+            sel = np.asarray(self.groups.mask(method, gid)) > 0
+        else:
+            sel = None
+        dumper = DumpNetCDF(
+            os.path.join(self.workdir, filename), has_vel, precision,
+            grouping_method=method, group_id=gid,
+        )
+
+        def process(session, state, step):
+            n = session._n
+            pos = np.asarray(state.position)[:n]
+            types = np.asarray(state.type)[:n]
+            vel = np.asarray(state.velocity)[:n] if has_vel else None
+            if sel is not None:
+                pick = sel[:n]
+                pos, types = pos[pick], types[pick]
+                vel = vel[pick] if vel is not None else None
+            t_ps = step * self.dt / 1000.0 * TIME_UNIT_CONVERSION
+            dumper.add_frame(
+                t_ps, pos, types, np.asarray(state.box.h), vel
+            )
+
+        def finalize(session):
+            dumper.write()
+            self.log(f"dump_netcdf: {len(dumper.frames)} frames -> "
+                     f"{dumper.path}")
+
+        self.properties.append(PropertyRequest(interval, process, finalize))
+
     def kw_dump_velocity(self, args):
         """velocity.out: one row per atom per frame, A/fs."""
         interval = int(args[0])
@@ -2751,6 +2802,7 @@ class Session:
         "dump_xyz": kw_dump_xyz,
         "dump_restart": kw_dump_restart,
         "dump_velocity": kw_dump_velocity,
+        "dump_netcdf": kw_dump_netcdf,
         "dump_force": kw_dump_force,
         "compute_cohesive": kw_compute_cohesive,
         "compute_elastic": kw_compute_elastic,

@@ -32,7 +32,8 @@ from gpumd_tpu.train.snes import SNESTrainer
 
 
 def build_batches(
-    frames, symbols, rc, batch_size, mn=200, log=print, model_type=0
+    frames, symbols, rc, batch_size, mn=200, log=print, model_type=0,
+    charge_mode=0,
 ) -> List[StructureBatch]:
     """Split frames into batches of <= batch_size configs (ref: fitness.cu
     45-84: consecutive split), padding each batch to its own max_atoms."""
@@ -41,7 +42,8 @@ def build_batches(
         chunk = frames[i : i + batch_size]
         batches.append(
             batch_structures(chunk, symbols, rc=rc, mn=mn,
-                             model_type=model_type)
+                             model_type=model_type,
+                             charge_mode=charge_mode)
         )
     log(f"{len(frames)} configurations -> {len(batches)} batch(es)")
     return batches
@@ -87,6 +89,7 @@ def main(argv=None):
     batches = build_batches(
         frames, cfg.symbols, rc=model.rc_radial_max,
         batch_size=cfg.batch_size, model_type=cfg.model_type,
+        charge_mode=cfg.charge_mode,
     )
     if cfg.prediction:
         run_prediction(cfg, model, batches, workdir)
@@ -98,6 +101,7 @@ def main(argv=None):
         test_batches = build_batches(
             test_frames, cfg.symbols, rc=model.rc_radial_max,
             batch_size=cfg.batch_size, model_type=cfg.model_type,
+            charge_mode=cfg.charge_mode,
         )
     trainer = SNESTrainer(
         model, cfg, batches, workdir=workdir, test_batches=test_batches

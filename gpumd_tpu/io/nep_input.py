@@ -33,6 +33,8 @@ class NepTrainConfig:
     lambda_f: float = 1.0
     lambda_v: float = 0.1
     lambda_shear: float = 1.0
+    lambda_q: float = 0.1  # total-charge loss (ref: parameters.cu:100)
+    lambda_z: float = 0.5  # BEC loss (ref: parameters.cu:101)
     force_delta: float = 0.0
     # training
     batch_size: int = 1000
@@ -114,6 +116,10 @@ def parse_nep_in(path: str) -> NepTrainConfig:
                 cfg.lambda_v = float(args[0])
             elif kw == "lambda_shear":
                 cfg.lambda_shear = float(args[0])
+            elif kw == "lambda_q":
+                cfg.lambda_q = float(args[0])
+            elif kw == "lambda_z":
+                cfg.lambda_z = float(args[0])
             elif kw == "force_delta":
                 cfg.force_delta = float(args[0])
             elif kw == "batch":
@@ -187,4 +193,5 @@ def model_from_config(cfg: NepTrainConfig):
         zbl=cfg.zbl is not None,
         zbl_rc_inner=(cfg.zbl / 2 if cfg.zbl else 0.0),
         zbl_rc_outer=(cfg.zbl or 0.0),
+        charge_mode=cfg.charge_mode,
     )

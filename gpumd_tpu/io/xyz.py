@@ -40,6 +40,8 @@ class XYZFrame:
     forces: Optional[np.ndarray] = None
     groups: Optional[np.ndarray] = None  # (N, num_group_methods) int
     info: Dict[str, str] = field(default_factory=dict)
+    # every parsed per-atom column (e.g. bec:R:9 for qNEP training)
+    arrays: Dict[str, np.ndarray] = field(default_factory=dict)
 
     @property
     def n_atoms(self) -> int:
@@ -162,6 +164,7 @@ def _build_frame(n: int, info: Dict[str, str], body: List[str], path: str) -> XY
         forces=forces,
         groups=arrays.get("group"),
         info=info,
+        arrays=arrays,
     )
 
 

@@ -37,6 +37,31 @@ from gpumd_tpu.potentials.nep.params import NepModel, NepParams, load_nep_txt
 from gpumd_tpu.units import K_C, PI
 
 
+def two_head_energy_charge(model, params, w1_charge, r12, t1, t2):
+    """Per-atom (energy_nep, raw charge) from the shared-hidden-layer
+    two-head ANN (ref: main_nep/nep_charge.cu apply_ann, outputs = 2).
+    Shared by NEPCharge inference and the qNEP trainer forward."""
+    nep = NEP(model, params)
+    q_desc, d = nep.raw_descriptors(r12, t1, t2)
+    q_scaled = q_desc * params.q_scaler.astype(r12.dtype)
+    w0 = params.w0.astype(r12.dtype)
+    b0 = params.b0.astype(r12.dtype)
+    x1 = jnp.tanh(
+        jnp.einsum("pd,tud->ptu", q_scaled, w0,
+                   preferred_element_type=r12.dtype) - b0[None]
+    )
+    e_t = jnp.einsum("ptu,tu->pt", x1, params.w1.astype(r12.dtype))
+    c_t = jnp.einsum("ptu,tu->pt", x1, w1_charge.astype(r12.dtype))
+    e = jnp.take_along_axis(e_t, t1[:, None], axis=1)[:, 0]
+    charge = jnp.take_along_axis(c_t, t1[:, None], axis=1)[:, 0]
+    e = e - params.b1.astype(r12.dtype)
+    if model.zbl:
+        e = e + jnp.sum(
+            _zbl_energy(d, t1, t2, model, params, r12.dtype), axis=-1
+        )
+    return e, charge
+
+
 class NEPCharge(NamedTuple):
     """qNEP potential (charge_mode 1: real-space + k-space electrostatics).
 
@@ -174,26 +199,9 @@ class NEPCharge(NamedTuple):
 
     def energy_and_charge(self, r12, t1, t2):
         """Per-atom (energy_nep, raw charge) from the two-head ANN."""
-        nep = NEP(self.model, self.params)
-        q_desc, d = nep.raw_descriptors(r12, t1, t2)
-        q_scaled = q_desc * self.params.q_scaler.astype(r12.dtype)
-        w0 = self.params.w0.astype(r12.dtype)
-        b0 = self.params.b0.astype(r12.dtype)
-        x1 = jnp.tanh(
-            jnp.einsum("pd,tud->ptu", q_scaled, w0,
-                       preferred_element_type=r12.dtype) - b0[None]
+        return two_head_energy_charge(
+            self.model, self.params, self.w1_charge, r12, t1, t2
         )
-        e_t = jnp.einsum("ptu,tu->pt", x1, self.params.w1.astype(r12.dtype))
-        c_t = jnp.einsum("ptu,tu->pt", x1, self.w1_charge.astype(r12.dtype))
-        e = jnp.take_along_axis(e_t, t1[:, None], axis=1)[:, 0]
-        charge = jnp.take_along_axis(c_t, t1[:, None], axis=1)[:, 0]
-        e = e - self.params.b1.astype(r12.dtype)
-        if self.model.zbl:
-            e = e + jnp.sum(
-                _zbl_energy(d, t1, t2, self.model, self.params, r12.dtype),
-                axis=-1,
-            )
-        return e, charge
 
     def _alpha(self):
         return PI / self.model.rc_radial_max

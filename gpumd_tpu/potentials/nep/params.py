@@ -52,6 +52,9 @@ class NepParams(NamedTuple):
     w1_pol: Optional[jnp.ndarray] = None
     b1_pol: Optional[jnp.ndarray] = None
     zbl_flex: Optional[jnp.ndarray] = None  # (T*(T+1)/2, 10) flexible ZBL
+    # qNEP charge head (charge_mode > 0; ref: main_nep/nep_charge.cu:236-253)
+    w1_charge: Optional[jnp.ndarray] = None  # (T, neurons)
+    sqrt_epsilon_inf: Optional[jnp.ndarray] = None  # ()
 
 
 @dataclass(frozen=True)
@@ -79,6 +82,7 @@ class NepModel:
     zbl_rc_outer: float = 0.0
     zbl_flexible: bool = False
     zbl_typewise_factor: float = 0.0
+    charge_mode: int = 0  # 0 none; 1 real+kspace, 2 kspace only
 
     @property
     def num_l(self) -> int:
@@ -104,6 +108,10 @@ class NepModel:
         return max(self.rc_angular)
 
     def num_ann_params(self) -> int:
+        if self.charge_mode:
+            # per type: w0, b0, w1_energy, w1_charge; + sqrt_eps_inf + b1
+            # (ref: main_nep/nep_charge.cu:309 (dim+3)*neu*T + 2)
+            return (self.dim + 3) * self.neurons * self.num_types + 2
         if self.version == 5:
             n = ((self.dim + 2) * self.neurons + 1) * self.num_types + 1
         elif self.version == 3:
@@ -271,6 +279,8 @@ def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
     b0 = []
     w1 = []
     b1_type = []
+    w1q = []
+    sqrt_eps = None
     for ty in range(t):
         w0.append(theta[p : p + neu * dim].reshape(neu, dim))
         p += neu * dim
@@ -278,9 +288,17 @@ def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
         p += neu
         w1.append(theta[p : p + neu])
         p += neu
+        if model.charge_mode:
+            # charge head rides directly after the energy head
+            # (ref: nep_charge.cu:246 w1 spans num_outputs * neurons)
+            w1q.append(theta[p : p + neu])
+            p += neu
         if model.version == 5:
             b1_type.append(theta[p])
             p += 1
+    if model.charge_mode:
+        sqrt_eps = theta[p]  # before b1 (ref: nep_charge.cu:248-251)
+        p += 1
     b1 = theta[p]
     p += 1
     # polarizability models carry a SECOND full ANN (the diagonal head),
@@ -331,6 +349,8 @@ def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
         b0_pol=jnp.stack(b0p) if w0p is not None else None,
         w1_pol=jnp.stack(w1p) if w0p is not None else None,
         b1_pol=b1p,
+        w1_charge=jnp.stack(w1q) if w1q else None,
+        sqrt_epsilon_inf=sqrt_eps,
     )
 
 
@@ -365,6 +385,8 @@ def write_nep_txt(path: str, model: NepModel, theta, q_scaler):
         name += "_polarizability"
     elif model.model_type == 3:
         name += "_temperature"
+    if model.charge_mode:
+        name += f"_charge{model.charge_mode}"
     lines = [f"{name} {model.num_types} " + " ".join(model.symbols)]
     if model.zbl:
         lines.append(f"zbl {model.zbl_rc_inner} {model.zbl_rc_outer}")

@@ -40,6 +40,13 @@ class StructureBatch(NamedTuple):
     has_virial: jnp.ndarray  # (C,)
     weight: jnp.ndarray  # (C,) per-config loss weight
     energy_weight: jnp.ndarray  # (C,)
+    # qNEP training extras (charge_mode > 0; None otherwise)
+    position: Optional[jnp.ndarray] = None  # (C, A, 3) absolute coords
+    charge_ref: Optional[jnp.ndarray] = None  # (C,) total config charge
+    bec_ref: Optional[jnp.ndarray] = None  # (C, A, 9) Born charges
+    has_bec: Optional[jnp.ndarray] = None  # (C,)
+    kvec: Optional[jnp.ndarray] = None  # (C, K, 3) Ewald k-vectors (padded)
+    gk: Optional[jnp.ndarray] = None  # (C, K) G(k); 0 on padding
 
     @property
     def num_configs(self) -> int:
@@ -73,6 +80,47 @@ def _parse_virial(info) -> Optional[np.ndarray]:
     return None
 
 
+def ewald_kvectors(lattice, alpha: float):
+    """Half-space Ewald k enumeration for one config's lattice (rows =
+    a, b, c) with |k|^2 < (2 pi alpha)^2 (ref: main_nep/nep_charge.cu:
+    1020-1086 find_k_and_G).  Returns (K, 3) k and (K,) G(k)."""
+    h = np.asarray(lattice, np.float64).T  # columns = lattice vectors
+    a1, a2, a3 = h[:, 0], h[:, 1], h[:, 2]
+    det = float(np.dot(a1, np.cross(a2, a3)))
+    two_pi = 2.0 * np.pi
+    b1 = two_pi / det * np.cross(a2, a3)
+    b2 = two_pi / det * np.cross(a3, a1)
+    b3 = two_pi / det * np.cross(a1, a2)
+    volume_k = two_pi**3 / abs(det)
+
+    def area(x, y):
+        return np.linalg.norm(np.cross(x, y))
+
+    n1_max = int(alpha * two_pi * area(b2, b3) / volume_k)
+    n2_max = int(alpha * two_pi * area(b3, b1) / volume_k)
+    n3_max = int(alpha * two_pi * area(b1, b2) / volume_k)
+    ksq_max = (two_pi * alpha) ** 2
+    ks, gs = [], []
+    for n1 in range(0, n1_max + 1):
+        for n2 in range(-n2_max, n2_max + 1):
+            for n3 in range(-n3_max, n3_max + 1):
+                if n1 == 0 and n2 == 0 and n3 == 0:
+                    continue
+                if n1 == 0 and (n2 < 0 or (n2 == 0 and n3 < 0)):
+                    continue
+                k = n1 * b1 + n2 * b2 + n3 * b3
+                ksq = float(np.dot(k, k))
+                if ksq < ksq_max:
+                    ks.append(k)
+                    gs.append(
+                        2.0 * abs(two_pi / det) / ksq
+                        * np.exp(-ksq / (4.0 * alpha * alpha))
+                    )
+    if not ks:
+        return np.zeros((0, 3)), np.zeros((0,))
+    return np.asarray(ks), np.asarray(gs)
+
+
 def batch_structures(
     frames: Sequence[XYZFrame],
     symbols: Sequence[str],
@@ -81,6 +129,7 @@ def batch_structures(
     max_atoms: Optional[int] = None,
     dtype=np.float32,
     model_type: int = 0,
+    charge_mode: int = 0,
 ) -> StructureBatch:
     """Build a dense batch. Neighbor lists are computed per config with the
     brute-force + periodic-image path (training cells are small)."""
@@ -98,6 +147,12 @@ def batch_structures(
     has_virial = np.zeros((c,), dtype=dtype)
     weight = np.ones((c,), dtype=dtype)
     energy_weight = np.ones((c,), dtype=dtype)
+    position = np.zeros((c, a, 3), dtype=dtype) if charge_mode else None
+    charge_ref = np.zeros((c,), dtype=dtype) if charge_mode else None
+    bec_ref = np.zeros((c, a, 9), dtype=dtype) if charge_mode else None
+    has_bec = np.zeros((c,), dtype=dtype) if charge_mode else None
+    kg_list = [] if charge_mode else None
+    alpha_ewald = np.pi / rc  # ref: nep_charge.cu:207 alpha = pi/rc_radial
 
     sym_index = {s: i for i, s in enumerate(symbols)}
     for ci, f in enumerate(frames):
@@ -163,6 +218,24 @@ def batch_structures(
             weight[ci] = float(f.info["weight"])
         if "energy_weight" in f.info:
             energy_weight[ci] = float(f.info["energy_weight"])
+        if charge_mode:
+            position[ci, :n] = np.asarray(f.positions, dtype=dtype)
+            if "charge" in f.info:
+                charge_ref[ci] = float(f.info["charge"])
+            bec = f.arrays.get("bec") if f.arrays else None
+            if bec is not None:
+                bec_ref[ci, :n] = np.asarray(bec, dtype=dtype).reshape(n, 9)
+                has_bec[ci] = 1.0
+            kg_list.append(ewald_kvectors(f.lattice, alpha_ewald))
+
+    kvec = gk = None
+    if charge_mode:
+        kmax = max(max(len(g) for _, g in kg_list), 1)
+        kvec = np.zeros((c, kmax, 3), dtype=dtype)
+        gk = np.zeros((c, kmax), dtype=dtype)
+        for ci, (ks, gs) in enumerate(kg_list):
+            kvec[ci, : len(gs)] = ks
+            gk[ci, : len(gs)] = gs
 
     # Padded-atom neighbor slots point at atom 0; idx of padded rows is 0.
     return StructureBatch(
@@ -178,4 +251,10 @@ def batch_structures(
         has_virial=jnp.asarray(has_virial),
         weight=jnp.asarray(weight),
         energy_weight=jnp.asarray(energy_weight),
+        position=jnp.asarray(position) if position is not None else None,
+        charge_ref=jnp.asarray(charge_ref) if charge_ref is not None else None,
+        bec_ref=jnp.asarray(bec_ref) if bec_ref is not None else None,
+        has_bec=jnp.asarray(has_bec) if has_bec is not None else None,
+        kvec=jnp.asarray(kvec) if kvec is not None else None,
+        gk=jnp.asarray(gk) if gk is not None else None,
     )

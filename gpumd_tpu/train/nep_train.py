@@ -29,6 +29,9 @@ class ConfigOutput(NamedTuple):
     energy: jnp.ndarray  # (C,) total energy
     force: jnp.ndarray  # (C, A, 3)
     virial: jnp.ndarray  # (C, 6) Voigt xx yy zz xy yz zx
+    # qNEP extras (None for plain models)
+    qsum: Optional[jnp.ndarray] = None  # (C,) raw total predicted charge
+    bec: Optional[jnp.ndarray] = None  # (C, A, 9) Born effective charges
 
 
 def batched_forward(
@@ -41,6 +44,8 @@ def batched_forward(
     all 6; ref: tnep.cu, structure.cu:351-404)."""
     if model.model_type in (1, 2):
         return _batched_forward_tnep(model, params, batch)
+    if model.charge_mode:
+        return _batched_forward_charge(model, params, batch)
 
     def one_config(r12, idx, nbr_mask, type_, mask):
         t2 = type_[idx]
@@ -116,6 +121,104 @@ def _batched_forward_tnep(
         batch.r12, batch.idx, batch.nbr_mask, batch.type, batch.mask
     )
     return ConfigOutput(energy=e, force=f, virial=v)
+
+
+def _batched_forward_charge(
+    model: NepModel, params: NepParams, batch: StructureBatch
+) -> ConfigOutput:
+    """qNEP training forward: two-head ANN -> charge-neutralized real +
+    reciprocal electrostatics, forces/virial by autodiff, raw charge sums
+    and Born effective charges for the lambda_q / lambda_z losses
+    (ref: main_nep/nep_charge.cu find_force_charge_real_space:930-1005,
+    find_k_and_G:1020-1086, zero_total_charge:1088-1123,
+    find_bec_*:356-630)."""
+    from gpumd_tpu.potentials.nep.charge import two_head_energy_charge
+    from gpumd_tpu.units import K_C, PI
+
+    alpha = PI / model.rc_radial_max
+    rc = model.rc_radial_max
+    sqrt_eps = params.sqrt_epsilon_inf
+
+    def one_config(r12, idx, nbr_mask, type_, mask, pos, qref, kvec, gk):
+        t2 = type_[idx]
+        dtype = r12.dtype
+        na = jnp.maximum(jnp.sum(mask), 1.0)
+
+        def total_energy(r12_, pos_):
+            e_nep, q_raw = two_head_energy_charge(
+                model, params, params.w1_charge, r12_, type_, t2
+            )
+            q_raw = q_raw * mask
+            # shift so the config total matches the reference total charge
+            q = (q_raw + (qref - jnp.sum(q_raw)) / na) * mask
+            if model.charge_mode == 1:
+                d = jnp.sqrt(jnp.maximum(jnp.sum(r12_**2, axis=-1), 1e-12))
+                qq = q[:, None] * q[idx]
+                erfc_r = jax.scipy.special.erfc(alpha * d) / d
+                pair = jnp.where(
+                    (d < rc) & (nbr_mask > 0), qq * erfc_r, 0.0
+                )
+                e_real = K_C * (
+                    0.5 * jnp.sum(pair, axis=-1)
+                    - (alpha / jnp.sqrt(PI)) * q * q
+                )
+            else:
+                e_real = jnp.zeros_like(q)
+            kr = pos_ @ kvec.T  # (A, K)
+            s_re = jnp.sum((q * mask)[:, None] * jnp.cos(kr), axis=0)
+            s_im = -jnp.sum((q * mask)[:, None] * jnp.sin(kr), axis=0)
+            e_rec = K_C * jnp.sum(gk * (s_re**2 + s_im**2))
+            e_tot = jnp.sum((e_nep + e_real) * mask) + e_rec
+            return e_tot, (jnp.sum(q_raw), q, s_re, s_im)
+
+        (e_tot, (qsum, q, s_re, s_im)), grads = jax.value_and_grad(
+            total_energy, argnums=(0, 1), has_aux=True
+        )(r12, pos)
+        p, dpos = grads
+        a = p.shape[0]
+        own = jnp.sum(p, axis=1)
+        recv = jax.ops.segment_sum(
+            p.reshape(-1, 3), idx.reshape(-1), num_segments=a
+        )
+        force = (own - recv - dpos) * mask[:, None]
+        rm = r12 * nbr_mask[..., None]
+        w = -jnp.einsum("amx,amy->xy", rm, p)
+        # analytic reciprocal virial (ref: ewald.cu find_virial_reciprocal;
+        # same expression as NEPCharge.compute_with_state)
+        ksq = jnp.maximum(jnp.sum(kvec * kvec, axis=1), 1e-12)
+        pref = K_C * gk * (s_re**2 + s_im**2)
+        eye = jnp.eye(3, dtype=dtype)
+        w_rec = jnp.sum(pref) * eye - jnp.einsum(
+            "k,ka,kb->ab",
+            pref * 2.0 * (1.0 / ksq + 1.0 / (4.0 * alpha**2)),
+            kvec, kvec,
+        )
+        w = w + w_rec
+        voigt = jnp.stack(
+            [w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[1, 2], w[2, 0]]
+        )
+
+        # Born effective charges, bond-centered gauge (ref: find_bec_*)
+        y = jax.grad(
+            lambda r: jnp.sum(
+                two_head_energy_charge(
+                    model, params, params.w1_charge, r, type_, t2
+                )[1] * mask
+            )
+        )(r12)
+        b = 0.5 * r12[..., :, None] * y[..., None, :] * nbr_mask[..., None, None]
+        own_b = jnp.sum(b, axis=1)
+        recv_b = jax.ops.segment_sum(
+            b.reshape(-1, 3, 3), idx.reshape(-1), num_segments=a
+        )
+        bec = (own_b - recv_b + q[:, None, None] * eye) * sqrt_eps
+        return e_tot, force, voigt, qsum, bec.reshape(a, 9)
+
+    e, f, v, qs, bec = jax.vmap(one_config)(
+        batch.r12, batch.idx, batch.nbr_mask, batch.type, batch.mask,
+        batch.position, batch.charge_ref, batch.kvec, batch.gk,
+    )
+    return ConfigOutput(energy=e, force=f, virial=v, qsum=qs, bec=bec)
 
 
 class LossWeights(NamedTuple):

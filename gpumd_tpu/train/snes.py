@@ -64,13 +64,21 @@ def type_of_variable_vector(model: NepModel) -> np.ndarray:
     basis-major with type-pair (t1*T+t2) minor — c rows belong to t1."""
     t = model.num_types
     neu, dim = model.neurons, model.dim
-    per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
-    tov = []
-    num_ann = 2 if model.model_type == 2 else 1  # pol: second head
-    for _ in range(num_ann):
+    if model.charge_mode:
+        # per type w0/b0/w1e/w1q; then sqrt_eps_inf + b1 global
+        per_type = (dim + 3) * neu
+        tov = []
         for ty in range(t):
             tov.extend([ty] * per_type)
-        tov.append(t)  # global output bias
+        tov.extend([t, t])
+    else:
+        per_type = (dim + 2) * neu + (1 if model.version == 5 else 0)
+        tov = []
+        num_ann = 2 if model.model_type == 2 else 1  # pol: second head
+        for _ in range(num_ann):
+            for ty in range(t):
+                tov.extend([ty] * per_type)
+            tov.append(t)  # global output bias
     t2 = t * t
     nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
     na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
@@ -204,7 +212,31 @@ def per_type_rmses(model: NepModel, cfg: NepTrainConfig, out, batch,
     num_v = jnp.einsum("c,ct->t", cw2 * err_v, hv)
     cnt_v = jnp.maximum(jnp.einsum("c,ct->t", jnp.ones_like(err_v), hv) * 6.0, 1e-12)
     rmse_v = jnp.sqrt(num_v / cnt_v)
-    return rmse_e, rmse_f, rmse_v
+
+    # qNEP: total-charge + Born-effective-charge RMSEs, reference pooling
+    # (ref: dataset.cu:1112-1191 — unweighted; charge counts 1 per config,
+    # bec counts 9 per config with the error pre-divided by Na)
+    if getattr(out, "qsum", None) is not None:
+        dq = (out.qsum - batch.charge_ref) / na
+        num_q = jnp.einsum("c,ct->t", dq * dq, has_type)
+        cnt_q = jnp.maximum(
+            jnp.einsum("c,ct->t", jnp.ones_like(dq), has_type), 1.0
+        )
+        rmse_q = jnp.sqrt(num_q / cnt_q)
+        db2 = jnp.sum(
+            (out.bec - batch.bec_ref) ** 2 * batch.mask[..., None],
+            axis=(1, 2),
+        ) / na  # (C,)
+        hb = has_type * batch.has_bec[:, None]
+        num_b = jnp.einsum("c,ct->t", db2, hb)
+        cnt_b = jnp.maximum(
+            jnp.einsum("c,ct->t", jnp.ones_like(db2), hb) * 9.0, 1e-12
+        )
+        rmse_b = jnp.sqrt(num_b / cnt_b)
+    else:
+        rmse_q = jnp.zeros((t + 1,), dtype)
+        rmse_b = jnp.zeros((t + 1,), dtype)
+    return rmse_e, rmse_f, rmse_v, rmse_q, rmse_b
 
 
 def compute_q_scaler(model: NepModel, theta, batches: List[StructureBatch]):
@@ -269,9 +301,10 @@ def make_population_pieces(
             out = batched_forward(model, params, batch)
             return per_type_rmses(model, cfg, out, batch)
 
-        return jax.vmap(one)(thetas)  # three (pop, T+1) arrays
+        return jax.vmap(one)(thetas)  # five (pop, T+1) arrays
 
-    def update(state: SNESState, key, z, thetas, rmse_e, rmse_f, rmse_v):
+    def update(state: SNESState, key, z, thetas, rmse_e, rmse_f, rmse_v,
+               rmse_q, rmse_b):
         # per-class L1/L2 regularization (ref: snes.cu:462-533)
         cost_l1 = lambda_1 * (jnp.abs(thetas) @ vmask.T) / nv_class
         cost_l2 = lambda_2 * jnp.sqrt((thetas**2 @ vmask.T) / nv_class)
@@ -281,6 +314,8 @@ def make_population_pieces(
             + cfg.lambda_e * rmse_e
             + cfg.lambda_f * rmse_f
             + cfg.lambda_v * rmse_v
+            + cfg.lambda_q * rmse_q
+            + cfg.lambda_z * rmse_b
         )  # (pop, T+1)
         order = jnp.argsort(fitness, axis=0)  # (pop, T+1) per-class ranking
         # ranked natural gradients per class, then per-variable selection
@@ -299,6 +334,8 @@ def make_population_pieces(
             "rmse_e": rmse_e[best, t],
             "rmse_f": rmse_f[best, t],
             "rmse_v": rmse_v[best, t],
+            "rmse_q": rmse_q[best, t],
+            "rmse_b": rmse_b[best, t],
             "best_theta": thetas[best],
         }
         return (
@@ -324,8 +361,8 @@ def make_generation_step(
 
     def step(state: SNESState, batch: StructureBatch):
         key, z, thetas = sample(state)
-        rmse_e, rmse_f, rmse_v = evaluate(thetas, batch)
-        return update(state, key, z, thetas, rmse_e, rmse_f, rmse_v)
+        re, rf, rv, rq, rb = evaluate(thetas, batch)
+        return update(state, key, z, thetas, re, rf, rv, rq, rb)
 
     return step
 
@@ -411,7 +448,9 @@ class SNESTrainer:
             params = params_from_vector(model, theta, self.q_scaler)
             out = batched_forward(model, params, batch)
             # reporting uses unweighted global RMSEs (ref: fitness.cu:443-470)
-            e, f, v = per_type_rmses(model, cfg, out, batch, use_weight=False)
+            e, f, v, _, _ = per_type_rmses(
+                model, cfg, out, batch, use_weight=False
+            )
             return e[-1], f[-1], v[-1]
 
         self._theta_rmses = jax.jit(_theta_rmses)
@@ -445,21 +484,19 @@ class SNESTrainer:
             if shard is not None:
                 thetas = jax.device_put(thetas, shard)
                 z = jax.device_put(z, shard)
-            re, rf, rv = self._eval(thetas, self.batches[gi])
+            rmses = self._eval(thetas, self.batches[gi])
             if self.cfg.use_full_batch and len(self.batches) > 1:
                 # quadratic mean of per-batch RMSEs (ref: fitness.cu:202-256)
-                se, sf, sv = re**2, rf**2, rv**2
+                sums = [r**2 for r in rmses]
                 for j, b in enumerate(self.batches):
                     if j == gi:
                         continue
-                    e2, f2, v2 = self._eval(thetas, b)
-                    se, sf, sv = se + e2**2, sf + f2**2, sv + v2**2
+                    extra = self._eval(thetas, b)
+                    sums = [s + r**2 for s, r in zip(sums, extra)]
                 nb = len(self.batches)
-                re, rf, rv = (
-                    jnp.sqrt(se / nb), jnp.sqrt(sf / nb), jnp.sqrt(sv / nb)
-                )
+                rmses = tuple(jnp.sqrt(s / nb) for s in sums)
             self.state, metrics = self._update(
-                self.state, key, z, thetas, re, rf, rv
+                self.state, key, z, thetas, *rmses
             )
             if (g + 1) % self.cfg.output_interval == 0 or g == gens - 1:
                 self.best_theta = np.asarray(metrics["best_theta"])
@@ -472,6 +509,11 @@ class SNESTrainer:
                     float(metrics["rmse_f"]),
                     float(metrics["rmse_v"]),
                 ]
+                if self.model.charge_mode:
+                    # charge/BEC columns (ref: fitness.cu:530-536)
+                    row += [
+                        float(metrics["rmse_q"]), float(metrics["rmse_b"])
+                    ]
                 if self.test_batches:
                     te, tf_, tv = self._theta_rmses(
                         jnp.asarray(self.best_theta), self.test_batches[0]

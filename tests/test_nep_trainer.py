@@ -189,7 +189,7 @@ def test_per_type_rmse_pooling():
         force=jnp.zeros((2, 2, 3)),
         virial=jnp.zeros((2, 6)),
     )
-    e, f, v = per_type_rmses(model, cfg, out, FakeBatch())
+    e, f, v, _, _ = per_type_rmses(model, cfg, out, FakeBatch())
     # type 0 pools both configs; type 1 only config 1; global both
     assert np.isclose(float(e[0]), np.sqrt((1.0 + 4.0) / 2))
     assert np.isclose(float(e[1]), 2.0)

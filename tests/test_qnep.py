@@ -253,3 +253,117 @@ def test_charge_mode2_runs():
     em = e_of(state.position.at[3, 1].add(-h))
     f_fd = -(ep - em) / (2 * h)
     assert np.isclose(float(out.force[3, 1]), f_fd, rtol=5e-3, atol=1e-4)
+
+
+def test_charge_params_vector_roundtrip():
+    """params_from_vector with charge_mode reproduces NEPCharge.from_file's
+    parameter parse (same flat layout, ref: nep_charge.cu:236-253)."""
+    import dataclasses
+
+    from gpumd_tpu.potentials.nep.charge import NEPCharge
+    from gpumd_tpu.potentials.nep.params import (
+        num_trainable,
+        params_from_vector,
+    )
+
+    pot = NEPCharge.from_file(
+        "/root/reference/tests_pytest/fixtures/models/qnep_mode1_BaTiO3.txt"
+    )
+    model = dataclasses.replace(pot.model, charge_mode=pot.charge_mode)
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    # rebuild the flat theta in file order
+    blocks = []
+    for ty in range(t):
+        blocks += [
+            np.asarray(pot.params.w0[ty]).ravel(),
+            np.asarray(pot.params.b0[ty]),
+            np.asarray(pot.params.w1[ty]),
+            np.asarray(pot.w1_charge[ty]),
+        ]
+    blocks += [
+        np.asarray(pot.sqrt_epsilon_inf).reshape(1),
+        np.asarray(pot.params.b1).reshape(1),
+    ]
+    nr = (model.n_max_radial + 1) * (model.basis_size_radial + 1)
+    na = (model.n_max_angular + 1) * (model.basis_size_angular + 1)
+    c_rad = np.asarray(pot.params.c_radial).reshape(t * t, nr).T.ravel()
+    c_ang = np.asarray(pot.params.c_angular).reshape(t * t, na).T.ravel()
+    blocks += [c_rad, c_ang]
+    theta = np.concatenate(blocks)
+    assert theta.size == num_trainable(model), (
+        theta.size, num_trainable(model)
+    )
+    p2 = params_from_vector(
+        model, jnp.asarray(theta), jnp.asarray(pot.params.q_scaler)
+    )
+    np.testing.assert_allclose(np.asarray(p2.w0), np.asarray(pot.params.w0))
+    np.testing.assert_allclose(np.asarray(p2.w1), np.asarray(pot.params.w1))
+    np.testing.assert_allclose(
+        np.asarray(p2.w1_charge), np.asarray(pot.w1_charge)
+    )
+    np.testing.assert_allclose(
+        float(p2.sqrt_epsilon_inf), float(pot.sqrt_epsilon_inf)
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2.c_radial), np.asarray(pot.params.c_radial)
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2.c_angular), np.asarray(pot.params.c_angular)
+    )
+
+
+def test_qnep_training_smoke(tmp_path):
+    """qNEP SNES training: losses (incl. lambda_q/lambda_z charge and BEC
+    terms) are finite and decrease on a tiny synthetic rock-salt set."""
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame
+    from gpumd_tpu.train.dataset import batch_structures
+    from gpumd_tpu.train.snes import SNESTrainer
+
+    rng = np.random.default_rng(3)
+    frames = []
+    a0 = 4.0
+    for _ in range(4):
+        # 2x1x1 rock salt + jitter
+        base = np.array(
+            [[0, 0, 0], [0.5, 0.5, 0.5], [1.0, 0, 0], [1.5, 0.5, 0.5]]
+        ) * a0
+        pos = base + rng.normal(0, 0.05, base.shape)
+        n = len(pos)
+        bec = np.tile(np.eye(3).ravel(), (n, 1)) * np.where(
+            np.arange(n) % 2 == 0, 1.0, -1.0
+        )[:, None]
+        f = XYZFrame(
+            symbols=["Na", "Cl"] * 2, positions=pos,
+            lattice=np.diag([2 * a0, a0, a0]), pbc=(True, True, True),
+            forces=rng.normal(0, 0.1, (n, 3)),
+            info={"energy": f"{rng.normal(-3, 0.1) * n}", "charge": "0"},
+        )
+        f.arrays["bec"] = bec
+        frames.append(f)
+
+    cfg = NepTrainConfig(
+        num_types=2, symbols=("Na", "Cl"), rc_radial=6.0, rc_angular=4.0,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=4, l_max_4body=0, neurons=4,
+        charge_mode=1, population_size=12, maximum_generation=8,
+        output_interval=2, batch_size=10,
+    )
+    model = model_from_config(cfg)
+    batch = batch_structures(
+        frames, cfg.symbols, rc=cfg.rc_radial, mn=40, charge_mode=1
+    )
+    assert batch.kvec is not None and batch.kvec.shape[0] == 4
+    assert float(batch.gk.max()) > 0.0
+    trainer = SNESTrainer(model, cfg, [batch], workdir=str(tmp_path))
+    trainer.train(log=lambda *a, **k: None)
+    rows = np.loadtxt(tmp_path / "loss.out")
+    assert rows.shape[1] == 9  # + rmse_q, rmse_bec columns
+    assert np.isfinite(rows).all()
+    assert rows[-1, 7] >= 0.0 and rows[-1, 8] > 0.0
+    # nep.txt round-trips through the charge loader
+    from gpumd_tpu.potentials.nep.charge import NEPCharge
+
+    pot = NEPCharge.from_file(str(tmp_path / "nep.txt"))
+    assert pot.charge_mode == 1
+    assert pot.w1_charge.shape == (2, 4)
