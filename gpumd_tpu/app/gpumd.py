@@ -932,6 +932,42 @@ class Session:
 
         self.properties.append(PropertyRequest(interval, process))
 
+    def kw_plumed(self, args):
+        """plumed <dat_file> <interval> <restart>: enhanced-sampling bias
+        via libplumed (loaded at runtime; ref: plumed.cu:108-131).  The
+        bias force is merged into state.force and per-atom virials are
+        rescaled each invocation like the reference."""
+        from gpumd_tpu.measure.plumed_bridge import PlumedBridge
+
+        self._require_state()
+        dat, interval, restart = args[0], int(args[1]), int(args[2]) == 1
+        n = self._n
+        bridge = PlumedBridge(
+            os.path.join(self.workdir, dat), interval, restart, n,
+            np.asarray(self.state.mass)[:n], self.dt,
+            getattr(self.ensemble, "temperature", 300.0),
+        )
+
+        def process(session, state, step):
+            pos = np.asarray(state.position)[:n]
+            frc = np.array(np.asarray(state.force)[:n])
+            vir = np.array(np.asarray(state.virial)[:n])
+            f_new, v_new, bias = bridge.compute(
+                pos, frc, np.asarray(state.box.h), vir
+            )
+            force = np.asarray(state.force).copy()
+            force[:n] = f_new
+            virial = np.asarray(state.virial).copy()
+            virial[:n] = v_new
+            session.state = state._replace(
+                force=jnp.asarray(force), virial=jnp.asarray(virial)
+            )
+
+        def finalize(session):
+            bridge.finalize()
+
+        self.properties.append(PropertyRequest(interval, process, finalize))
+
     def kw_dump_netcdf(self, args):
         """dump_netcdf grouping_method group_id interval has_velocity file
         [precision single|double] [compression N] -> AMBER NetCDF trajectory
@@ -2803,6 +2839,7 @@ class Session:
         "dump_restart": kw_dump_restart,
         "dump_velocity": kw_dump_velocity,
         "dump_netcdf": kw_dump_netcdf,
+        "plumed": kw_plumed,
         "dump_force": kw_dump_force,
         "compute_cohesive": kw_compute_cohesive,
         "compute_elastic": kw_compute_elastic,

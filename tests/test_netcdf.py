@@ -47,3 +47,27 @@ run 20
     t = f.variables["time"][:]
     np.testing.assert_allclose(t, [0.025, 0.05, 0.075, 0.1])
     f.close()
+
+
+def test_plumed_not_installed(tmp_path):
+    """Without libplumed the keyword fails with the reference's error."""
+    import pytest
+
+    from gpumd_tpu.measure.plumed_bridge import plumed_installed
+
+    if plumed_installed():
+        pytest.skip("libplumed present; graceful-error path not testable")
+    a0 = 5.26
+    pos = np.array([[0.0, 0, 0], [2.63, 2.63, 0]])
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar", "Ar"], positions=pos,
+                 lattice=np.diag([a0] * 3), pbc=(True, True, True)),
+    )
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 5.0\n")
+    (tmp_path / "plumed.dat").write_text("d: DISTANCE ATOMS=1,2\n")
+    (tmp_path / "run.in").write_text(
+        "potential lj.txt\nvelocity 10\nplumed plumed.dat 1 0\nrun 2\n"
+    )
+    with pytest.raises(RuntimeError, match="PLUMED not installed"):
+        Session(str(tmp_path), quiet=True).execute()
