@@ -189,10 +189,15 @@ class Session:
                     path, path2, np.zeros(self._n, np.int32),
                 )
             else:
-                pot, gm_ilp = load_nep_ilp(
+                pot, gm_ilp, gm_nep, nep_map = load_nep_ilp(
                     path, path2, np.zeros(self._n, np.int32),
                     workdir=self.workdir,
                 )
+                if nep_map is not None:
+                    gids = np.asarray(self.groups.labels)[:, gm_nep]
+                    pot = pot._replace(
+                        nep_labels=jnp.asarray(nep_map[gids], jnp.int32)
+                    )
             labels = np.asarray(self.groups.labels)[:, gm_ilp]
             pot = pot._replace(ilp=pot.ilp._replace(
                 labels=jnp.asarray(labels, jnp.int32)
@@ -1284,6 +1289,15 @@ class Session:
             done += chunk
             self.global_step += chunk
             self.state = state
+            # NaN guard: the reference aborts on non-finite energies (the
+            # CUDA build's debug checks); one scalar host-sync per chunk.
+            _pe = float(jnp.sum(state.potential_energy * state.mask))
+            if not np.isfinite(_pe):
+                raise RuntimeError(
+                    f"non-finite potential energy at step "
+                    f"{self.global_step}: the system blew up (check "
+                    f"time_step, initial overlaps, or neighbor capacity)"
+                )
             if needs_heat or needs_stress or onsager_props:
                 j5 = np.asarray(obs[0]) if needs_heat else None
                 s6 = np.asarray(obs[1]) if needs_stress else None

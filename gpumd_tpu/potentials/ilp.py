@@ -165,31 +165,64 @@ _FAR = 1.0e5
 class ILPHybrid(NamedTuple):
     """Intralayer potential (same-layer pairs only) + the ILP term."""
 
-    intra: object  # any repo potential evaluated on the masked list
+    intra: object  # one potential, or a TUPLE of NEPs (per-group nep_ilp)
     ilp: ILPTerm
     rc: float
     # global ILP type index -> intralayer-potential type index (the NEP of
     # a nep_ilp hybrid may cover a subset of the ILP element list,
-    # ref: ilp_nep.cu nep map type handling)
+    # ref: ilp_nep.cu nep map type handling).  For multi-NEP hybrids this
+    # is a tuple of per-NEP type maps.
     type_map: Optional[tuple] = None
+    # per-atom NEP index (nep_map[group]; ref: ilp_nep.cu:349-375); None
+    # for single-intra hybrids
+    nep_labels: Optional[jnp.ndarray] = None
+
+    def _intra_single(self, intra, tmap, state, nbr_intra, mask):
+        t_intra = state.type
+        if tmap is not None:
+            t_intra = jnp.asarray(tmap, jnp.int32)[state.type]
+        if hasattr(intra, "compute_with_state"):
+            return intra.compute_with_state(
+                state._replace(type=t_intra, mask=mask), nbr_intra
+            )
+        return intra.compute(t_intra, nbr_intra, mask)
 
     def compute_with_state(self, state, nbr: NeighborList) -> PotentialOutput:
         labels = self.ilp.labels
         lab2 = labels[jnp.minimum(nbr.idx, labels.shape[0] - 1)]
         same = (labels[:, None] == lab2) & (nbr.mask > 0)
-        nbr_intra = nbr._replace(
-            r12=jnp.where(same[..., None], nbr.r12, _FAR),
-            mask=jnp.where(same, nbr.mask, 0.0),
-        )
-        t_intra = state.type
-        if self.type_map is not None:
-            t_intra = jnp.asarray(self.type_map, jnp.int32)[state.type]
-        if hasattr(self.intra, "compute_with_state"):
-            out_a = self.intra.compute_with_state(
-                state._replace(type=t_intra), nbr_intra
+
+        def masked_nbr(pair_ok):
+            return nbr._replace(
+                r12=jnp.where(pair_ok[..., None], nbr.r12, _FAR),
+                mask=jnp.where(pair_ok, nbr.mask, 0.0),
             )
+
+        if isinstance(self.intra, tuple):
+            # per-group NEPs: atoms whose nep_map[group] == k are evaluated
+            # by NEP k on pairs internal to that NEP's atom set
+            # (ref: ilp_nep.cu:122-375 nep_map/type_map dispatch)
+            nl = self.nep_labels
+            nl2 = nl[jnp.minimum(nbr.idx, nl.shape[0] - 1)]
+            out_a = None
+            for k, (intra, tmap) in enumerate(
+                zip(self.intra, self.type_map)
+            ):
+                pair_ok = same & (nl[:, None] == k) & (nl2 == k)
+                m_k = state.mask * (nl == k)
+                o = self._intra_single(
+                    intra, tmap, state, masked_nbr(pair_ok), m_k
+                )
+                out_a = o if out_a is None else PotentialOutput(
+                    energy=out_a.energy + o.energy,
+                    force=out_a.force + o.force,
+                    virial=out_a.virial + o.virial,
+                )
         else:
-            out_a = self.intra.compute(t_intra, nbr_intra, state.mask)
+            out_a = self._intra_single(
+                self.intra, self.type_map, state, masked_nbr(same),
+                state.mask,
+            )
         out_b = self.ilp.compute(state.type, nbr, state.mask)
         return PotentialOutput(
             energy=out_a.energy + out_b.energy,
@@ -228,11 +261,14 @@ def load_tersoff_ilp(ilp_path: str, tersoff_path: str, labels) -> ILPHybrid:
     return ILPHybrid(intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc)), gms[0]
 
 
-def load_nep_ilp(ilp_path: str, map_path: str, labels, workdir=".") -> ILPHybrid:
+def load_nep_ilp(ilp_path: str, map_path: str, labels, workdir="."):
     """potential nep_ilp <ilp_file> <nep_map_file>
-    (ref: force.cu:182-188, ilp_nep.cu:58-160).  The map assigns one NEP
-    per layer group; a single shared NEP is the common case and the one
-    supported here (per-group distinct NEPs are a planned refinement)."""
+    (ref: force.cu:182-188, ilp_nep.cu:58-160).
+
+    nep map file: nep_group_method, num_nep, the nep.txt paths, then
+    num_nep_group per-group NEP indices (ref: ilp_nep.cu:122-375).
+    Returns (hybrid, ilp_group_method, nep_group_method, nep_map);
+    for num_nep == 1 nep_group_method is -1 and nep_map is None."""
     import os
 
     from gpumd_tpu.potentials.nep.model import NEP
@@ -240,25 +276,38 @@ def load_nep_ilp(ilp_path: str, map_path: str, labels, workdir=".") -> ILPHybrid
     name, t, gms, rows, _ = _parse_ilp_header(ilp_path, 2)
     ilp = ILPTerm.parse_rows(rows, t, labels)
     mtoks = open(map_path).read().split()
+    nep_gm = int(mtoks[0])
     num_nep = int(mtoks[1])
     nep_files = mtoks[2 : 2 + num_nep]
-    if num_nep != 1:
-        raise NotImplementedError(
-            "nep_ilp: one shared NEP supported (per-group NEPs planned)"
-        )
-    nep_path = nep_files[0]
-    if not os.path.isabs(nep_path):
-        nep_path = os.path.join(os.path.dirname(map_path), nep_path)
-    intra = NEP.from_file(nep_path)
-    # map the global ILP element indices onto the NEP's own element list
     ilp_syms = open(ilp_path).read().split()[2 : 2 + t]
-    tmap = tuple(
-        intra.model.symbols.index(sym) if sym in intra.model.symbols else 0
-        for sym in ilp_syms
-    )
+
+    def load_one(fname):
+        p = fname
+        if not os.path.isabs(p):
+            p = os.path.join(os.path.dirname(map_path), p)
+        nep = NEP.from_file(p)
+        tmap = tuple(
+            nep.model.symbols.index(sym) if sym in nep.model.symbols else 0
+            for sym in ilp_syms
+        )
+        return nep, tmap
+
+    if num_nep == 1:
+        intra, tmap = load_one(nep_files[0])
+        return ILPHybrid(
+            intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc), type_map=tmap
+        ), gms[0], -1, None
+    neps, tmaps = zip(*(load_one(f) for f in nep_files))
+    rest = mtoks[2 + num_nep :]
+    num_groups = int(rest[0])
+    nep_map = np.asarray([int(x) for x in rest[1 : 1 + num_groups]],
+                         np.int32)
+    if (nep_map >= num_nep).any():
+        raise ValueError("nep_ilp: group mapped to a nonexistent NEP")
+    rc = max([ilp.rc] + [n.rc for n in neps])
     return ILPHybrid(
-        intra=intra, ilp=ilp, rc=max(ilp.rc, intra.rc), type_map=tmap
-    ), gms[0]
+        intra=tuple(neps), ilp=ilp, rc=rc, type_map=tuple(tmaps),
+    ), gms[0], nep_gm, nep_map
 
 
 def load_sw_ilp(ilp_path: str, sw_path: str, labels) -> tuple:

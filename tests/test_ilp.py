@@ -169,3 +169,30 @@ def test_sw_silicon_basics(tmp_path):
         em = e_of(st.position.at[i, ax].add(-h))
         assert np.isclose(f[i, ax], -(ep - em) / (2 * h), rtol=2e-3,
                           atol=1e-5)
+
+
+@requires_reference
+def test_nep_ilp_multi_nep(tmp_path, ilp_files):
+    """Per-group NEP dispatch (num_nep > 1, ref: ilp_nep.cu:122-375):
+    two copies of the same NEP assigned to the two layers must reproduce
+    the shared-NEP result exactly."""
+    from gpumd_tpu.app.gpumd import Session
+
+    _bilayer_graphene(tmp_path, dz=3.4)
+    (tmp_path / "run.in").write_text("potential ilp.txt map.txt\ntime_step 1\n")
+    s1 = Session(str(tmp_path), quiet=True)
+    s1.execute()
+    e1 = float(np.sum(np.asarray(s1.state.potential_energy)
+                      * np.asarray(s1.state.mask)))
+    f1 = np.asarray(s1.state.force)
+
+    (tmp_path / "map.txt").write_text(
+        "0 2 C_2024_NEP4.txt C_2024_NEP4.txt\n2\n0\n1\n"
+    )
+    s2 = Session(str(tmp_path), quiet=True)
+    s2.execute()
+    e2 = float(np.sum(np.asarray(s2.state.potential_energy)
+                      * np.asarray(s2.state.mask)))
+    f2 = np.asarray(s2.state.force)
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+    np.testing.assert_allclose(f2, f1, rtol=1e-5, atol=1e-7)
