@@ -1855,13 +1855,18 @@ class Session:
         self.log(f"compute_hac {args}")
 
     def kw_compute_lsqt(self, args):
-        """compute_lsqt x|y|z Nm Ne E_start E_end E_max -> lsqt_dos.out /
-        lsqt_velocity.out / lsqt_sigma.out (ref: lsqt.cu:962-1035)."""
+        """compute_lsqt x|y|z Nm Ne E_start E_end E_max [sp3] ->
+        lsqt_dos.out / lsqt_velocity.out / lsqt_sigma.out
+        (ref: lsqt.cu:962-1035; `sp3` selects the 4-orbital carbon model,
+        the reference's non-USE_GRAPHENE_TB build, lsqt.cu:554-643)."""
         from gpumd_tpu.measure.lsqt import LSQT
 
+        model = "sp3" if (len(args) > 6 and args[6] == "sp3") else "graphene"
+        rc = 2.6 if model == "sp3" else 2.1
         self.measure_props.append(
             LSQT(args[0], int(args[1]), int(args[2]), float(args[3]),
-                 float(args[4]), float(args[5]), dt=self.dt)
+                 float(args[4]), float(args[5]), dt=self.dt, rc=rc,
+                 model=model)
         )
         self.log(f"compute_lsqt {args}")
 

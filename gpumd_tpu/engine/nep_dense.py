@@ -547,73 +547,92 @@ def _chunk_lanes(cap: int) -> int:
     return int(np.clip((16384 // cap) // 128 * 128, 128, 512))
 
 
-def _k1b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
-    """One (cell, candidate-chunk) grid step; the chunk axis is the
+def _k1b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, by: int, *refs):
+    """One (cell-block, candidate-chunk) grid step; the chunk axis is the
     INNERMOST grid dimension so the s/a output blocks stay resident in
-    VMEM and accumulate across chunks (canonical Pallas reduction)."""
+    VMEM and accumulate across chunks (canonical Pallas reduction).
+    `by` y-cells are processed per grid step (leading-axis slices, all
+    lane-aligned) to amortize per-step grid overhead."""
     c_ref, w_ref, s_ref, a_ref = refs
     cap = plan.cap
-    center = c_ref[0, 0, 0]  # (4, cap)
-    cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
-    ws = [w_ref[0, 0, 0, k : k + 1, :] for k in range(4)]
-    s, a = _tile_chunk(
-        cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2], cxs[3], ws[3], spec
-    )
     first = pl.program_id(3) == 0
+    for b in range(by):
+        center = c_ref[0, b, 0]  # (4, cap)
+        cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+        ws = [w_ref[0, b, 0, k : k + 1, :] for k in range(4)]
+        s, a = _tile_chunk(
+            cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2], cxs[3], ws[3], spec
+        )
 
-    @pl.when(first)
-    def _init():
-        s_ref[0, 0, 0] = s
-        # channel-leading a layout: per-ch stores index a LEADING block
-        # axis — lane-offset stores at nlm grain are unsupported in Mosaic
-        for ch in range(spec.ch_a):
-            a_ref[0, 0, 0, ch] = a[:, ch, :]
+        @pl.when(first)
+        def _init(b=b, s=s, a=a):
+            s_ref[0, b, 0] = s
+            # channel-leading a layout: per-ch stores index a LEADING block
+            # axis — lane-offset stores at nlm grain are unsupported in
+            # Mosaic
+            for ch in range(spec.ch_a):
+                a_ref[0, b, 0, ch] = a[:, ch, :]
 
-    @pl.when(jnp.logical_not(first))
-    def _acc():
-        s_ref[0, 0, 0] += s
-        for ch in range(spec.ch_a):
-            a_ref[0, 0, 0, ch] += a[:, ch, :]
+        @pl.when(jnp.logical_not(first))
+        def _acc(b=b, s=s, a=a):
+            s_ref[0, b, 0] += s
+            for ch in range(spec.ch_a):
+                a_ref[0, b, 0, ch] += a[:, ch, :]
 
 
-def _k2b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, *refs):
+def _k2b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, by: int, *refs):
     c_ref, w_ref, cs_ref, ca_ref, dc_ref, dw_ref = refs
     cap = plan.cap
-    center = c_ref[0, 0, 0]
-    cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
-    cot_s = cs_ref[0, 0, 0]
-    # per-channel cotangent reads off a LEADING axis (aligned); the loss-
-    # scalar formulation below avoids stacking them into a 3-D vreg, which
-    # Mosaic cannot concatenate from offset-carrying slices
-    cot_a_chs = [ca_ref[0, 0, 0, ch] for ch in range(spec.ch_a)]
-    ws = [w_ref[0, 0, 0, k : k + 1, :] for k in range(4)]
-
-    def loss_fn(cx_, cy_, cz_, wx_, wy_, wz_):
-        s, a = _tile_chunk(
-            cx_, cy_, cz_, wx_, wy_, wz_, cxs[3], ws[3], spec
-        )
-        tot = jnp.sum(s * cot_s)
-        for ch in range(spec.ch_a):
-            tot = tot + jnp.sum(a[:, ch, :] * cot_a_chs[ch])
-        return tot
-
-    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
-        cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2]
-    )
-    for k in range(3):
-        dw_ref[0, 0, 0, k : k + 1, :] = grads[3 + k]
-    dcen = jnp.concatenate(
-        [grads[k].reshape(1, cap) for k in range(3)], axis=0
-    )
     first = pl.program_id(3) == 0
+    for b in range(by):
+        center = c_ref[0, b, 0]
+        cxs = [center[k : k + 1, :].reshape(cap, 1) for k in range(4)]
+        cot_s = cs_ref[0, b, 0]
+        # per-channel cotangent reads off a LEADING axis (aligned); the
+        # loss-scalar formulation below avoids stacking them into a 3-D
+        # vreg, which Mosaic cannot concatenate from offset-carrying slices
+        cot_a_chs = [ca_ref[0, b, 0, ch] for ch in range(spec.ch_a)]
+        ws = [w_ref[0, b, 0, k : k + 1, :] for k in range(4)]
 
-    @pl.when(first)
-    def _init():
-        dc_ref[0, 0, 0] = dcen
+        def loss_fn(cx_, cy_, cz_, wx_, wy_, wz_, cxs=cxs, ws=ws,
+                    cot_s=cot_s, cot_a_chs=cot_a_chs):
+            s, a = _tile_chunk(
+                cx_, cy_, cz_, wx_, wy_, wz_, cxs[3], ws[3], spec
+            )
+            tot = jnp.sum(s * cot_s)
+            for ch in range(spec.ch_a):
+                tot = tot + jnp.sum(a[:, ch, :] * cot_a_chs[ch])
+            return tot
 
-    @pl.when(jnp.logical_not(first))
-    def _acc():
-        dc_ref[0, 0, 0] += dcen
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            cxs[0], cxs[1], cxs[2], ws[0], ws[1], ws[2]
+        )
+        for k in range(3):
+            dw_ref[0, b, 0, k : k + 1, :] = grads[3 + k]
+        dcen = jnp.concatenate(
+            [grads[k].reshape(1, cap) for k in range(3)], axis=0
+        )
+
+        @pl.when(first)
+        def _init(b=b, dcen=dcen):
+            dc_ref[0, b, 0] = dcen
+
+        @pl.when(jnp.logical_not(first))
+        def _acc(b=b, dcen=dcen):
+            dc_ref[0, b, 0] += dcen
+
+
+def _pick_by(ny: int, cap: int, chunk: int) -> int:
+    """y-cells per kernel step: amortize grid-step overhead while keeping
+    the per-step VMEM residency (by x cap x chunk tiles live in the K2
+    vjp) inside the ~16 MB scope."""
+    budget = max(1, (1 << 20) // max(cap * chunk, 1))  # ~4 MB of f32 tiles
+    by = 1
+    for cand_by in (8, 4, 2):
+        if ny % cand_by == 0 and cand_by <= budget:
+            by = cand_by
+            break
+    return by
 
 
 def k1b_call(centers, cand, plan: DenseGridPlan, spec: DenseNepSpec,
@@ -623,23 +642,24 @@ def k1b_call(centers, cand, plan: DenseGridPlan, spec: DenseNepSpec,
     c_pad = cand.shape[-1]
     chunk = _chunk_lanes(cap)
     nc = c_pad // chunk
+    by = _pick_by(ny, cap, chunk)
     dtype = cand.dtype
     return pl.pallas_call(
-        functools.partial(_k1b_kernel, plan, spec),
-        grid=(nz, ny, nx, nc),
+        functools.partial(_k1b_kernel, plan, spec, by),
+        grid=(nz, ny // by, nx, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 4, cap),
+            pl.BlockSpec((1, by, 1, 4, cap),
                          lambda z, y, x, c: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4, chunk),
+            pl.BlockSpec((1, by, 1, 4, chunk),
                          lambda z, y, x, c: (z, y, x, 0, c)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, 1, cap, spec.s_width),
+                (1, by, 1, cap, spec.s_width),
                 lambda z, y, x, c: (z, y, x, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, 1, spec.ch_a, cap, spec.nlm),
+                (1, by, 1, spec.ch_a, cap, spec.nlm),
                 lambda z, y, x, c: (z, y, x, 0, 0, 0),
             ),
         ],
@@ -661,27 +681,28 @@ def k2b_call(centers, cand, cot_s, cot_a, plan: DenseGridPlan,
     chunk = _chunk_lanes(cap)
     nc = c_pad // chunk
     dtype = cand.dtype
+    by = _pick_by(ny, cap, chunk)
     return pl.pallas_call(
-        functools.partial(_k2b_kernel, plan, spec),
-        grid=(nz, ny, nx, nc),
+        functools.partial(_k2b_kernel, plan, spec, by),
+        grid=(nz, ny // by, nx, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 4, cap),
+            pl.BlockSpec((1, by, 1, 4, cap),
                          lambda z, y, x, c: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4, chunk),
+            pl.BlockSpec((1, by, 1, 4, chunk),
                          lambda z, y, x, c: (z, y, x, 0, c)),
             pl.BlockSpec(
-                (1, 1, 1, cap, spec.s_width),
+                (1, by, 1, cap, spec.s_width),
                 lambda z, y, x, c: (z, y, x, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, 1, spec.ch_a, cap, spec.nlm),
+                (1, by, 1, spec.ch_a, cap, spec.nlm),
                 lambda z, y, x, c: (z, y, x, 0, 0, 0),
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, 3, cap),
+            pl.BlockSpec((1, by, 1, 3, cap),
                          lambda z, y, x, c: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 3, chunk),
+            pl.BlockSpec((1, by, 1, 3, chunk),
                          lambda z, y, x, c: (z, y, x, 0, c)),
         ],
         out_shape=[

@@ -64,8 +64,9 @@ class LSQT:
     """compute_lsqt x|y|z Nm Ne E_start E_end E_max (ref: lsqt.cu parse)."""
 
     def __init__(self, direction, n_moments, n_energies, e_start, e_end,
-                 e_max, dt, rc=2.1, mn=10, seed=13):
+                 e_max, dt, rc=2.1, mn=10, seed=13, model="graphene"):
         self.direction = {"x": 0, "y": 1, "z": 2}[direction]
+        self.model = model  # "graphene" (pi orbital) | "sp3" (4 orbitals)
         self.nm = int(n_moments)
         self.ne = int(n_energies)
         self.e = np.linspace(e_start, e_end, self.ne)
@@ -97,12 +98,62 @@ class LSQT:
         nbr = neighbor_brute(pos, box, jnp.ones(n), rc=self.rc, mn=self.mn,
                              reps=reps)
         d = jnp.sqrt(jnp.sum(nbr.r12**2, axis=-1))
+        if self.model == "sp3":
+            return self._sp3_orbitals(n, nbr, d)
         # pi-orbital carbon TB: t(d) = -2.7 (1.42/d)^2 (ref: lsqt.cu:545)
         hop = jnp.where(nbr.mask > 0, -2.7 * 1.42**2 / jnp.maximum(d, 0.1) ** 2,
                         0.0)
         xx = jnp.where(nbr.mask > 0, nbr.r12[..., self.direction], 0.0)
         idx = jnp.minimum(nbr.idx, n - 1)
         u = jnp.zeros((n,))
+        return u, hop, xx, idx
+
+    def _sp3_orbitals(self, n, nbr, d):
+        """Carbon sp3 Slater-Koster model, 4 orbitals (s, px, py, pz) per
+        atom with GSP distance scaling (ref: lsqt.cu:554-643 and the TB
+        struct lsqt.cuh:33-42).  Orbital site index = atom + k * N."""
+        onsite = jnp.asarray([-2.99, 3.71, 3.71, 3.71])
+        v_sss, v_sps, v_pps, v_ppp = -5.0, 4.7, 5.5, -1.55
+        nc, rc_tb, r0 = 6.5, 2.18, 1.536329
+        mn = nbr.idx.shape[1]
+        dd = jnp.maximum(d, 0.1)
+        s12 = (r0 / dd) ** 2 * jnp.exp(
+            2.0 * (-((dd / rc_tb) ** nc) + (r0 / rc_tb) ** nc)
+        )
+        s12 = jnp.where(nbr.mask > 0, s12, 0.0)
+        cx = nbr.r12[..., 0] / dd
+        cy = nbr.r12[..., 1] / dd
+        cz = nbr.r12[..., 2] / dd
+        z = jnp.zeros_like(cx)
+        # H12[k1][k2] (N, MN) blocks (ref: :607-624)
+        h = jnp.stack([
+            jnp.stack([jnp.full_like(cx, v_sss), v_sps * cx,
+                       v_sps * cy, v_sps * cz], -1),
+            jnp.stack([-v_sps * cx, v_pps * cx**2 + v_ppp * (1 - cx**2),
+                       (v_pps - v_ppp) * cx * cy,
+                       (v_pps - v_ppp) * cz * cx], -1),
+            jnp.stack([-v_sps * cy, (v_pps - v_ppp) * cx * cy,
+                       v_pps * cy**2 + v_ppp * (1 - cy**2),
+                       (v_pps - v_ppp) * cy * cz], -1),
+            jnp.stack([-v_sps * cz, (v_pps - v_ppp) * cz * cx,
+                       (v_pps - v_ppp) * cy * cz,
+                       v_pps * cz**2 + v_ppp * (1 - cz**2)], -1),
+        ], -2)  # (N, MN, 4k1, 4k2)
+        del z
+        h = h * s12[..., None, None]
+        # orbital layout: row = n + k1*N, col = k2*MN + i1
+        hop = jnp.transpose(h, (2, 0, 3, 1)).reshape(4 * n, 4 * mn)
+        idx_a = jnp.minimum(nbr.idx, n - 1)  # (N, MN)
+        idx = (
+            idx_a[None, :, None, :]
+            + jnp.arange(4)[None, None, :, None] * n
+        )
+        idx = jnp.broadcast_to(idx, (4, n, 4, mn)).reshape(4 * n, 4 * mn)
+        xr = jnp.where(nbr.mask > 0, nbr.r12[..., self.direction], 0.0)
+        xx = jnp.broadcast_to(
+            xr[None, :, None, :], (4, n, 4, mn)
+        ).reshape(4 * n, 4 * mn)
+        u = jnp.repeat(onsite, n)
         return u, hop, xx, idx
 
     # ---- operators (all jit-friendly) ------------------------------------
@@ -185,7 +236,8 @@ class LSQT:
 
     def sample_state(self, session, state, step):
         u, hop, xx, idx = self._build_h(state)
-        n = u.shape[0]
+        n = u.shape[0]  # orbital count
+        n_atoms = n // (4 if self.model == "sp3" else 1)
         rng = np.random.default_rng(self.seed)
         phase = rng.random(n) * 2.0 * np.pi
 
@@ -195,7 +247,8 @@ class LSQT:
         s = jnp.asarray(np.exp(1j * phase))
         dos = np.asarray(dos_fn(s, s))
         with open(os.path.join(session.workdir, "lsqt_dos.out"), "a") as f:
-            f.write("".join(f"{v / n:25.15e}" for v in dos) + "\n")
+            # states/eV/ATOM (ref: lsqt.cu:817)
+            f.write("".join(f"{v / n_atoms:25.15e}" for v in dos) + "\n")
 
         # velocity: <s J+ | J s> correlation at t = 0
         js = jax.jit(lambda ss: self._j_apply(ss, hop, xx, idx))(s)

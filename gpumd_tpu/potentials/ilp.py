@@ -198,7 +198,10 @@ class ILPHybrid(NamedTuple):
                 mask=jnp.where(pair_ok, nbr.mask, 0.0),
             )
 
-        if isinstance(self.intra, tuple):
+        # plain tuple of NEPs (NamedTuple potentials have _fields)
+        if isinstance(self.intra, tuple) and not hasattr(
+            self.intra, "_fields"
+        ):
             # per-group NEPs: atoms whose nep_map[group] == k are evaluated
             # by NEP k on pairs internal to that NEP's atom set
             # (ref: ilp_nep.cu:122-375 nep_map/type_map dispatch)

@@ -79,3 +79,27 @@ run 2
     sig = np.loadtxt(tmp_path / "lsqt_sigma.out")
     assert sig.shape == (2, 201)
     assert np.isfinite(sig).all()
+
+
+def test_lsqt_sp3_dos(tmp_path):
+    """sp3 4-orbital carbon model (ref: lsqt.cu:554-643): DOS integrates
+    to ~8 states/atom (4 orbitals x spin) over the full band."""
+    n, pot = _graphene(tmp_path)
+    (tmp_path / "run.in").write_text(
+        f"""potential {pot}
+velocity 300
+time_step 1
+ensemble nve
+compute_lsqt x 500 301 -25 25 30 sp3
+run 1
+"""
+    )
+    from gpumd_tpu.app.gpumd import Session
+
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    d = np.loadtxt(tmp_path / "lsqt_dos.out")
+    e = np.linspace(-25, 25, 301)
+    assert np.isfinite(d).all()
+    integral = np.trapezoid(np.clip(d[0] if d.ndim > 1 else d, 0, None), e)
+    assert 6.8 < integral < 9.2, integral
