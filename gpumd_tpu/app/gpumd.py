@@ -169,6 +169,17 @@ class Session:
 
             pot = EAMDai2006.from_file(path)
             self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "dp":
+            from gpumd_tpu.potentials.dp import DP
+
+            pot = DP.from_file(path, workdir=self.workdir)
+            self.type_names = head[2 : 2 + int(head[1])]
+        elif name == "nnap":
+            raise RuntimeError(
+                "nnap requires the external Java NNAP runtime (the "
+                "reference gates it behind USE_NNAP + a JVM, nnap.cu:21); "
+                "it is not bridged in this build"
+            )
         elif name in ("tersoff_ilp", "nep_ilp", "sw_ilp"):
             from gpumd_tpu.potentials.ilp import (
                 load_nep_ilp, load_sw_ilp, load_tersoff_ilp,

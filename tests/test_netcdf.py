@@ -71,3 +71,25 @@ def test_plumed_not_installed(tmp_path):
     )
     with pytest.raises(RuntimeError, match="PLUMED not installed"):
         Session(str(tmp_path), quiet=True).execute()
+
+
+def test_dp_requires_deepmd(tmp_path):
+    """The DP bridge fails with a clear install hint when deepmd-kit is
+    absent (ref: dp.cu USE_DEEPMD gate)."""
+    import pytest
+
+    try:
+        import deepmd  # noqa: F401
+        pytest.skip("deepmd installed; error path not testable")
+    except ImportError:
+        pass
+    pos = np.array([[0.0, 0, 0], [2.0, 0, 0]])
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Si", "Si"], positions=pos,
+                 lattice=np.diag([8.0] * 3), pbc=(True, True, True)),
+    )
+    (tmp_path / "dp.txt").write_text("dp 1 Si\ngraph.pb\n")
+    (tmp_path / "run.in").write_text("potential dp.txt\nrun 1\n")
+    with pytest.raises(RuntimeError, match="deepmd-kit"):
+        Session(str(tmp_path), quiet=True).execute()
