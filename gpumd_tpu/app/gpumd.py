@@ -2855,6 +2855,21 @@ class Session:
             )
         )
 
+    def kw_compute_angular_rdf(self, args):
+        """compute_angular_rdf r_cut r_bins theta_bins interval
+        [atom_a atom_b]... -> angular_rdf.out
+        (ref: angular_rdf.cu:440-520 parse)."""
+        from gpumd_tpu.measure.properties import AngularRDF
+
+        pairs = [
+            (int(args[i]), int(args[i + 1]))
+            for i in range(4, len(args), 2)
+        ]
+        self.measure_props.append(
+            AngularRDF(float(args[0]), int(args[1]), int(args[2]),
+                       int(args[3]), pairs)
+        )
+
     # ----------------------------------------------------------------- driver
 
     KEYWORDS = {
@@ -2906,6 +2921,7 @@ class Session:
         "compute_adf": kw_compute_adf,
         "compute_orientorder": kw_compute_orientorder,
         "compute_rdf": kw_compute_rdf,
+        "compute_angular_rdf": kw_compute_angular_rdf,
         "compute_shc": kw_compute_shc,
         "compute_viscosity": kw_compute_viscosity,
         "dump_observer": kw_dump_observer,

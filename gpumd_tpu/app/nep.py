@@ -49,9 +49,39 @@ def build_batches(
     return batches
 
 
+def _write_descriptors(cfg, nep, batches, workdir):
+    """descriptor.out in prediction mode: output_descriptor 1 writes the
+    per-structure mean scaled descriptor, 2 the per-atom rows
+    (ref: main_nep/nep.cu:711-740)."""
+    path = os.path.join(workdir, "descriptor.out")
+    with open(path, "a") as f:
+        for batch in batches:
+            def one(r12, idx, t, m):
+                q, _ = NEP(nep.model, nep.params).raw_descriptors(
+                    r12, t, t[idx]
+                )
+                return q * nep.params.q_scaler
+
+            qs = jax.vmap(one)(batch.r12, batch.idx, batch.type, batch.mask)
+            qs = np.asarray(qs)
+            mask = np.asarray(batch.mask) > 0
+            for c in range(batch.num_configs):
+                qc = qs[c][mask[c]]
+                if cfg.output_descriptor == 2:
+                    for row in qc:
+                        f.write(" ".join(f"{x:g}" for x in row) + "\n")
+                else:
+                    f.write(
+                        " ".join(f"{x:g}" for x in qc.mean(axis=0)) + "\n"
+                    )
+
+
 def run_prediction(cfg, model, batches, workdir, log=print):
     nep = NEP.from_file(os.path.join(workdir, "nep.txt"))
     model = nep.model
+    if cfg.output_descriptor:
+        _write_descriptors(cfg, nep, batches, workdir)
+        log("descriptor.out written")
     e_path = os.path.join(workdir, "energy_train.out")
     f_path = os.path.join(workdir, "force_train.out")
     v_path = os.path.join(workdir, "virial_train.out")

@@ -25,7 +25,12 @@ class NepTrainConfig:
     l_max_5body: int = 0
     neurons: int = 30
     zbl: Optional[float] = None  # outer cutoff; inner = outer/2
+    # per-pair ZBL outer cutoff factor (ref: parameters.cu
+    # parse_use_typewise_cutoff_zbl; default factor 0.65 when enabled)
+    typewise_cutoff_zbl_factor: float = 0.0
     charge_mode: int = 0
+    atomic_v: int = 0  # fit per-atom dipole/polarizability
+    output_descriptor: int = 0  # 1 per-structure, 2 per-atom (prediction)
     # loss
     lambda_1: float = -1.0  # auto
     lambda_2: float = -1.0  # auto
@@ -102,6 +107,14 @@ def parse_nep_in(path: str) -> NepTrainConfig:
                 cfg.neurons = int(args[0])
             elif kw == "zbl":
                 cfg.zbl = float(args[0])
+            elif kw == "use_typewise_cutoff_zbl":
+                cfg.typewise_cutoff_zbl_factor = (
+                    float(args[0]) if args else 0.65
+                )
+            elif kw == "atomic_v":
+                cfg.atomic_v = int(args[0])
+            elif kw == "output_descriptor":
+                cfg.output_descriptor = int(args[0])
             elif kw == "charge_mode":
                 cfg.charge_mode = int(args[0])
             elif kw == "lambda_1":
@@ -193,5 +206,6 @@ def model_from_config(cfg: NepTrainConfig):
         zbl=cfg.zbl is not None,
         zbl_rc_inner=(cfg.zbl / 2 if cfg.zbl else 0.0),
         zbl_rc_outer=(cfg.zbl or 0.0),
+        zbl_typewise_factor=cfg.typewise_cutoff_zbl_factor,
         charge_mode=cfg.charge_mode,
     )

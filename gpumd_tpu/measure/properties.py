@@ -612,6 +612,102 @@ class HNEMDECOnsager:
         pass
 
 
+class AngularRDF:
+    """compute_angular_rdf r_cut r_bins theta_bins interval [a b]...
+    -> angular_rdf.out (ref: angular_rdf.cu:60-660): g(r, theta) with
+    theta = atan2(y12, x12) the in-plane bond azimuth, bin volume =
+    shell_volume * dtheta/2pi; per-pair columns use the reference's
+    symmetrized 1/(N_a rho_b) + 1/(N_b rho_a) normalization."""
+
+    needs_heat = False
+
+    def __init__(self, r_cut, r_bins, theta_bins, sample_interval,
+                 pairs=()):
+        self.r_cut = float(r_cut)
+        self.r_bins = int(r_bins)
+        self.t_bins = int(theta_bins)
+        self.interval = int(sample_interval)
+        self.pairs = [tuple(p) for p in pairs]
+        self.hist = np.zeros((self.r_bins, self.t_bins))
+        self.hist_pair = np.zeros((len(self.pairs), self.r_bins, self.t_bins))
+        self.n_samples = 0
+        self.density = None
+        self.type_counts = None
+
+    def sample_state(self, session, state, step):
+        import jax.numpy as jnp
+
+        from gpumd_tpu.model.box import num_replicas_for_cutoff
+        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+
+        n = session._n
+        pos = state.position[:n]
+        box = state.box
+        types = np.asarray(state.type)[:n]
+        reps = num_replicas_for_cutoff(box, self.r_cut)
+        nbr = neighbor_brute(
+            pos, box, state.mask[:n], rc=self.r_cut, mn=1024, reps=reps
+        )
+        r12 = np.asarray(nbr.r12)
+        d = np.sqrt(np.sum(r12**2, axis=-1))
+        theta = np.arctan2(r12[..., 1], r12[..., 0])
+        m = np.asarray(nbr.mask) > 0
+        rng = ((0, self.r_cut), (-np.pi, np.pi))
+        h, _, _ = np.histogram2d(
+            d[m], theta[m], bins=(self.r_bins, self.t_bins), range=rng
+        )
+        self.hist += h
+        ti = np.broadcast_to(types[:, None], d.shape)
+        tj = types[np.asarray(nbr.idx) % n]
+        for k, (a, b) in enumerate(self.pairs):
+            sel = m & (((ti == a) & (tj == b)) | ((ti == b) & (tj == a)))
+            hk, _, _ = np.histogram2d(
+                d[sel], theta[sel], bins=(self.r_bins, self.t_bins),
+                range=rng,
+            )
+            self.hist_pair[k] += hk
+        self.n_samples += 1
+        if self.density is None:
+            self.density = n / float(box.volume)
+            nt = int(types.max()) + 1 if n else 1
+            self.type_counts = np.array(
+                [(types == t).sum() for t in range(nt)]
+            )
+
+    def postprocess(self, session):
+        n = session._n
+        dr = self.r_cut / self.r_bins
+        r_lo = np.arange(self.r_bins) * dr
+        r_up = r_lo + dr
+        shell = 4.0 / 3.0 * np.pi * (r_up**3 - r_lo**3)
+        bin_vol = shell[:, None] * (1.0 / self.t_bins)  # dtheta/2pi
+        r_c = r_lo + 0.5 * dr
+        t_c = -np.pi + (np.arange(self.t_bins) + 0.5) * (2 * np.pi / self.t_bins)
+        ns = max(self.n_samples, 1)
+        vol = n / self.density
+        g = self.hist / (ns * n * self.density * bin_vol)
+        gps = []
+        for k, (a, b) in enumerate(self.pairs):
+            na = max(self.type_counts[a], 1)
+            nb = max(self.type_counts[b], 1)
+            # both-direction counts; reference accumulates each direction
+            # with 1/(N_row rho_col) (angular_rdf.cu:228-236)
+            if a == b:
+                norm = vol / (na * nb)
+            else:
+                norm = vol / (na * nb)  # 2 directions x V/(2 Na Nb)
+            gps.append(self.hist_pair[k] * norm / (ns * bin_vol))
+        with open(os.path.join(session.workdir, "angular_rdf.out"), "a") as f:
+            f.write("#radius theta total" + "".join(
+                f" type_{a}_{b}" for a, b in self.pairs) + "\n")
+            for i in range(self.r_bins):
+                for j in range(self.t_bins):
+                    row = f"{r_c[i]:.5f} {t_c[j]:.5f} {g[i, j]:.5f}"
+                    for gp in gps:
+                        row += f" {gp[i, j]:.5f}"
+                    f.write(row + "\n")
+
+
 class ADF:
     """compute_adf: bond-angle distribution -> adf.out (ref: adf.cu).
 

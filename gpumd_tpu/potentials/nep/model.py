@@ -222,9 +222,30 @@ def _angular_q(s, model: NepModel, dtype):
     return jnp.stack(q, axis=1)  # (B, num_l, NA1)
 
 
+# Covalent radii (A) indexed by Z-1, used by the typewise ZBL cutoff
+# (published data re-entered from ref: nep_utilities.cuh:143-153)
+_COVALENT_RADIUS = np.array([
+    0.426667, 0.613333, 1.6, 1.25333, 1.02667, 1.0, 0.946667, 0.84,
+    0.853333, 0.893333, 1.86667, 1.66667, 1.50667, 1.38667, 1.46667,
+    1.36, 1.32, 1.28, 2.34667, 2.05333, 1.77333, 1.62667, 1.61333,
+    1.46667, 1.42667, 1.38667, 1.33333, 1.32, 1.34667, 1.45333, 1.49333,
+    1.45333, 1.53333, 1.46667, 1.52, 1.56, 2.52, 2.22667, 1.96, 1.85333,
+    1.76, 1.65333, 1.53333, 1.50667, 1.50667, 1.44, 1.53333, 1.64,
+    1.70667, 1.68, 1.68, 1.64, 1.76, 1.74667, 2.78667, 2.34667, 2.16,
+    1.96, 2.10667, 2.09333, 2.08, 2.06667, 2.01333, 2.02667, 2.01333,
+    2.0, 1.98667, 1.98667, 1.97333, 2.04, 1.94667, 1.82667, 1.74667,
+    1.64, 1.57333, 1.54667, 1.48, 1.49333, 1.50667, 1.76, 1.73333,
+    1.73333, 1.81333, 1.74667, 1.84, 1.89333, 2.68, 2.41333, 2.22667,
+    2.10667, 2.02667, 2.04, 2.05333, 2.06667,
+])
+
+
 def _zbl_energy(d, t1, t2, model: NepModel, params: NepParams, dtype):
     """Universal / flexible ZBL pair energy, halved per ordered pair
-    (ref: find_force_ZBL nep.cu:863-975, find_f_and_fp_zbl)."""
+    (ref: find_force_ZBL nep.cu:863-975, find_f_and_fp_zbl).  With
+    `zbl_typewise_factor` > 0 the outer cutoff shrinks per pair to
+    min(factor * (rcov_i + rcov_j), rc_outer) with rc_inner = 0
+    (ref: nep.cu:935-941)."""
     zn = jnp.asarray(model.atomic_numbers, dtype=dtype)
     zi = zn[t1][..., None] * jnp.ones_like(d)
     zj = zn[t2]
@@ -246,8 +267,22 @@ def _zbl_energy(d, t1, t2, model: NepModel, params: NepParams, dtype):
             + pp[..., 8] * jnp.exp(-pp[..., 9] * x)
         )
     else:
-        rc1 = jnp.full_like(d, model.zbl_rc_inner)
-        rc2 = jnp.full_like(d, model.zbl_rc_outer)
+        if model.zbl_typewise_factor > 0.0:
+            rcov = jnp.asarray(
+                _COVALENT_RADIUS[
+                    np.maximum(np.asarray(model.atomic_numbers) - 1, 0)
+                ],
+                dtype,
+            )
+            rc2 = jnp.minimum(
+                (rcov[t1][..., None] + rcov[t2])
+                * model.zbl_typewise_factor,
+                model.zbl_rc_outer,
+            ) * jnp.ones_like(d)
+            rc1 = jnp.zeros_like(d)
+        else:
+            rc1 = jnp.full_like(d, model.zbl_rc_inner)
+            rc2 = jnp.full_like(d, model.zbl_rc_outer)
         zp = _ZBL_UNIVERSAL
         phi = (
             zp[0] * jnp.exp(-zp[1] * x)

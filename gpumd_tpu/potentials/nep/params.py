@@ -389,7 +389,10 @@ def write_nep_txt(path: str, model: NepModel, theta, q_scaler):
         name += f"_charge{model.charge_mode}"
     lines = [f"{name} {model.num_types} " + " ".join(model.symbols)]
     if model.zbl:
-        lines.append(f"zbl {model.zbl_rc_inner} {model.zbl_rc_outer}")
+        zline = f"zbl {model.zbl_rc_inner} {model.zbl_rc_outer}"
+        if model.zbl_typewise_factor > 0.0:
+            zline += f" {model.zbl_typewise_factor}"
+        lines.append(zline)
     # write global cutoffs + raw MN (un-enlarged)
     mn_r = int(np.ceil(model.mn_radial / 1.25))
     mn_a = int(np.ceil(model.mn_angular / 1.25))

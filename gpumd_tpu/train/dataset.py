@@ -40,6 +40,9 @@ class StructureBatch(NamedTuple):
     has_virial: jnp.ndarray  # (C,)
     weight: jnp.ndarray  # (C,) per-config loss weight
     energy_weight: jnp.ndarray  # (C,)
+    # per-atom tensorial references (atomic_v; adipole/apol columns)
+    avirial_ref: Optional[jnp.ndarray] = None  # (C, A, 6) Voigt
+    has_avirial: Optional[jnp.ndarray] = None  # (C,)
     # qNEP training extras (charge_mode > 0; None otherwise)
     position: Optional[jnp.ndarray] = None  # (C, A, 3) absolute coords
     charge_ref: Optional[jnp.ndarray] = None  # (C,) total config charge
@@ -153,6 +156,8 @@ def batch_structures(
     has_bec = np.zeros((c,), dtype=dtype) if charge_mode else None
     kg_list = [] if charge_mode else None
     alpha_ewald = np.pi / rc  # ref: nep_charge.cu:207 alpha = pi/rc_radial
+    avirial_ref = None  # allocated lazily on first adipole/apol column
+    has_avirial = None
 
     sym_index = {s: i for i, s in enumerate(symbols)}
     for ci, f in enumerate(frames):
@@ -190,6 +195,15 @@ def batch_structures(
                 mu = [float(x) for x in f.info["dipole"].split()]
                 virial_ref[ci, :3] = mu
                 has_virial[ci] = 1.0
+            ad = None
+            if f.arrays:
+                ad = f.arrays.get("adipole", f.arrays.get("atomic_dipole"))
+            if ad is not None:
+                if avirial_ref is None:
+                    avirial_ref = np.zeros((c, a, 6), dtype=dtype)
+                    has_avirial = np.zeros((c,), dtype=dtype)
+                avirial_ref[ci, :n, :3] = np.asarray(ad, dtype=dtype)
+                has_avirial[ci] = 1.0
             if "weight" in f.info:
                 weight[ci] = float(f.info["weight"])
             continue
@@ -202,6 +216,20 @@ def batch_structures(
                 virial_ref[ci] = [m[0, 0], m[1, 1], m[2, 2],
                                   m[0, 1], m[1, 2], m[2, 0]]
                 has_virial[ci] = 1.0
+            ap = None
+            if f.arrays:
+                ap = f.arrays.get("apol",
+                                  f.arrays.get("atomic_polarizability"))
+            if ap is not None:
+                if avirial_ref is None:
+                    avirial_ref = np.zeros((c, a, 6), dtype=dtype)
+                    has_avirial = np.zeros((c,), dtype=dtype)
+                m9 = np.asarray(ap, dtype=dtype).reshape(n, 3, 3)
+                avirial_ref[ci, :n] = np.stack(
+                    [m9[:, 0, 0], m9[:, 1, 1], m9[:, 2, 2],
+                     m9[:, 0, 1], m9[:, 1, 2], m9[:, 2, 0]], axis=1,
+                )
+                has_avirial[ci] = 1.0
             if "weight" in f.info:
                 weight[ci] = float(f.info["weight"])
             continue
@@ -251,6 +279,10 @@ def batch_structures(
         has_virial=jnp.asarray(has_virial),
         weight=jnp.asarray(weight),
         energy_weight=jnp.asarray(energy_weight),
+        avirial_ref=(jnp.asarray(avirial_ref)
+                     if avirial_ref is not None else None),
+        has_avirial=(jnp.asarray(has_avirial)
+                     if has_avirial is not None else None),
         position=jnp.asarray(position) if position is not None else None,
         charge_ref=jnp.asarray(charge_ref) if charge_ref is not None else None,
         bec_ref=jnp.asarray(bec_ref) if bec_ref is not None else None,

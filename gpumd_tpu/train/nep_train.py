@@ -32,6 +32,8 @@ class ConfigOutput(NamedTuple):
     # qNEP extras (None for plain models)
     qsum: Optional[jnp.ndarray] = None  # (C,) raw total predicted charge
     bec: Optional[jnp.ndarray] = None  # (C, A, 9) Born effective charges
+    # per-atom tensorial observable for atomic_v TNEP training (C, A, 6)
+    avirial: Optional[jnp.ndarray] = None
 
 
 def batched_forward(
@@ -80,7 +82,12 @@ def _batched_forward_tnep(
 ) -> ConfigOutput:
     """TNEP dipole/polarizability forward: the observable lands in the
     virial slots (dipole -> 0:3; polarizability -> Voigt 6 incl. the
-    second-head diagonal; ref: tnep.cu find_descriptors/apply_ann)."""
+    second-head diagonal; ref: tnep.cu find_descriptors/apply_ann).
+
+    The per-atom `avirial` output (atomic_v training, ref:
+    dataset.cu:766-830 get_rmse_avirial) attributes each bond term to the
+    atom whose neighbor row produced it — the decomposition sums exactly
+    to the global observable."""
     nep = NEP(model, params)
 
     def one_config(r12, idx, nbr_mask, type_, mask):
@@ -94,6 +101,11 @@ def _batched_forward_tnep(
             r2 = jnp.sum(r12 * r12, axis=-1) * nbr_mask
             mu = -jnp.einsum("nm,nma->a", r2, p)
             voigt = jnp.concatenate([mu, jnp.zeros((3,), mu.dtype)])
+            # per-atom attribution (own neighbor row; sums to the total)
+            mu_atom = -jnp.einsum("nm,nma->na", r2, p)
+            av = jnp.concatenate(
+                [mu_atom, jnp.zeros_like(mu_atom)], axis=-1
+            )
         else:
             rm = r12 * nbr_mask[..., None]
             w = -jnp.einsum("amx,amy->xy", rm, p)
@@ -113,14 +125,22 @@ def _batched_forward_tnep(
                 w[0, 0] + diag, w[1, 1] + diag, w[2, 2] + diag,
                 w[0, 1], w[1, 2], w[2, 0],
             ])
+            # per-atom attribution: own bond row + own diagonal head
+            wa = -jnp.einsum("amx,amy->axy", rm, p)
+            wa = 0.5 * (wa + jnp.swapaxes(wa, 1, 2))
+            av = jnp.stack([
+                wa[:, 0, 0] + f_pol, wa[:, 1, 1] + f_pol,
+                wa[:, 2, 2] + f_pol,
+                wa[:, 0, 1], wa[:, 1, 2], wa[:, 2, 0],
+            ], axis=-1)
         zero_e = jnp.zeros((), r12.dtype)
         zero_f = jnp.zeros_like(r12[:, 0, :])
-        return zero_e, zero_f, voigt
+        return zero_e, zero_f, voigt, av * mask[:, None]
 
-    e, f, v = jax.vmap(one_config)(
+    e, f, v, av = jax.vmap(one_config)(
         batch.r12, batch.idx, batch.nbr_mask, batch.type, batch.mask
     )
-    return ConfigOutput(energy=e, force=f, virial=v)
+    return ConfigOutput(energy=e, force=f, virial=v, avirial=av)
 
 
 def _batched_forward_charge(

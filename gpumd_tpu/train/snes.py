@@ -204,14 +204,31 @@ def per_type_rmses(model: NepModel, cfg: NepTrainConfig, out, batch,
     rmse_f = jnp.sqrt(num_f / cnt_f)
 
     # virial: 6 Voigt components per config, shear (d>=3) scaled
-    dv = (out.virial - batch.virial_ref) / na[:, None]
-    sw = cfg.lambda_shear**2 if use_weight else 1.0
-    err_v = (jnp.sum(dv[:, :3] ** 2, axis=1)
-             + sw * jnp.sum(dv[:, 3:] ** 2, axis=1)) * batch.has_virial
-    hv = has_type * batch.has_virial[:, None]
-    num_v = jnp.einsum("c,ct->t", cw2 * err_v, hv)
-    cnt_v = jnp.maximum(jnp.einsum("c,ct->t", jnp.ones_like(err_v), hv) * 6.0, 1e-12)
-    rmse_v = jnp.sqrt(num_v / cnt_v)
+    if cfg.atomic_v and getattr(out, "avirial", None) is not None \
+            and batch.has_avirial is not None:
+        # per-ATOM tensorial comparison (ref: dataset.cu:766-830)
+        nd = 3.0 if cfg.model_type == 1 else 6.0
+        d_av = out.avirial - batch.avirial_ref
+        if cfg.model_type == 1:
+            d_av = d_av[..., :3]
+        err_v = jnp.sum(
+            d_av**2 * batch.mask[..., None], axis=(1, 2)
+        ) * batch.has_avirial
+        hv = has_type * batch.has_avirial[:, None]
+        num_v = jnp.einsum("c,ct->t", cw2 * err_v, hv)
+        cnt_v = jnp.maximum(jnp.einsum("c,ct->t", na, hv) * nd, 1e-12)
+        rmse_v = jnp.sqrt(num_v / cnt_v)
+    else:
+        dv = (out.virial - batch.virial_ref) / na[:, None]
+        sw = cfg.lambda_shear**2 if use_weight else 1.0
+        err_v = (jnp.sum(dv[:, :3] ** 2, axis=1)
+                 + sw * jnp.sum(dv[:, 3:] ** 2, axis=1)) * batch.has_virial
+        hv = has_type * batch.has_virial[:, None]
+        num_v = jnp.einsum("c,ct->t", cw2 * err_v, hv)
+        cnt_v = jnp.maximum(
+            jnp.einsum("c,ct->t", jnp.ones_like(err_v), hv) * 6.0, 1e-12
+        )
+        rmse_v = jnp.sqrt(num_v / cnt_v)
 
     # qNEP: total-charge + Born-effective-charge RMSEs, reference pooling
     # (ref: dataset.cu:1112-1191 — unweighted; charge counts 1 per config,

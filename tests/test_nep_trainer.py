@@ -280,3 +280,54 @@ output_interval 4
 
     nep = NEP.from_file(str(tmp_path / "nep.txt"))
     assert nep.model.num_types == 2
+
+
+def test_atomic_v_dipole_training(tmp_path):
+    """atomic_v: per-atom dipole targets (adipole columns) drive the
+    tensor loss; the per-atom attribution sums to the global dipole."""
+    import jax
+
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame
+    from gpumd_tpu.potentials.nep.params import (
+        num_trainable, params_from_vector,
+    )
+    from gpumd_tpu.train.dataset import batch_structures
+    from gpumd_tpu.train.nep_train import batched_forward
+    from gpumd_tpu.train.snes import per_type_rmses
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for _ in range(3):
+        pos = rng.uniform(0, 6.0, (6, 3))
+        f = XYZFrame(
+            symbols=["O", "H", "H"] * 2, positions=pos,
+            lattice=np.diag([6.0] * 3), pbc=(True, True, True),
+            info={"energy": "0", "dipole": "0.1 0.2 0.3"},
+        )
+        f.arrays["adipole"] = rng.normal(0, 0.1, (6, 3))
+        frames.append(f)
+    cfg = NepTrainConfig(
+        model_type=1, num_types=2, symbols=("O", "H"), rc_radial=5.0,
+        rc_angular=3.0, n_max_radial=2, n_max_angular=2,
+        basis_size_radial=2, basis_size_angular=2, l_max=4, l_max_4body=0,
+        neurons=4, atomic_v=1,
+    )
+    model = model_from_config(cfg)
+    batch = batch_structures(frames, cfg.symbols, rc=5.0, mn=40,
+                             model_type=1)
+    assert batch.avirial_ref is not None
+    assert float(batch.has_avirial.sum()) == 3.0
+    theta = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.3, num_trainable(model)),
+        jnp.float64,
+    )
+    params = params_from_vector(model, theta)
+    out = batched_forward(model, params, batch)
+    # per-atom dipoles sum to the global dipole exactly
+    np.testing.assert_allclose(
+        np.asarray(out.avirial[..., :3].sum(axis=1)),
+        np.asarray(out.virial[:, :3]), rtol=1e-5, atol=1e-6,
+    )
+    e, f_, v, q, b = per_type_rmses(model, cfg, out, batch)
+    assert np.isfinite(np.asarray(v)).all() and float(v[-1]) > 0.0
