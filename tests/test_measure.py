@@ -332,3 +332,49 @@ run 30
     assert f0.forces is not None and np.isfinite(f0.forces).all()
     # bead COMs sit near the fcc cell centers
     assert np.isfinite(f0.positions).all()
+
+
+def test_angular_rdf(tmp_path):
+    """g(r, theta) for an isotropic liquid-like config is approximately
+    theta-independent and integrates like the plain RDF
+    (ref: angular_rdf.cu)."""
+    import numpy as np
+
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+
+    a0 = 5.26
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.array(
+        [[i, j, k] for i in range(3) for j in range(3) for k in range(3)]
+    )
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar"] * n, positions=pos,
+                 lattice=np.diag([3 * a0] * 3), pbc=(True, True, True)),
+    )
+    (tmp_path / "lj.txt").write_text("lj 1 Ar\n1.032e-2 3.405 9.0\n")
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity 60
+time_step 5
+ensemble nvt_ber 60 60 100
+compute_angular_rdf 6.0 40 24 20
+run 100
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    rows = np.genfromtxt(tmp_path / "angular_rdf.out", skip_header=1)
+    assert rows.shape == (40 * 24, 3)
+    g = rows[:, 2].reshape(40, 24)
+    assert np.isfinite(g).all()
+    # first-shell peak near r = 3.7 A in every theta sector
+    r = rows[::24, 0]
+    peak_bin = np.argmax(g.mean(axis=1))
+    assert 3.0 < r[peak_bin] < 4.5
+    # isotropy: theta-average variance of the peak bin is moderate
+    gp = g[peak_bin]
+    assert gp.std() / max(gp.mean(), 1e-9) < 1.0
