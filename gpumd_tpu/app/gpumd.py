@@ -1173,6 +1173,93 @@ class Session:
 
         self.properties.append(PropertyRequest(interval, process))
 
+    def kw_engine(self, args):
+        """engine dense|list [n_devices]: route `run` through the fused
+        dense cell-grid NEP engine (engine/dense_md.py; bench hot path) or
+        the z-slab sharded variant when n_devices > 1 (engine/sharded.py).
+        Extension keyword — the reference selects its multi-GPU path by
+        device count (force.cu NEP_MULTIGPU dispatch); here it is explicit.
+        """
+        self.engine_mode = args[0]
+        self.engine_devices = int(args[1]) if len(args) > 1 else 1
+        if self.engine_mode not in ("dense", "list"):
+            raise ValueError("engine must be 'dense' or 'list'")
+        self.log(f"engine: {self.engine_mode}")
+
+    def _run_dense(self, n_steps, ens):
+        """MD block on the dense engine: supports a single NEP potential
+        and state-protocol ensembles; properties observe input-order
+        snapshots at chunk boundaries."""
+        from gpumd_tpu.engine.dense_md import DenseNEPMD
+        from gpumd_tpu.potentials.nep.model import NEP as _NEP
+
+        neps = [p for p in self.potentials if isinstance(p, _NEP)]
+        if len(self.potentials) != 1 or not neps:
+            raise ValueError("engine dense: exactly one NEP potential")
+        if any(getattr(m, "needs_heat", False) for m in self.measure_props):
+            raise ValueError(
+                "engine dense: per-atom heat-current observables need "
+                "`engine list` (total-virial-only engine)"
+            )
+        nep = neps[0]
+        n = self._n
+        state = self.state
+        md = DenseNEPMD(
+            nep, state.box, n, position=np.asarray(state.position)[:n],
+        )
+        intervals = [p.interval for p in self.properties] + [
+            m.interval for m in self.measure_props
+        ]
+        chunk = math.gcd(*intervals) if intervals else n_steps
+        chunk = max(1, min(chunk, n_steps))
+        carry = md.init_carry(state)
+        carry = carry._replace(state=jax.jit(md.compute)(carry.state))
+        aux = ens.init(carry.state)
+        step = md.make_step(ens, self.dt)
+
+        @jax.jit
+        def block(carry, aux):
+            (carry, aux), _ = jax.lax.scan(
+                step, (carry, aux), length=chunk
+            )
+            return carry, aux
+
+        t0 = time.time()
+        done = 0
+        while done < n_steps:
+            carry, aux = block(carry, aux)
+            done += chunk
+            self.global_step += chunk
+            if bool(carry.overflow):
+                raise RuntimeError(
+                    "dense engine: cell capacity overflow — rerun with "
+                    "engine list or a larger skin"
+                )
+            snap = md.to_input_order(carry, n)
+            pe = float(jnp.sum(snap.potential_energy * snap.mask))
+            if not np.isfinite(pe):
+                raise RuntimeError(
+                    f"non-finite potential energy at step {self.global_step}"
+                )
+            self.state = snap
+            for prop in self.properties:
+                if done % prop.interval == 0:
+                    prop.process(self, snap, self.global_step)
+            for m in self.measure_props:
+                if done % m.interval == 0 and hasattr(m, "sample_state"):
+                    m.sample_state(self, snap, self.global_step)
+        wall = time.time() - t0
+        rate = n * n_steps / max(wall, 1e-9)
+        self.log(f"Speed of this run = {rate:.5g} atom*step/second (dense)")
+        for m in self.measure_props:
+            m.postprocess(self)
+        self.measure_props = []
+        for prop in self.properties:
+            if prop.finalize:
+                prop.finalize(self)
+        self.properties = []
+        self.drivers = []
+
     def kw_run(self, args):
         self._require_state()
         n_steps = int(args[0])
@@ -1182,6 +1269,15 @@ class Session:
             self.ensemble = NVE()
         if isinstance(self.ensemble, tuple):  # PIMD family
             return self._run_pimd(n_steps)
+        if getattr(self, "engine_mode", "list") == "dense":
+            ens = self.ensemble
+            import dataclasses as _dc
+
+            if hasattr(ens, "n_steps"):
+                ens = _dc.replace(ens, n_steps=n_steps)
+            if self.mobile_mask is not None and hasattr(ens, "mobile"):
+                ens = _dc.replace(ens, mobile=self.mobile_mask)
+            return self._run_dense(n_steps, ens)
         ens = self.ensemble
         import dataclasses
 
@@ -2885,6 +2981,7 @@ class Session:
         "dump_velocity": kw_dump_velocity,
         "dump_netcdf": kw_dump_netcdf,
         "plumed": kw_plumed,
+        "engine": kw_engine,
         "dump_force": kw_dump_force,
         "compute_cohesive": kw_compute_cohesive,
         "compute_elastic": kw_compute_elastic,
