@@ -1204,14 +1204,17 @@ class Session:
         nep = neps[0]
         n = self._n
         state = self.state
-        md = DenseNEPMD(
-            nep, state.box, n, position=np.asarray(state.position)[:n],
-        )
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props
         ]
         chunk = math.gcd(*intervals) if intervals else n_steps
         chunk = max(1, min(chunk, n_steps))
+        ndev = getattr(self, "engine_devices", 1)
+        if ndev > 1:
+            return self._run_dense_sharded(n_steps, ens, nep, chunk)
+        md = DenseNEPMD(
+            nep, state.box, n, position=np.asarray(state.position)[:n],
+        )
         carry = md.init_carry(state)
         carry = carry._replace(state=jax.jit(md.compute)(carry.state))
         aux = ens.init(carry.state)
@@ -1251,6 +1254,9 @@ class Session:
         wall = time.time() - t0
         rate = n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second (dense)")
+        self._finish_dense_run()
+
+    def _finish_dense_run(self):
         for m in self.measure_props:
             m.postprocess(self)
         self.measure_props = []
@@ -1259,6 +1265,84 @@ class Session:
                 prop.finalize(self)
         self.properties = []
         self.drivers = []
+
+    def _run_dense_sharded(self, n_steps, ens, nep, chunk):
+        """Multi-chip dense run: z-slab ShardedDenseMD blocks with global
+        rebins between chunks (ref semantics: nep_multigpu.cu slab
+        partition + halo exchange, rebuilt TPU-style with shard_map +
+        ppermute in engine/sharded.py)."""
+        from jax.sharding import Mesh
+
+        from gpumd_tpu.engine.sharded import ShardedDenseMD
+
+        ndev = self.engine_devices
+        if len(jax.devices()) < ndev:
+            raise RuntimeError(
+                f"engine dense {ndev}: only {len(jax.devices())} devices "
+                "visible"
+            )
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("slab",))
+        n = self._n
+        state = self.state
+        smd = ShardedDenseMD(
+            nep, state.box, n, mesh,
+            position=np.asarray(state.position)[:n],
+        )
+        block, _ = smd.make_block(ens, self.dt, steps=chunk)
+        block = jax.jit(block)
+        sstate, oid, overflow = smd.bin_state(state, with_id=True)
+        if bool(overflow):
+            raise RuntimeError("dense engine: cell capacity overflow")
+        aux = None
+        t0 = time.time()
+        done = 0
+        while done < n_steps:
+            sstate, aux = block(sstate, aux)
+            done += chunk
+            self.global_step += chunk
+            # global rebin between blocks (amortized; atoms drift < skin/2
+            # within a block for typical chunk sizes)
+            oid_np = np.asarray(oid)
+            valid = oid_np < n
+            inv = np.zeros(n, np.int64)
+            inv[oid_np[valid]] = np.nonzero(valid)[0]
+            take = lambda a: (
+                jnp.asarray(np.asarray(a)[inv]) if a is not None else None
+            )
+            snap = sstate._replace(
+                position=take(sstate.position),
+                velocity=take(sstate.velocity),
+                force=take(sstate.force),
+                mass=take(sstate.mass),
+                type=take(sstate.type),
+                potential_energy=take(sstate.potential_energy),
+                virial=take(sstate.virial),
+                heat_current=take(sstate.heat_current),
+                mask=take(sstate.mask),
+            )
+            pe = float(jnp.sum(snap.potential_energy * snap.mask))
+            if not np.isfinite(pe):
+                raise RuntimeError(
+                    f"non-finite potential energy at step {self.global_step}"
+                )
+            self.state = snap
+            for prop in self.properties:
+                if done % prop.interval == 0:
+                    prop.process(self, snap, self.global_step)
+            for m in self.measure_props:
+                if done % m.interval == 0 and hasattr(m, "sample_state"):
+                    m.sample_state(self, snap, self.global_step)
+            if done < n_steps:
+                sstate, oid, overflow = smd.bin_state(snap, with_id=True)
+                if bool(overflow):
+                    raise RuntimeError("dense engine: cell overflow")
+        wall = time.time() - t0
+        rate = n * n_steps / max(wall, 1e-9)
+        self.log(
+            f"Speed of this run = {rate:.5g} atom*step/second "
+            f"(dense, {ndev} devices)"
+        )
+        self._finish_dense_run()
 
     def kw_run(self, args):
         self._require_state()

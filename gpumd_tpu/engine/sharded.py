@@ -232,8 +232,10 @@ class ShardedDenseMD:
 
     # ---- global (replicated) rebin -----------------------------------
 
-    def bin_state(self, state: MDState):
-        """Input-order state -> slot-ordered arrays (z-major)."""
+    def bin_state(self, state: MDState, with_id: bool = False):
+        """Input-order state -> slot-ordered arrays (z-major).  With
+        `with_id`, also returns the input-order index of each slot (n for
+        empty slots) so callers can restore atom order for dumps."""
         pos_w = state.box.wrap(state.position)
         perm, slot_mask, overflow = bin_dense(
             pos_w, state.box, state.mask, self.plan
@@ -251,6 +253,11 @@ class ShardedDenseMD:
             mask=slot_mask,
             unwrapped_position=None,
         )
+        if with_id:
+            n = state.position.shape[0]
+            oid = apply_perm(jnp.arange(n, dtype=jnp.int32), perm, fill=0)
+            oid = jnp.where(slot_mask > 0, oid, n)
+            return sstate, oid, overflow
         return sstate, overflow
 
     # ---- sharded step block ------------------------------------------

@@ -112,6 +112,87 @@ def read_xyz(path: str) -> XYZFrame:
     return read_xyz_frames(path, max_frames=1)[0]
 
 
+# native row parser kicks in above this atom count (the Python loop costs
+# ~5 us/token; the C strtod loop ~20 ns/token)
+_NATIVE_MIN_ROWS = 4096
+
+
+def _parse_body(n: int, props, body: List[str]):
+    """Atom-line columns -> (symbols, arrays); native C++ fast path for
+    large frames (gpumd_tpu/native/xyz_native.cpp; ref: the reference's
+    host reader is likewise native C++, read_xyz.cu:163-330)."""
+    n_cols = sum(count for _, _, count in props)
+    species_col = -1
+    col = 0
+    for name, typ, count in props:
+        if name == "species":
+            species_col = col
+        col += count
+
+    symbols: List[str] = []
+    arrays: Dict[str, np.ndarray] = {}
+
+    native = None
+    if n >= _NATIVE_MIN_ROWS:
+        from gpumd_tpu.native import xyz_native
+
+        native = xyz_native()
+    if native is not None:
+        import ctypes
+
+        buf = "".join(body).encode()
+        n_num = n_cols - (1 if species_col >= 0 else 0)
+        species_buf = ctypes.create_string_buffer(max(n * 16, 16))
+        numeric = np.empty((n, n_num), np.float64)
+        got = native.xyz_parse_mem(
+            buf, len(buf), n, n_cols, species_col, species_buf,
+            numeric.ctypes.data_as(ctypes.c_void_p),
+        )
+        if got == n:
+            if species_col >= 0:
+                symbols = (
+                    np.frombuffer(species_buf.raw[: n * 16], dtype="S16")
+                    .astype("U15")
+                    .tolist()
+                )
+            ncol = 0
+            for name, typ, count in props:
+                if name == "species":
+                    continue
+                arr = numeric[:, ncol : ncol + count]
+                ncol += count
+                if typ == "I":
+                    arr = arr.astype(np.int64)
+                arrays[name] = (
+                    arr if count > 1
+                    else arr[:, 0] if name not in ("group",) else arr
+                )
+            return symbols, arrays
+        # fall through to the Python path on parse failure
+
+    cols = [ln.split() for ln in body]
+    col = 0
+    for name, typ, count in props:
+        if name == "species":
+            symbols = [c[col] for c in cols]
+        else:
+            if typ == "I":
+                arr = np.array(
+                    [[int(c[col + k]) for k in range(count)] for c in cols],
+                    dtype=np.int64,
+                )
+            else:
+                arr = np.array(
+                    [[float(c[col + k]) for k in range(count)] for c in cols]
+                )
+            arrays[name] = (
+                arr if count > 1
+                else arr[:, 0] if name not in ("group",) else arr
+            )
+        col += count
+    return symbols, arrays
+
+
 def _build_frame(n: int, info: Dict[str, str], body: List[str], path: str) -> XYZFrame:
     prop_spec = info.get("properties", "species:S:1:pos:R:3")
     props = _parse_properties(prop_spec)
@@ -128,25 +209,7 @@ def _build_frame(n: int, info: Dict[str, str], body: List[str], path: str) -> XY
         toks = info["pbc"].split()
         pbc = tuple(t.upper() in ("T", "TRUE", "1") for t in toks)
 
-    cols = [ln.split() for ln in body]
-    symbols: List[str] = []
-    arrays: Dict[str, np.ndarray] = {}
-
-    col = 0
-    for name, typ, count in props:
-        if name == "species":
-            symbols = [c[col] for c in cols]
-        else:
-            if typ == "I":
-                arr = np.array(
-                    [[int(c[col + k]) for k in range(count)] for c in cols], dtype=np.int64
-                )
-            else:
-                arr = np.array(
-                    [[float(c[col + k]) for k in range(count)] for c in cols]
-                )
-            arrays[name] = arr if count > 1 else arr[:, 0] if name not in ("group",) else arr
-        col += count
+    symbols, arrays = _parse_body(n, props, body)
 
     positions = arrays.get("pos")
     if positions is None:
@@ -198,6 +261,34 @@ def write_xyz(
     parts.append(f'pbc="{pb}"')
     for k, v in (extra_info or {}).items():
         parts.append(f"{k}={v}")
+
+    n = frame.n_atoms
+    if n >= _NATIVE_MIN_ROWS:
+        from gpumd_tpu.native import xyz_native
+
+        native = xyz_native()
+        if native is not None:
+            cols = [np.asarray(frame.positions, np.float64)]
+            if with_masses and frame.masses is not None:
+                cols.append(np.asarray(frame.masses, np.float64)[:, None])
+            if with_velocities and frame.velocities is not None:
+                cols.append(np.asarray(frame.velocities, np.float64))
+            if with_forces and frame.forces is not None:
+                cols.append(np.asarray(frame.forces, np.float64))
+            if with_groups and frame.groups is not None:
+                g = np.asarray(frame.groups, np.float64)
+                cols.append(g if g.ndim > 1 else g[:, None])
+            numeric = np.ascontiguousarray(np.hstack(cols))
+            sp = np.array(frame.symbols, dtype="S16")
+            header = (f"{n}\n" + " ".join(parts) + "\n").encode()
+            rc = native.xyz_write_rows(
+                path.encode(), 1 if append else 0, header, n,
+                sp.tobytes(), numeric.shape[1],
+                numeric.ctypes.data_as(__import__("ctypes").c_void_p),
+            )
+            if rc == 0:
+                return
+            # fall back to the Python writer on native failure
 
     mode = "a" if append else "w"
     with open(path, mode) as f:

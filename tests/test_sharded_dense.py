@@ -195,3 +195,56 @@ def test_snes_population_sharded(mesh8, tmp_path):
     assert tr.cfg.population_size == 16
     tr.train(generations=4, log=lambda *a: None)
     assert os.path.exists(os.path.join(str(tmp_path), "loss.out"))
+
+
+def test_engine_dense_sharded_keyword(tmp_path, mesh8):
+    """`engine dense 8` in run.in runs the z-slab sharded engine on the
+    8-device mesh and conserves energy over an NVE block."""
+    import os
+
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+    from gpumd_tpu.potentials.nep.params import num_trainable, write_nep_txt
+
+    cfg = NepTrainConfig(
+        num_types=1, symbols=("Ar",), rc_radial=4.0, rc_angular=2.5,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=4, l_max_4body=0, neurons=4,
+    )
+    model = model_from_config(cfg)
+    theta = np.random.default_rng(0).normal(0, 0.2, num_trainable(model))
+    write_nep_txt(str(tmp_path / "nep.txt"), model, theta,
+                  np.ones(model.dim))
+    # 16 x 16 x 42 A box: z splits into >= 8 slabs of >= rc + skin
+    npx, npz = 5, 13
+    g = np.stack(
+        np.meshgrid(np.arange(npx), np.arange(npx), np.arange(npz),
+                    indexing="ij"), -1,
+    )
+    pos = g.reshape(-1, 3) * np.array([3.2, 3.2, 3.2]) + \
+        np.random.default_rng(1).uniform(-0.2, 0.2, (npx * npx * npz, 3))
+    n = len(pos)
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar"] * n, positions=pos,
+                 lattice=np.diag([16.0, 16.0, 41.6]),
+                 pbc=(True, True, True)),
+    )
+    (tmp_path / "run.in").write_text(
+        """potential nep.txt
+velocity 50
+time_step 2
+ensemble nve
+engine dense 8
+dump_thermo 2
+run 6
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    th = np.loadtxt(tmp_path / "thermo.out")
+    assert th.shape[0] == 3
+    e_tot = th[:, 1] + th[:, 2]
+    assert np.isfinite(e_tot).all()
+    assert abs(e_tot[-1] - e_tot[0]) < 5e-3 * n  # random-NEP NVE drift
