@@ -1458,7 +1458,22 @@ class Session:
                 f"neighbor overflow: an atom has {_cnt} neighbors but the "
                 f"list capacity is {_nbr0.idx.shape[1]}; increase mn"
             )
+        # neighbor.out occupancy diagnostics (ref: nep.cu:1014-1034 logs
+        # every 1000 calls; the static-shape list here is built per run
+        # block, so one row per `run` records the same information)
+        _counts = np.asarray(_nbr0.count)[np.asarray(self.state.mask) > 0]
+        fnb = self._file("neighbor.out")
+        fnb.write(
+            f"step {self.global_step}: min {int(_counts.min())} "
+            f"mean {float(_counts.mean()):.1f} max {int(_counts.max())} "
+            f"capacity {_nbr0.idx.shape[1]}\n"
+        )
+        fnb.flush()
         del _nbr0
+        _prof_dir = os.environ.get("GPUMD_PROFILE", "")
+        if _prof_dir:
+            # jax.profiler trace around the run (view with XProf/TensorBoard)
+            jax.profiler.start_trace(_prof_dir)
         state = jax.jit(self.ff.compute)(self.state)
         cache = (
             jax.jit(self.ff.refresh_cache)(state) if self.ff.skin > 0 else None
@@ -1489,6 +1504,11 @@ class Session:
                     f"{self.global_step}: the system blew up (check "
                     f"time_step, initial overlaps, or neighbor capacity)"
                 )
+            # 10%-progress prints (ref: run.cu:313-317)
+            decile = max(n_steps // 10, 1)
+            if done % decile < chunk and n_steps >= 10:
+                self.log(f"    {int(100 * done / n_steps)}% of the run "
+                         f"completed ({done}/{n_steps} steps)")
             if needs_heat or needs_stress or onsager_props:
                 j5 = np.asarray(obs[0]) if needs_heat else None
                 s6 = np.asarray(obs[1]) if needs_stress else None
@@ -1537,6 +1557,9 @@ class Session:
         wall = time.time() - t0
         rate = self._n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second")
+        if _prof_dir:
+            jax.profiler.stop_trace()
+            self.log(f"profiler trace written to {_prof_dir}")
         if is_ti and getattr(ens, "yaml_name", None):
             summary = ens.free_energy(state, aux)
             fy = self._file(ens.yaml_name)
