@@ -289,6 +289,9 @@ class Session:
             seed = int(args[2])
         self.state = initialize_velocity(self.state, t, seed=seed)
         self.velocity_initialized = True
+        # rpmd/trpmd read the physical temperature from the last velocity
+        # keyword (ref: run.cu sets temperature from integrate parsing)
+        self._last_velocity_t = t
         self.log(f"velocity: {t} K (seed {seed})")
 
     def kw_time_step(self, args):
@@ -381,10 +384,15 @@ class Session:
             # ensemble pimd <nbeads> T1 T2 Tc | rpmd/trpmd <nbeads>
             nbeads = int(p[0])
             if name == "pimd":
-                self.ensemble = ("pimd", nbeads, p[1], p[3] if len(p) > 3 else 100.0)
+                # ensemble pimd <nbeads> T1 [T2] Tc — T1 -> T2 linear ramp
+                # (ref: run.cu temperature interpolation)
+                t1 = p[1]
+                t2 = p[2] if len(p) > 3 else t1
+                tc = p[3] if len(p) > 3 else (p[2] if len(p) > 2 else 100.0)
+                self.ensemble = ("pimd", nbeads, t1, tc, t2)
             else:
                 t = getattr(self, "_last_velocity_t", 300.0)
-                self.ensemble = (name, nbeads, t, 100.0)
+                self.ensemble = (name, nbeads, t, 100.0, t)
         elif name in ("heat_lan", "heat_nhc", "heat_bdp"):
             from gpumd_tpu.integrate.ensembles.heat import (
                 HeatBDP,
@@ -2011,7 +2019,9 @@ class Session:
         beads ride a vmap axis here."""
         from gpumd_tpu.integrate.pimd import PIMDRunner
 
-        mode, nbeads, t, tc = self.ensemble
+        ens = self.ensemble
+        mode, nbeads, t, tc = ens[0], ens[1], ens[2], ens[3]
+        t_end = ens[4] if len(ens) > 4 else t
         runner = PIMDRunner(
             ff=self.ff, base=self.state, n_beads=nbeads,
             temperature=t, coupling=tc, mode=mode,
@@ -2020,7 +2030,7 @@ class Session:
         t0 = time.time()
         beads_cfg = getattr(self, "_dump_beads", None)
         if beads_cfg is None:
-            st, obs = runner.run(st, self.dt, n_steps)
+            st, obs = runner.run(st, self.dt, n_steps, t_end=t_end)
         else:
             # chunk the run at the bead-dump interval
             # (ref: dump_beads.cu per-bead beads_dump_k.xyz frames)
@@ -2610,12 +2620,20 @@ class Session:
         from gpumd_tpu.integrate.thermo import compute_thermo
 
         files = {}
+        # cache one jitted evaluator per potential (a fresh jax.jit per
+        # call would retrace every dump interval)
+        _evals = {}
+
+        def _eval(session, k, pot, state):
+            if k not in _evals:
+                _evals[k] = jax.jit(
+                    lambda st, p=pot: session.ff._evaluate_with(st, p)
+                )
+            return _evals[k](state)
 
         def process(session, state, step):
             for k, pot in enumerate(session.potentials):
-                out = jax.jit(
-                    lambda st, p=pot: session.ff._evaluate_with(st, p)
-                )(state)
+                out = _eval(session, k, pot, state)
                 th = compute_thermo(out)
                 p = np.asarray(th.pressure) * PRESSURE_UNIT_CONVERSION
                 h = np.asarray(state.box.h)
@@ -2636,9 +2654,7 @@ class Session:
 
         def process_exyz(session, state, step):
             for k, pot in enumerate(session.potentials):
-                out = jax.jit(
-                    lambda st, p=pot: session.ff._evaluate_with(st, p)
-                )(state)
+                out = _eval(session, k, pot, state)
                 n = session._n
                 frame = XYZFrame(
                     symbols=session.symbols,
@@ -2673,12 +2689,16 @@ class Session:
         if len(self.potentials) < 2:
             raise ValueError("active learning needs >= 2 potentials")
 
+        _evals = {}
+
         def process(session, state, step):
             forces = []
-            for pot in session.potentials:
-                out = jax.jit(
-                    lambda st, p=pot: session.ff._evaluate_with(st, p)
-                )(state)
+            for k, pot in enumerate(session.potentials):
+                if k not in _evals:
+                    _evals[k] = jax.jit(
+                        lambda st, p=pot: session.ff._evaluate_with(st, p)
+                    )
+                out = _evals[k](state)
                 forces.append(np.asarray(out.force)[: session._n])
             fstack = np.stack(forces)  # (M, N, 3)
             var = fstack.var(axis=0).sum(axis=-1)  # population variance

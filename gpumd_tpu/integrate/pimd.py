@@ -108,27 +108,29 @@ class PIMDRunner:
         f, pe = jax.vmap(one_bead)(st.position)
         return st._replace(force=f, potential=pe)
 
-    def _omega(self):
-        return self.n_beads * K_B * self.temperature / HBAR
+    def _omega(self, temperature=None):
+        t = self.temperature if temperature is None else temperature
+        return self.n_beads * K_B * t / HBAR
 
-    def _langevin(self, st: PIMDState, dt) -> PIMDState:
+    def _langevin(self, st: PIMDState, dt, temperature=None) -> PIMDState:
         if self.mode == "rpmd":
             return st
+        t = self.temperature if temperature is None else temperature
         p = self.n_beads
         c = jnp.asarray(transformation_matrix(p), st.velocity.dtype)
-        omega_n = self._omega()
-        k = np.arange(p)
+        omega_n = self._omega(t)
+        k = jnp.arange(p)
         # internal modes: c1 = exp(-dt_half omega_k), omega_k = 2 w_n sin(.)
         # (the reference applies exp(-dt w_n sin) per half step, 325)
-        c1 = np.exp(-dt * 2.0 * omega_n * np.sin(k * np.pi / p))
+        c1 = jnp.exp(-dt * 2.0 * omega_n * jnp.sin(k * jnp.pi / p))
         if self.mode == "pimd":
-            c1[0] = np.exp(-0.5 / self.coupling)
+            c1 = c1.at[0].set(np.exp(-0.5 / self.coupling))
         else:  # trpmd: centroid untouched
-            c1[0] = 1.0
-        c1 = jnp.asarray(c1, st.velocity.dtype)
+            c1 = c1.at[0].set(1.0)
+        c1 = c1.astype(st.velocity.dtype)
         c2 = jnp.sqrt(
             (1.0 - c1 * c1)[:, None]
-            * (p * K_B * self.temperature / self.base.mass)[None, :]
+            * (p * K_B * t / self.base.mass)[None, :]
         ).astype(st.velocity.dtype)
 
         key, sub = jax.random.split(st.key)
@@ -139,23 +141,26 @@ class PIMDRunner:
         v = v * self.base.mask[None, :, None]
         return st._replace(velocity=v, key=key)
 
-    def _free_rp(self, st: PIMDState, dt) -> PIMDState:
+    def _free_rp(self, st: PIMDState, dt, temperature=None) -> PIMDState:
         """Exact (Cayley-stabilized) free ring-polymer drift in NM space."""
         p = self.n_beads
         c = jnp.asarray(transformation_matrix(p), st.velocity.dtype)
-        omega_n = self._omega()
-        k = np.arange(p)
-        omega_k = 2.0 * omega_n * np.sin(k * np.pi / p)
+        omega_n = self._omega(temperature)
+        k = jnp.arange(p)
+        omega_k = 2.0 * omega_n * jnp.sin(k * jnp.pi / p)
         half = 0.5 * dt
         cay = 1.0 / (1.0 + (omega_k * half) ** 2)
         cosf = cay * (1.0 - (omega_k * half) ** 2)
         sinf = cay * omega_k * dt
         # k = 0: plain drift
-        sin_over = np.where(omega_k > 0, sinf / np.where(omega_k > 0, omega_k, 1.0), dt)
+        pos_k = omega_k > 0
+        sin_over = jnp.where(
+            pos_k, sinf / jnp.where(pos_k, omega_k, 1.0), dt
+        )
         sin_times = sinf * omega_k
-        cosf = jnp.asarray(cosf, st.velocity.dtype)
-        sin_over = jnp.asarray(sin_over, st.velocity.dtype)
-        sin_times = jnp.asarray(sin_times, st.velocity.dtype)
+        cosf = cosf.astype(st.velocity.dtype)
+        sin_over = sin_over.astype(st.velocity.dtype)
+        sin_times = sin_times.astype(st.velocity.dtype)
 
         vn = jnp.einsum("jk,jnd->knd", c, st.velocity)
         xn = jnp.einsum("jk,jnd->knd", c, st.position)
@@ -172,14 +177,29 @@ class PIMDRunner:
 
     # ---- run -----------------------------------------------------------------
 
-    def run(self, st: PIMDState, dt, n_steps: int):
-        def step(st, _):
-            st = self._langevin(st, 0.5 * dt) if self.mode != "rpmd" else st
+    def run(self, st: PIMDState, dt, n_steps: int, t_end=None):
+        """Advance n_steps; with `t_end`, the target temperature (thermostat
+        AND ring-polymer frequencies) ramps linearly temperature -> t_end
+        over the block (ref: run.cu per-step temperature1 -> temperature2
+        interpolation for ensemble pimd)."""
+        t_start = self.temperature
+        t_final = t_start if t_end is None else float(t_end)
+
+        def step(st, i):
+            frac = i.astype(st.velocity.dtype) / max(n_steps, 1)
+            t_i = t_start + (t_final - t_start) * frac
+            st = (
+                self._langevin(st, 0.5 * dt, t_i)
+                if self.mode != "rpmd" else st
+            )
             st = self._kick(st, dt)
-            st = self._free_rp(st, dt)
+            st = self._free_rp(st, dt, t_i)
             st = self._forces(st)
             st = self._kick(st, dt)
-            st = self._langevin(st, 0.5 * dt) if self.mode != "rpmd" else st
+            st = (
+                self._langevin(st, 0.5 * dt, t_i)
+                if self.mode != "rpmd" else st
+            )
             # observables: centroid temperature and mean potential
             ke_cent = 0.5 * jnp.sum(
                 self.base.mass
@@ -199,6 +219,6 @@ class PIMDRunner:
 
         @jax.jit
         def _run(st):
-            return jax.lax.scan(step, st, length=n_steps)
+            return jax.lax.scan(step, st, jnp.arange(n_steps))
 
         return _run(st)
