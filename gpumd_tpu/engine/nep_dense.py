@@ -623,16 +623,15 @@ def _k2b_kernel(plan: DenseGridPlan, spec: DenseNepSpec, by: int, *refs):
 
 
 def _pick_by(ny: int, cap: int, chunk: int) -> int:
-    """y-cells per kernel step: amortize grid-step overhead while keeping
-    the per-step VMEM residency (by x cap x chunk tiles live in the K2
-    vjp) inside the ~16 MB scope."""
-    budget = max(1, (1 << 20) // max(cap * chunk, 1))  # ~4 MB of f32 tiles
-    by = 1
-    for cand_by in (8, 4, 2):
-        if ny % cand_by == 0 and cand_by <= budget:
-            by = cand_by
-            break
-    return by
+    """y-cells per kernel grid step.
+
+    MEASURED on v5e at N=1e6 (PbTe, grid 36^3, cap 32): BY=4 runs 9%
+    SLOWER than BY=1 (2.84 vs 2.60 s/step) — the s/a accumulation blocks
+    of all BY cells stay VMEM-resident across the innermost chunk loop,
+    and that residency costs more than the per-grid-step overhead saves.
+    Keep BY=1; the blocking machinery stays for future kernels whose
+    outputs are not chunk-accumulated."""
+    return 1
 
 
 def k1b_call(centers, cand, plan: DenseGridPlan, spec: DenseNepSpec,
