@@ -123,11 +123,74 @@ def run_once(target_n, n_steps, engine="dense"):
     return n, n_steps, wall
 
 
+def run_tersoff(target_n, n_steps):
+    """BASELINE config 2: Tersoff silicon MD throughput (list path)."""
+    from gpumd_tpu.forcefield import ForceField
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.run import make_md_step
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.tersoff import Tersoff1989
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    a0 = 5.431
+    nc = max(2, round((target_n / 8) ** (1 / 3)))
+    base = np.array(
+        [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+         [.25, .25, .25], [.75, .75, .25], [.75, .25, .75], [.25, .75, .75]]
+    )
+    cells = np.stack(
+        np.meshgrid(*[np.arange(nc)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
+    n = len(pos)
+    pot = Tersoff1989.from_file(
+        "/root/reference/potentials/tersoff/Tersoff_1989_Si.txt"
+    )
+    box = Box.orthogonal([nc * a0] * 3)
+    state = make_state(pos, np.full(n, 28.085), np.zeros(n, int), box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    dt = 1.0 / TIME_UNIT_CONVERSION
+    ff = ForceField.create([pot], box, n, mn=24, skin=1.0,
+                           per_atom_virial=False)
+    step = make_md_step(ff, NVE(), dt, observer=lambda s: 0)
+
+    @jax.jit
+    def run_block(state):
+        cache = ff.refresh_cache(state)
+        (state, _, cache), _ = jax.lax.scan(
+            step, (state, (), cache), length=n_steps
+        )
+        return state
+
+    s1 = run_block(state)
+    jax.block_until_ready(s1.position)
+    t0 = time.time()
+    s2 = run_block(state)
+    ok = bool(jnp.isfinite(s2.position).all())
+    wall = time.time() - t0
+    if not ok:
+        raise RuntimeError("tersoff benchmark went non-finite")
+    return n, n_steps, wall
+
+
 def main():
     # BASELINE.json config 3: NEP PbTe at 1M atoms
     target_n = int(os.environ.get("GPUMD_BENCH_N", 1_000_000))
     n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
     engine = os.environ.get("GPUMD_BENCH_ENGINE", "dense")
+    mode = os.environ.get("GPUMD_BENCH_MODE", "nep")
+    if mode == "tersoff":
+        # BASELINE config 2 companion metric
+        n, n_steps, wall = run_tersoff(target_n, n_steps)
+        value = n * n_steps / wall
+        print(json.dumps({
+            "metric": "tersoff_si_md_throughput", "value": value,
+            "unit": "atom_step_per_s_per_chip", "vs_baseline": value / 1e8,
+        }))
+        print(f"# N={n} steps={n_steps} wall={wall:.2f}s", file=sys.stderr)
+        return
     sizes = [target_n, target_n // 4, target_n // 16]
     result = None
     for size in sizes:
