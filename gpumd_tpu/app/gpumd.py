@@ -75,6 +75,13 @@ class Session:
     def __init__(self, workdir: str = ".", quiet: bool = False):
         self.workdir = workdir
         self.quiet = quiet
+        if not quiet:
+            # device banner (ref: the reference's GPU-info print at startup)
+            devs = jax.devices()
+            self.log(
+                f"gpumd_tpu on {jax.default_backend()}: "
+                f"{len(devs)} device(s) [{devs[0].device_kind}]"
+            )
         frame = read_xyz(os.path.join(workdir, "model.xyz"))
         self.frame = frame
         self.box = Box.from_lattice(frame.lattice, pbc=frame.pbc)

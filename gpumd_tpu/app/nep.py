@@ -76,15 +76,15 @@ def _write_descriptors(cfg, nep, batches, workdir):
                     )
 
 
-def run_prediction(cfg, model, batches, workdir, log=print):
+def run_prediction(cfg, model, batches, workdir, log=print, tag="train"):
     nep = NEP.from_file(os.path.join(workdir, "nep.txt"))
     model = nep.model
-    if cfg.output_descriptor:
+    if cfg.output_descriptor and tag == "train":
         _write_descriptors(cfg, nep, batches, workdir)
         log("descriptor.out written")
-    e_path = os.path.join(workdir, "energy_train.out")
-    f_path = os.path.join(workdir, "force_train.out")
-    v_path = os.path.join(workdir, "virial_train.out")
+    e_path = os.path.join(workdir, f"energy_{tag}.out")
+    f_path = os.path.join(workdir, f"force_{tag}.out")
+    v_path = os.path.join(workdir, f"virial_{tag}.out")
     with open(e_path, "w") as fe, open(f_path, "w") as ff, open(v_path, "w") as fv:
         for batch in batches:
             out = batched_forward(model, nep.params, batch)
@@ -107,7 +107,7 @@ def run_prediction(cfg, model, batches, workdir, log=print):
                 if hv[c]:
                     row = list(vpred[c]) + list(vref[c])
                     fv.write("".join(f"{x:15.7e}" for x in row) + "\n")
-    log("prediction written: energy/force/virial_train.out")
+    log(f"prediction written: energy/force/virial_{tag}.out")
 
 
 def main(argv=None):
@@ -123,6 +123,15 @@ def main(argv=None):
     )
     if cfg.prediction:
         run_prediction(cfg, model, batches, workdir)
+        test_path = os.path.join(workdir, "test.xyz")
+        if os.path.exists(test_path):
+            test_frames = read_xyz_frames(test_path)
+            tb = build_batches(
+                test_frames, cfg.symbols, rc=model.rc_radial_max,
+                batch_size=cfg.batch_size, model_type=cfg.model_type,
+                charge_mode=cfg.charge_mode,
+            )
+            run_prediction(cfg, model, tb, workdir, tag="test")
         return
     test_batches = []
     test_path = os.path.join(workdir, "test.xyz")
