@@ -67,9 +67,8 @@ CASES = [
     ("compute_adf 4 30 2.0 4.5", "adf.out", lambda p, n: np.loadtxt(p)),
     ("compute_angular_rdf 6.0 30 24 4", "angular_rdf.out",
      lambda p, n: open(p).read()),
-    ("compute_orientorder 4 2 6 0 4.0 12", "orientorder.out",
+    ("compute_orientorder 4 cutoff 4.0 2 4 6", "orientorder.out",
      lambda p, n: open(p).read()),
-    ("compute_dpdt 2 4", "dpdt.out", lambda p, n: np.loadtxt(p)),
 ]
 
 
