@@ -1575,6 +1575,26 @@ class Session:
         if _prof_dir:
             jax.profiler.stop_trace()
             self.log(f"profiler trace written to {_prof_dir}")
+        # TTM electron-temperature snapshot (overwrite mode,
+        # ref: ttm_electron_temperature_out.rst / ensemble_ttm.cu output)
+        if aux is not None and isinstance(aux, dict) and "t_e" in aux:
+            nx_e, ny_e, nz_e = ens.grid
+            te = np.asarray(aux["t_e"]).reshape(nz_e, ny_e, nx_e)
+            with open(
+                os.path.join(self.workdir, "ttm_electron_temperature.out"),
+                "w",
+            ) as fte:
+                fte.write("# electron temperature snapshots for TTM\n")
+                fte.write(f"# nx {nx_e} ny {ny_e} nz {nz_e}\n")
+                fte.write(f"# output_interval {ens.out_interval} step(s)\n")
+                fte.write("# columns: ix iy iz T_e[K]\n")
+                fte.write(f"# step {self.global_step}\n")
+                for iz in range(nz_e):
+                    for iy in range(ny_e):
+                        for ix in range(nx_e):
+                            fte.write(
+                                f"{ix} {iy} {iz} {te[iz, iy, ix]:.6f}\n"
+                            )
         if is_ti and getattr(ens, "yaml_name", None):
             summary = ens.free_energy(state, aux)
             fy = self._file(ens.yaml_name)

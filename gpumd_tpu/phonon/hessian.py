@@ -142,6 +142,7 @@ def compute_phonon_dispersion(
     hinv = np.linalg.inv(np.asarray(state.box.h))
     omega2 = np.zeros((len(kpts), num_basis * 3))
     dim = num_basis * 3
+    d_rows = []  # D(k) dump rows (ref: doc/gpumd/output_files/D_out.rst)
     # assemble per-pair displacement with MIC
     for ik, k in enumerate(kpts):
         d = np.zeros((dim, dim), dtype=complex)
@@ -160,9 +161,16 @@ def compute_phonon_dispersion(
                 d[3 * b : 3 * b + 3, 3 * j_basis : 3 * j_basis + 3] = block
         d = 0.5 * (d + d.conj().T)
         omega2[ik] = np.linalg.eigvalsh(d)
+        d_rows.append(np.hstack([d.real, d.imag]))
 
     natural_to_thz2 = 1.0e6 / TIME_UNIT_CONVERSION**2
     omega2 *= natural_to_thz2
+    # D.out: 3*N_basis rows per k-point, [real | imag] column blocks
+    # (ref: hessian.cu output_D / D_out.rst)
+    with open(os.path.join(workdir, "D.out"), "w") as f:
+        for dmat in d_rows:
+            for row in dmat * natural_to_thz2:
+                f.write(" ".join(f"{x:g}" for x in row) + "\n")
     with open(os.path.join(workdir, "omega2.out"), "w") as f:
         f.write("#")
         for s in sym_pos:
