@@ -1211,11 +1211,9 @@ class Session:
         neps = [p for p in self.potentials if isinstance(p, _NEP)]
         if len(self.potentials) != 1 or not neps:
             raise ValueError("engine dense: exactly one NEP potential")
-        if any(getattr(m, "needs_heat", False) for m in self.measure_props):
-            raise ValueError(
-                "engine dense: per-atom heat-current observables need "
-                "`engine list` (total-virial-only engine)"
-            )
+        needs_heat = any(
+            getattr(m, "needs_heat", False) for m in self.measure_props
+        )
         nep = neps[0]
         n = self._n
         state = self.state
@@ -1229,9 +1227,18 @@ class Session:
             return self._run_dense_sharded(n_steps, ens, nep, chunk)
         md = DenseNEPMD(
             nep, state.box, n, position=np.asarray(state.position)[:n],
+            per_atom_virial=needs_heat,
         )
+        if needs_heat and md.engine != "compact":
+            raise ValueError(
+                "engine dense: per-atom heat-current observables need the "
+                "compact engine (this model fell back to the window engine);"
+                " use `engine list`"
+            )
         carry = md.init_carry(state)
-        carry = carry._replace(state=jax.jit(md.compute)(carry.state))
+        carry = carry._replace(
+            state=jax.jit(md.compute)(carry.state, carry.idx)
+        )
         aux = ens.init(carry.state)
         step = md.make_step(ens, self.dt)
 

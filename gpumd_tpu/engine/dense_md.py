@@ -3,7 +3,14 @@
 The reference's hot loop launches a kernel chain per step from the host
 (ref: src/main_gpumd/run.cu:252-318); here one `lax.scan` carries the
 slot-ordered MDState, a drift-triggered re-sort replaces neighbor-list
-rebuilds, and the force pass is the fused Pallas engine (nep_dense.py).
+rebuilds, and the force pass is a fused Pallas engine:
+
+  * engine="compact" (default, round 3): compact gathered neighbor tiles —
+    engine/nep_compact.py.  Also rebuilds the per-atom window index tiles
+    at each rebin (the analog of the reference's neighbor list rebuild,
+    amortized by the Verlet skin).
+  * engine="v2": round-2 dense window engine (engine/nep_dense.py), kept
+    as the fallback for configurations the compact plan rejects.
 
 State lives PERMUTED (sorted by cell) between rebins: integration is
 elementwise so it does not care, rebinning is one gather of the state
@@ -19,7 +26,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpumd_tpu.engine.grid import DenseGridPlan, apply_perm, bin_dense, plan_grid
+from gpumd_tpu.engine.grid import (
+    DenseGridPlan,
+    apply_perm,
+    bin_dense,
+    pack_ghost,
+    plan_grid,
+)
+from gpumd_tpu.engine.nep_compact import (
+    CompactPlan,
+    block_centers,
+    build_indices,
+    compact_nep_compute,
+    make_compact_plan,
+    pack_block_windows,
+)
 from gpumd_tpu.engine.nep_dense import dense_nep_compute_v2
 from gpumd_tpu.model.box import Box
 from gpumd_tpu.model.state import MDState, make_state
@@ -30,7 +51,8 @@ class DenseCarry(NamedTuple):
     state: MDState  # slot-ordered, n_slots rows
     orig_id: jnp.ndarray  # (n_slots,) int32 input-order index (or n for empty)
     ref_position: jnp.ndarray  # (n_slots, 3) positions at last rebin
-    overflow: jnp.ndarray  # sticky bool: a cell exceeded cap (results invalid)
+    overflow: jnp.ndarray  # sticky bool: cap/MN overflow (results invalid)
+    idx: Optional[jnp.ndarray] = None  # compact neighbor tiles (engine=compact)
 
 
 class DenseNEPMD:
@@ -45,6 +67,10 @@ class DenseNEPMD:
         skin: float = 1.0,
         cap: Optional[int] = None,
         interpret: Optional[bool] = None,
+        engine: str = "auto",
+        per_atom_virial: bool = False,
+        mn_r: Optional[int] = None,
+        mn_a: Optional[int] = None,
     ):
         self.nep = nep
         self.plan = plan_grid(
@@ -56,8 +82,34 @@ class DenseNEPMD:
                              "cells of rc+skin per periodic direction)")
         self.skin = skin
         self.interpret = interpret
+        if engine == "auto":
+            # compact when the model qualifies, else round-2 dense window
+            from gpumd_tpu.engine.nep_compact import CompactSpec
+            try:
+                CompactSpec.from_model(nep.model, nep.params)
+                engine = "compact"
+            except NotImplementedError:
+                engine = "v2"
+        self.engine = engine
+        self.per_atom_virial = per_atom_virial and engine == "compact"
+        self.cplan: Optional[CompactPlan] = None
+        if engine == "compact":
+            self.cplan = make_compact_plan(
+                self.plan, position=position, box=box,
+                rc_angular=nep.model.rc_angular_max, mn_r=mn_r, mn_a=mn_a,
+            )
 
     # ---- state management ----------------------------------------------------
+
+    def _build_idx(self, sstate: MDState):
+        garr = pack_ghost(
+            sstate.position, sstate.type, sstate.mask, sstate.box, self.plan
+        )
+        centers = block_centers(garr, self.cplan)
+        cand = pack_block_windows(garr, self.plan, self.cplan.bx,
+                                  self.cplan.wl)
+        return build_indices(centers, cand, self.cplan,
+                             self.nep.model.rc_angular_max)
 
     def init_carry(self, state: MDState) -> DenseCarry:
         """Input-order MDState (N rows) -> slot-ordered carry."""
@@ -65,11 +117,16 @@ class DenseNEPMD:
         sstate, orig_id, overflow = self._rebin_arrays(
             state, jnp.arange(n, dtype=jnp.int32), state.box
         )
+        idx = None
+        if self.engine == "compact":
+            idx, ok = self._build_idx(sstate)
+            overflow = overflow | ~ok
         return DenseCarry(
             state=sstate,
             orig_id=orig_id,
             ref_position=sstate.position,
             overflow=overflow,
+            idx=idx,
         )
 
     def _rebin_arrays(self, state: MDState, orig_id, box):
@@ -97,14 +154,31 @@ class DenseNEPMD:
 
     # ---- force pass ----------------------------------------------------------
 
-    def compute(self, state: MDState) -> MDState:
+    def compute(self, state: MDState, idx=None) -> MDState:
+        if self.engine == "compact":
+            out = compact_nep_compute(
+                state.position, state.type, state.mask, state.box,
+                self.cplan, idx, self.nep.model, self.nep.params,
+                per_atom_virial=self.per_atom_virial,
+                interpret=self.interpret,
+            )
+            if out.virial_atom is not None:
+                w = out.virial_atom
+            else:
+                n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+                w = (out.virial_total / n_real) * state.mask[:, None, None]
+            return state._replace(
+                force=out.force,
+                potential_energy=out.energy * state.mask,
+                virial=w,
+            )
         out = dense_nep_compute_v2(
             state.position, state.type, state.mask, state.box,
             self.plan, self.nep.model, self.nep.params,
             interpret=self.interpret,
         )
         # total virial spread uniformly over real atoms: pressure/thermo are
-        # exact; per-atom heat-current observables need the list path.
+        # exact; per-atom heat-current observables need engine="compact".
         n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
         w = (out.virial_total / n_real) * state.mask[:, None, None]
         return state._replace(
@@ -117,30 +191,47 @@ class DenseNEPMD:
     def make_step(self, ensemble, dt):
         half_skin_sq = (0.5 * self.skin) ** 2
 
-        def step(carry: DenseCarry, _):
+        def step(carry, _):
             state, aux = carry[0].state, carry[1]
             c: DenseCarry = carry[0]
             state, aux = ensemble.step1(state, aux, dt)
             disp = state.box.minimum_image(state.position - c.ref_position)
             need = jnp.max(jnp.sum(disp * disp, axis=-1) * state.mask) > half_skin_sq
 
-            def rebin(args):
-                st, oid = args
-                sst, noid, ov = self._rebin_arrays(st, oid, st.box)
-                return sst, noid, sst.position, ov
+            if self.engine == "compact":
+                def rebin(args):
+                    st, oid = args
+                    sst, noid, ov = self._rebin_arrays(st, oid, st.box)
+                    idx, ok = self._build_idx(sst)
+                    return sst, noid, sst.position, ov | ~ok, idx
 
-            def keep(args):
-                st, oid = args
-                return st, oid, c.ref_position, jnp.asarray(False)
+                def keep(args):
+                    st, oid = args
+                    return st, oid, c.ref_position, jnp.asarray(False), c.idx
 
-            state, orig_id, refp, ov = jax.lax.cond(
-                need, rebin, keep, (state, c.orig_id)
-            )
-            state = self.compute(state)
+                state, orig_id, refp, ov, idx = jax.lax.cond(
+                    need, rebin, keep, (state, c.orig_id)
+                )
+                state = self.compute(state, idx)
+            else:
+                def rebin(args):
+                    st, oid = args
+                    sst, noid, ov = self._rebin_arrays(st, oid, st.box)
+                    return sst, noid, sst.position, ov
+
+                def keep(args):
+                    st, oid = args
+                    return st, oid, c.ref_position, jnp.asarray(False)
+
+                state, orig_id, refp, ov = jax.lax.cond(
+                    need, rebin, keep, (state, c.orig_id)
+                )
+                idx = None
+                state = self.compute(state)
             state, aux = ensemble.step2(state, aux, dt)
             new_c = DenseCarry(
                 state=state, orig_id=orig_id, ref_position=refp,
-                overflow=c.overflow | ov,
+                overflow=c.overflow | ov, idx=idx,
             )
             return (new_c, aux), None
 
@@ -149,7 +240,7 @@ class DenseNEPMD:
     def run(self, state: MDState, ensemble, dt, n_steps: int):
         """One-shot block; returns (carry, aux). jit externally for loops."""
         carry = self.init_carry(state)
-        carry = carry._replace(state=self.compute(carry.state))
+        carry = carry._replace(state=self.compute(carry.state, carry.idx))
         aux = ensemble.init(carry.state)
         step = self.make_step(ensemble, dt)
         (carry, aux), _ = jax.lax.scan(step, (carry, aux), length=n_steps)

@@ -293,6 +293,129 @@ def pack_candidates(garr, plan: DenseGridPlan, lane_align: int = 128):
     return centers, cand
 
 
+def pack_ghost_vals(vals, plan: DenseGridPlan, fill=0.0):
+    """Slot-ordered per-atom VALUES (n_slots, C) -> ghost-padded grid
+    (nz+2, ny+2, C, (nx+2)*cap).
+
+    Like pack_ghost but for quantities that are invariant under the periodic
+    lattice shift (cotangents, charges): periodic ghost layers carry plain
+    copies; non-periodic ghost layers are `fill`.
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    c = vals.shape[1]
+    comps = [vals[:, k].reshape(nz, ny, nx * cap) for k in range(c)]
+
+    def pad_axis(arrs, axis, periodic):
+        out = []
+        for a in arrs:
+            if axis == 2:
+                lo, hi = a[..., -cap:], a[..., :cap]
+            else:
+                lo = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                          axis=axis)
+                hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+            if not periodic:
+                lo = jnp.full_like(lo, fill)
+                hi = jnp.full_like(hi, fill)
+            out.append(jnp.concatenate([lo, a, hi],
+                                       axis=2 if axis == 2 else axis))
+        return out
+
+    comps = pad_axis(comps, 2, plan.pbc[0])
+    comps = pad_axis(comps, 1, plan.pbc[1])
+    comps = pad_axis(comps, 0, plan.pbc[2])
+    return jnp.stack(comps, axis=2)
+
+
+def pack_block_windows(g, plan: DenseGridPlan, bx: int, wl: int,
+                       far_channels=3):
+    """Ghost grid (nzg, nyg, C, nxg*cap) -> per-x-block candidate windows
+    (nz_out, ny, nxb, C, wl) where nz_out = nzg - 2.
+
+    Window lanes: cells (dz, dy, wx) for dz, dy in 0..2 and wx in 0..bx+1,
+    cell-major in that order, cap lanes each; padded to `wl` with FAR
+    positions (channels < far_channels) / 0 elsewhere.  Pure strided slices
+    + concat: regular DMA, no gathers.  Rebuilt every step from current
+    positions (<= a few 100 MB at 1M atoms).
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    nzg, nyg = g.shape[0], g.shape[1]
+    nz_out = nzg - 2
+    c = g.shape[2]
+    nxb = nx // bx
+    g5 = g.reshape(nzg, nyg, c, nx + 2, cap)
+    chunks = []
+    for dz in range(3):
+        for dy in range(3):
+            for wx in range(bx + 2):
+                sl = g5[dz:dz + nz_out, dy:dy + ny, :,
+                        wx:wx + (nxb - 1) * bx + 1:bx]
+                # (nz_out, ny, C, nxb, cap) -> (nz_out, ny, nxb, C, cap)
+                chunks.append(jnp.moveaxis(sl, 3, 2))
+    cand = jnp.concatenate(chunks, axis=-1)
+    used = 9 * (bx + 2) * cap
+    if wl > used:
+        padshape = cand.shape[:-1] + (wl - used,)
+        pad = jnp.zeros(padshape, cand.dtype)
+        if far_channels:
+            pad = pad.at[..., :far_channels, :].set(FAR)
+        # type channel (index 3 of position packs) parks at -1
+        if c >= 4 and far_channels == 3:
+            pad = pad.at[..., 3, :].set(-1.0)
+        cand = jnp.concatenate([cand, pad], axis=-1)
+    return cand
+
+
+def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
+    """Adjoint of pack_block_windows: window cotangents
+    (nz, ny, nxb, C, wl) -> ghost-grid cotangents (nzg, nyg, C, nxg*cap).
+
+    9*(bx+2) static strided slice-adds; no scatters.
+    """
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    nxb = nx // bx
+    c = dw.shape[3]
+    dg5 = jnp.zeros((nz + 2, ny + 2, c, nx + 2, cap), dw.dtype)
+    k = 0
+    for dz in range(3):
+        for dy in range(3):
+            for wx in range(bx + 2):
+                seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, nxb, C, cap)
+                seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, cap)
+                dg5 = dg5.at[
+                    dz:dz + nz, dy:dy + ny, :,
+                    wx:wx + (nxb - 1) * bx + 1:bx
+                ].add(seg)
+                k += 1
+    return dg5.reshape(nz + 2, ny + 2, c, (nx + 2) * cap)
+
+
+def fold_ghost_grad_c(dg, plan: DenseGridPlan):
+    """fold_ghost_grad for an arbitrary channel count: (nzg, nyg, C, lanes)
+    -> (n_slots, C)."""
+    cap = plan.cap
+    c = dg.shape[2]
+    g = dg
+    core = g[1:-1] + 0.0
+    if plan.pbc[2]:
+        core = core.at[-1].add(g[0])
+        core = core.at[0].add(g[-1])
+    g = core
+    core = g[:, 1:-1] + 0.0
+    if plan.pbc[1]:
+        core = core.at[:, -1].add(g[:, 0])
+        core = core.at[:, 0].add(g[:, -1])
+    g = core
+    inner = g[..., cap:-cap] + 0.0
+    if plan.pbc[0]:
+        inner = inner.at[..., -cap:].add(g[..., :cap])
+        inner = inner.at[..., :cap].add(g[..., -cap:])
+    return jnp.moveaxis(inner, 2, 0).reshape(c, -1).T
+
+
 def fold_candidate_grad(dcand, plan: DenseGridPlan, dtype=None):
     """Adjoint of pack_candidates on the position channels.
 

@@ -429,6 +429,16 @@ def random_params(model: NepModel, seed: int = 0, dtype=jnp.float32) -> NepParam
     def g(*shape):
         return jnp.asarray(rng.normal(0, 0.3, shape), dtype)
 
+    zbl_flex = None
+    if model.zbl and model.zbl_flexible:
+        # plausible flexible-ZBL rows: rc1 < rc2, positive decay constants
+        npair = t * (t + 1) // 2
+        rows = np.empty((npair, 10))
+        rows[:, 0] = rng.uniform(0.5, 1.0, npair)  # rc_inner
+        rows[:, 1] = rng.uniform(1.5, 2.5, npair)  # rc_outer
+        rows[:, 2::2] = rng.uniform(0.05, 0.5, (npair, 4))  # amplitudes
+        rows[:, 3::2] = rng.uniform(0.3, 3.5, (npair, 4))  # decays
+        zbl_flex = jnp.asarray(rows, dtype)
     return NepParams(
         w0=g(t, neu, dim),
         b0=g(t, neu),
@@ -440,6 +450,7 @@ def random_params(model: NepModel, seed: int = 0, dtype=jnp.float32) -> NepParam
         c_radial=g(t, t, model.n_max_radial + 1, r),
         c_angular=g(t, t, model.n_max_angular + 1, a),
         q_scaler=jnp.ones((dim,), dtype),
+        zbl_flex=zbl_flex,
     )
 
 

@@ -1,0 +1,175 @@
+"""Compact-tile NEP engine (v3) vs the golden-validated list path.
+
+Same oracle strategy as test_dense_engine.py: the list path is matched to
+the reference fixtures in test_nep.py; the compact engine must reproduce
+its per-atom energies, forces, total virial — and (new in v3) per-atom
+virials in the Fan2015 convention (ref: src/force/potential.cu:73-113).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpumd_tpu.engine.grid import apply_perm, bin_dense, plan_grid
+from gpumd_tpu.engine.nep_compact import (
+    block_centers,
+    build_indices,
+    compact_nep_compute,
+    make_compact_plan,
+    pack_block_windows,
+)
+from gpumd_tpu.engine.grid import pack_ghost
+from gpumd_tpu.forcefield import ForceField
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import make_state
+from gpumd_tpu.potentials.nep.model import NEP
+from gpumd_tpu.potentials.nep.params import NepModel, random_params
+
+
+def _model(zbl=False, flexible=False, typewise=0.0, num_types=2,
+           dtype=jnp.float64, seed=7, full=False):
+    # `full` uses the PbTe-example architecture; the small variant keeps
+    # interpret-mode kernel tracing fast for the parameter sweeps.
+    syms = ("Te", "Pb", "S", "O")[:num_types]
+    zs = (52, 82, 16, 8)[:num_types]
+    nm, bs, lm = (6, 6, 4) if full else (2, 2, 2)
+    model = NepModel(
+        version=4, model_type=0, num_types=num_types, symbols=syms,
+        atomic_numbers=zs, rc_radial=(8.0,) * num_types,
+        rc_angular=(4.0,) * num_types,
+        mn_radial=96, mn_angular=24, n_max_radial=nm, n_max_angular=nm,
+        basis_size_radial=bs, basis_size_angular=bs, l_max=lm,
+        has_q=(1, 0, 0, 0, 0, 0) if full else (0,) * 6, neurons=30,
+        zbl=zbl, zbl_rc_inner=0.0 if (flexible or typewise) else
+        (1.0 if zbl else 0.0),
+        zbl_rc_outer=2.0 if zbl else 0.0,
+        zbl_flexible=flexible, zbl_typewise_factor=typewise,
+    )
+    return NEP(model=model, params=random_params(model, seed=seed,
+                                                 dtype=dtype))
+
+
+def _random_system(rng, n, lengths, num_types=2, a0=3.3):
+    nx = int(np.ceil(n ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(nx)] * 3, indexing="ij"), -1)
+    pos = grid.reshape(-1, 3)[:n] * a0
+    pos = pos + rng.uniform(-0.35, 0.35, pos.shape)
+    pos = pos * (np.asarray(lengths) / (nx * a0))
+    types = rng.integers(0, num_types, n)
+    return pos, types
+
+
+def _list_reference(nep, pos, types, box):
+    n = len(pos)
+    state = make_state(pos, np.ones(n), types, box)
+    ff = ForceField.create([nep], box, n, mn=256)
+    out = ff.compute(state)
+    w_tot = jnp.einsum("nab,n->ab", out.virial, out.mask)
+    return (
+        np.asarray(out.potential_energy),
+        np.asarray(out.force),
+        np.asarray(w_tot),
+        np.asarray(out.virial),
+    )
+
+
+def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5):
+    pos = np.asarray(box.wrap(jnp.asarray(pos)))
+    plan = plan_grid(box, nep.model.rc_radial_max, skin, n, position=pos)
+    assert plan is not None
+    cplan = make_compact_plan(plan, position=pos, box=box,
+                              rc_angular=nep.model.rc_angular_max)
+    mask = jnp.ones(n)
+    perm, slot_mask, overflow = bin_dense(jnp.asarray(pos), box, mask, plan)
+    assert not bool(overflow)
+    pos_s = apply_perm(jnp.asarray(pos), perm, fill=1.0e5)
+    types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm, fill=0)
+
+    garr = pack_ghost(pos_s, types_s, slot_mask, box, plan)
+    centers = block_centers(garr, cplan)
+    cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
+    idx, ok = build_indices(centers, cand, cplan,
+                            nep.model.rc_angular_max)
+    assert bool(ok), "neighbor cap overflow in test setup"
+
+    out = compact_nep_compute(
+        pos_s, types_s, slot_mask, box, cplan, idx,
+        nep.model, nep.params, per_atom_virial=per_atom_virial,
+        interpret=True,
+    )
+    inv = np.full(n, -1, np.int64)
+    pa = np.asarray(perm)
+    valid = pa < n
+    inv[pa[valid]] = np.nonzero(valid)[0]
+    assert (inv >= 0).all()
+    w_atom = (
+        np.asarray(out.virial_atom)[inv] if out.virial_atom is not None
+        else None
+    )
+    return (
+        np.asarray(out.energy)[inv],
+        np.asarray(out.force)[inv],
+        np.asarray(out.virial_total),
+        w_atom,
+    )
+
+
+@pytest.mark.parametrize("zbl", [False, True], ids=["plain", "zbl"])
+def test_compact_matches_list_path(zbl):
+    rng = np.random.default_rng(11)
+    n = 300
+    box = Box.orthogonal([27.5, 28.5, 30.0])
+    pos, types = _random_system(rng, n, [27.5, 28.5, 30.0])
+    # full PbTe architecture on the plain case; small on the zbl case
+    nep = _model(zbl=zbl, full=not zbl)
+
+    e_ref, f_ref, w_ref, w_atom_ref = _list_reference(nep, pos, types, box)
+    e, f, w, w_atom = _compact(nep, pos, types, box, n)
+
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(w_atom, w_atom_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_compact_total_virial_mode():
+    """per_atom_virial=False still gives the exact total virial."""
+    rng = np.random.default_rng(3)
+    n = 250
+    box = Box.orthogonal([27.5, 27.5, 27.5])
+    pos, types = _random_system(rng, n, [27.5, 27.5, 27.5])
+    nep = _model()
+    _, _, w_ref, _ = _list_reference(nep, pos, types, box)
+    e, f, w, w_atom = _compact(nep, pos, types, box, n,
+                               per_atom_virial=False)
+    assert w_atom is None
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("variant", ["flexible", "typewise"])
+def test_compact_zbl_variants(variant):
+    """Flexible / typewise ZBL on the fast path (round-2 gap: VERDICT
+    item 6 — the dense engine only handled universal ZBL)."""
+    rng = np.random.default_rng(5)
+    n = 220
+    box = Box.orthogonal([27.5, 27.5, 27.5])
+    pos, types = _random_system(rng, n, [27.5, 27.5, 27.5])
+    nep = _model(zbl=True, flexible=(variant == "flexible"),
+                 typewise=0.65 if variant == "typewise" else 0.0)
+    e_ref, f_ref, w_ref, _ = _list_reference(nep, pos, types, box)
+    e, f, w, _ = _compact(nep, pos, types, box, n)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_compact_four_species():
+    rng = np.random.default_rng(9)
+    n = 260
+    box = Box.orthogonal([28.0, 28.0, 28.0])
+    pos, types = _random_system(rng, n, [28.0, 28.0, 28.0], num_types=4)
+    nep = _model(num_types=4)
+    e_ref, f_ref, w_ref, _ = _list_reference(nep, pos, types, box)
+    e, f, w, _ = _compact(nep, pos, types, box, n)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
