@@ -716,37 +716,54 @@ def k2_call(centers, cand, idx, cotc, cotw, cplan: CompactPlan,
 # --------------------------------------------------------------------------
 
 
-def _scatter_kernel(cplan: CompactPlan, pch: int, p_ref, ic_ref, out_ref):
-    p = p_ref[0, 0, 0]  # (pch, P)
-    idc = ic_ref[0, 0, 0]  # (P, 1) int32 window-lane targets
+def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
+    """Scatter per-pair values onto window lanes via MXU one-hot matmuls.
+
+    Inputs stay in their natural tile layouts — p (pch, mnp, a_pad), idx
+    (mnp, a_pad) — the idx tile is transposed in-kernel so each neighbor
+    slot m yields an (a_pad, 1) target column whose one-hot against the
+    window-lane iota has atoms on sublanes, matching the values' atom-lane
+    axis for the contraction.  (A (P, 1) HBM index column would be
+    lane-padded x128 by XLA — 19 GB at 262k atoms, the round-3 OOM.)"""
+    pv = p_ref[0, 0, 0]  # (pch, mnp, a_pad)
+    dt = pv.dtype
+    a_pad = cplan.a_pad
+    idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
     for b in range(cplan.nblk):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (idc.shape[0], 128), 1)
-        e = jnp.where(idc == iota + b * 128, 1.0, 0.0).astype(p.dtype)
-        out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = jax.lax.dot_general(
-            p, e, (((1,), (0,)), ((), ())),
-            preferred_element_type=p.dtype,
-        )
+        acc = None
+        for m in range(mnp):
+            col = idxt[:, m:m + 1]
+            e = jnp.where(col == iota + b * 128, 1.0, 0.0).astype(dt)
+            d = jax.lax.dot_general(
+                pv[:, m, :], e, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt,
+            )
+            acc = d if acc is None else acc + d
+        out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = acc
 
 
-def scatter_call(pvals, idxcol, cplan: CompactPlan, interpret: bool):
+def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
+    """pvals (nz, ny, nxb, pch, mnp, a_pad) + idx_pairs (nz, ny, nxb, mnp,
+    a_pad) -> window cotangents (nz, ny, nxb, pch, wl)."""
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
-    nxb, wl = cplan.nxb, cplan.wl
+    nxb, wl, a_pad = cplan.nxb, cplan.wl, cplan.a_pad
     pch = pvals.shape[3]
-    p_lanes = pvals.shape[4]
+    mnp = pvals.shape[4]
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, cplan, pch),
+        functools.partial(_scatter_kernel, cplan, mnp),
         grid=(nz, ny, nxb),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, pch, p_lanes),
-                         lambda z, y, x: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, p_lanes, 1),
+            pl.BlockSpec((1, 1, 1, pch, mnp, a_pad),
+                         lambda z, y, x: (z, y, x, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, mnp, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, pch, wl),
                                lambda z, y, x: (z, y, x, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, pch, wl), pvals.dtype),
         interpret=interpret,
-    )(pvals, idxcol)
+    )(pvals, idx_pairs)
 
 
 # --------------------------------------------------------------------------
@@ -912,14 +929,8 @@ def compact_nep_compute(
                           per_atom_virial, interpret)
 
     # scatter pair cotangents onto window lanes (MXU one-hot), fold back
-    nz, ny = plan.grid[2], plan.grid[1]
-    pch = pvals.shape[3]
-    p_lanes = cplan.mn_a * cplan.a_pad
-    pv = pvals.reshape(nz, ny, cplan.nxb, pch, p_lanes)
-    idxcol = idx[:, :, :, :cplan.mn_a, :].reshape(
-        nz, ny, cplan.nxb, p_lanes, 1
-    )
-    dcand = scatter_call(pv, idxcol, cplan, interpret)
+    dcand = scatter_call(pvals, idx[:, :, :, :cplan.mn_a, :], cplan,
+                         interpret)
     dghost = fold_block_windows(dcand, plan, cplan.bx)
     dslots = fold_ghost_grad_c(dghost, plan)  # (ns, pch)
 

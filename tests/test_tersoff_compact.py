@@ -1,0 +1,131 @@
+"""Compact-tile Tersoff engine vs the golden-tested list path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpumd_tpu.engine.grid import apply_perm, bin_dense, pack_ghost, plan_grid
+from gpumd_tpu.engine.nep_compact import (
+    block_centers,
+    build_indices,
+    make_compact_plan,
+    pack_block_windows,
+)
+from gpumd_tpu.engine.tersoff_compact import (
+    TersoffSpec,
+    compact_tersoff_compute,
+)
+from gpumd_tpu.forcefield import ForceField
+from gpumd_tpu.model.box import Box
+from gpumd_tpu.model.state import make_state
+from gpumd_tpu.potentials.tersoff import Tersoff1989
+
+SI_FILE = "/root/reference/potentials/tersoff/Si_Tersoff_1989.txt"
+
+
+def _si_system(rng, nc=3, a0=5.431, jitter=0.12):
+    base = np.array(
+        [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+         [.25, .25, .25], [.75, .75, .25], [.75, .25, .75], [.25, .75, .75]]
+    )
+    cells = np.stack(
+        np.meshgrid(*[np.arange(nc)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    pos = ((cells[:, None, :] + base[None]) * a0).reshape(-1, 3)
+    pos = pos + rng.uniform(-jitter, jitter, pos.shape)
+    return pos, Box.orthogonal([nc * a0] * 3)
+
+
+def _compact(pot, pos, types, box, n, per_atom_virial=True, skin=0.5):
+    pos = np.asarray(box.wrap(jnp.asarray(pos)))
+    plan = plan_grid(box, pot.rc, skin, n, position=pos)
+    assert plan is not None
+    cplan = make_compact_plan(plan, position=pos, box=box, rc_angular=pot.rc)
+    cplan = cplan._replace(mn_a=cplan.mn_r)
+    spec = TersoffSpec.from_potential(pot)
+    mask = jnp.ones(n)
+    perm, slot_mask, overflow = bin_dense(jnp.asarray(pos), box, mask, plan)
+    assert not bool(overflow)
+    pos_s = apply_perm(jnp.asarray(pos), perm, fill=1.0e5)
+    types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm, fill=0)
+    garr = pack_ghost(pos_s, types_s, slot_mask, box, plan)
+    centers = block_centers(garr, cplan)
+    cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
+    idx, ok = build_indices(centers, cand, cplan, pot.rc)
+    assert bool(ok)
+    out = compact_tersoff_compute(
+        pos_s, types_s, slot_mask, box, cplan, idx, spec,
+        per_atom_virial=per_atom_virial, interpret=True,
+    )
+    inv = np.full(n, -1, np.int64)
+    pa = np.asarray(perm)
+    valid = pa < n
+    inv[pa[valid]] = np.nonzero(valid)[0]
+    w_atom = (
+        np.asarray(out.virial_atom)[inv] if out.virial_atom is not None
+        else None
+    )
+    return (
+        np.asarray(out.energy)[inv],
+        np.asarray(out.force)[inv],
+        np.asarray(out.virial_total),
+        w_atom,
+    )
+
+
+def test_tersoff_compact_matches_list():
+    rng = np.random.default_rng(2)
+    pos, box = _si_system(rng)
+    n = len(pos)
+    types = np.zeros(n, int)
+    pot = Tersoff1989.from_file(SI_FILE)
+
+    state = make_state(pos, np.full(n, 28.085), types, box)
+    ff = ForceField.create([pot], box, n, mn=64)
+    ref = ff.compute(state)
+    w_ref = np.asarray(jnp.einsum("nab,n->ab", ref.virial, ref.mask))
+
+    e, f, w, w_atom = _compact(pot, pos, types, box, n)
+    np.testing.assert_allclose(e, np.asarray(ref.potential_energy),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(f, np.asarray(ref.force), rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(w_atom, np.asarray(ref.virial), rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_tersoff_compact_md_short():
+    """A few NVE steps through the CompactTersoffMD driver track the list
+    path (exercises the shared carry/rebin machinery)."""
+    from gpumd_tpu.engine.tersoff_compact import CompactTersoffMD
+    from gpumd_tpu.integrate.ensembles import NVE
+    from gpumd_tpu.integrate.run import md_run
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    rng = np.random.default_rng(4)
+    pos, box = _si_system(rng, nc=3)
+    n = len(pos)
+    pos = np.asarray(box.wrap(jnp.asarray(pos)))
+    types = np.zeros(n, int)
+    pot = Tersoff1989.from_file(SI_FILE)
+    state = make_state(pos, np.full(n, 28.085), types, box)
+    state = initialize_velocity(state, 500.0, seed=1)
+    dt = 1.0 / TIME_UNIT_CONVERSION
+
+    ff = ForceField.create([pot], box, n, mn=64)
+    s0 = ff.compute(state)
+    ref, _, _ = md_run(s0, ff, NVE(), dt, 10)
+
+    md = CompactTersoffMD(pot, box, n, position=pos, skin=0.4,
+                          interpret=True)
+    carry, _ = jax.jit(lambda st: md.run(st, NVE(), dt, 10))(state)
+    assert not bool(carry.overflow)
+    got = md.to_input_order(carry, n)
+    d = np.asarray(box.minimum_image(got.position - ref.position))
+    assert np.abs(d).max() < 1e-8
+    e_ref = float(jnp.sum(ref.potential_energy * ref.mask))
+    e_got = float(jnp.sum(got.potential_energy * got.mask))
+    assert abs(e_ref - e_got) < 1e-8
