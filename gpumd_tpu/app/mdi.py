@@ -22,6 +22,7 @@ converted at the boundary like the reference does.
 from __future__ import annotations
 
 import json
+import os
 import socket
 from typing import Optional
 
@@ -136,6 +137,25 @@ class MDIEngine:
         self.session.state = st
         self._state_out = None
 
+    def step_with_forces(self, forces_ev_a):
+        """>FORCES path: integrate ONE velocity-Verlet step using
+        externally supplied forces (QM/MM hybrid loops — ref:
+        run.cu mdi_set_forces + mdi_step_one)."""
+        if self._fresh:
+            self.init_md()
+        st = self.session.state
+        n = forces_ev_a.shape[0]
+        st = st._replace(force=st.force.at[:n].set(jnp.asarray(forces_ev_a)))
+        dt = self.session.dt
+        inv_m = (st.mask / st.mass)[:, None]
+        v_half = st.velocity + 0.5 * dt * st.force * inv_m
+        x_new = st.position + dt * v_half * st.mask[:, None]
+        # second half-kick reuses the external forces (the next >FORCES
+        # call supplies updated ones, as in the reference's hybrid loop)
+        v_new = v_half + 0.5 * dt * st.force * inv_m
+        self.session.state = st._replace(position=x_new, velocity=v_new)
+        self._state_out = None
+
 
 def serve(workdir: str = ".", host: str = "127.0.0.1", port: int = 8021):
     """Line-protocol TCP server: one JSON object per line,
@@ -185,7 +205,130 @@ def serve(workdir: str = ".", host: str = "127.0.0.1", port: int = 8021):
     srv.close()
 
 
+def serve_libmdi(workdir: str = ".", mdi_options: str = "",
+                 lib_path: Optional[str] = None, max_commands: int = 0):
+    """Genuine MDI engine loop over the MolSSI MDI library via ctypes.
+
+    Mirrors the reference's mdi_engine_main command loop exactly
+    (ref: src/main_mdi/mdi_stub.cu:49-246): <NATOMS, >COORDS, <COORDS,
+    >FORCES (integrates one step with external forces), <FORCES, <ENERGY,
+    >ENERGY, >STRESS, EXIT.  The MDI wire protocol itself is the
+    library's — datatype codes and MDI_COMMAND_LENGTH are read from the
+    loaded .so, so any libmdi ABI works.  Library discovery: `lib_path`
+    arg, then $MDI_LIBRARY, then ctypes.util.find_library("mdi").
+    Without a library this raises; `serve()` (JSON line protocol) is the
+    dependency-free fallback, matching the reference's own behavior when
+    built without USE_MDI.
+    """
+    import ctypes
+    import ctypes.util
+
+    path = lib_path or os.environ.get("MDI_LIBRARY") or ctypes.util.find_library("mdi")
+    if not path:
+        raise RuntimeError(
+            "serve_libmdi: no MDI library found (set MDI_LIBRARY); "
+            "use gpumd_tpu.app.mdi.serve() for the JSON fallback"
+        )
+    lib = ctypes.CDLL(path)
+
+    def const(name, default):
+        try:
+            return int(ctypes.c_int.in_dll(lib, name).value)
+        except ValueError:
+            return default
+
+    CMD_LEN = const("MDI_COMMAND_LENGTH_", const("MDI_COMMAND_LENGTH", 12))
+    MDI_INT = const("MDI_INT_", const("MDI_INT", 0))
+    MDI_DOUBLE = const("MDI_DOUBLE_", const("MDI_DOUBLE", 1))
+
+    # MDI_Init: modern builds take an options string; older take argc/argv.
+    opts = f"-role ENGINE -name gpumd_tpu {mdi_options}".strip().encode()
+    try:
+        lib.MDI_Init.argtypes = [ctypes.c_char_p]
+        ret = lib.MDI_Init(opts)
+    except (ctypes.ArgumentError, OSError):
+        ret = 1
+    if ret != 0:
+        argv_strings = [b"gpumd_tpu"] + opts.split()
+        argc = ctypes.c_int(len(argv_strings))
+        argv_arr = (ctypes.c_char_p * len(argv_strings))(*argv_strings)
+        argv_p = ctypes.cast(
+            ctypes.pointer(argv_arr),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char_p)),
+        )
+        lib.MDI_Init.argtypes = []
+        ret = lib.MDI_Init(ctypes.byref(argc), argv_p)
+        if ret != 0:
+            raise RuntimeError(f"MDI_Init failed ({ret})")
+
+    for cmd in (b"<NATOMS", b">COORDS", b"<COORDS", b">FORCES", b"<FORCES",
+                b"<ENERGY", b">ENERGY", b">STRESS", b"EXIT"):
+        try:
+            lib.MDI_Register_node(b"@DEFAULT")
+            lib.MDI_Register_command(b"@DEFAULT", cmd)
+        except AttributeError:
+            break
+
+    eng = MDIEngine(workdir)
+    comm = ctypes.c_int(0)
+    if lib.MDI_Accept_communicator(ctypes.byref(comm)) != 0:
+        raise RuntimeError("MDI_Accept_communicator failed")
+
+    n = eng.get_natoms()
+    buf = ctypes.create_string_buffer(CMD_LEN + 1)
+    served = 0
+    while True:
+        if lib.MDI_Recv_command(buf, comm) != 0:
+            break
+        cmd = buf.value.decode(errors="replace")
+        served += 1
+        if cmd == "<NATOMS":
+            v = ctypes.c_int(n)
+            lib.MDI_Send(ctypes.byref(v), 1, MDI_INT, comm)
+        elif cmd == ">COORDS":
+            arr = (ctypes.c_double * (3 * n))()
+            lib.MDI_Recv(arr, 3 * n, MDI_DOUBLE, comm)
+            eng.set_coords(np.frombuffer(arr, np.float64).reshape(n, 3))
+        elif cmd == "<COORDS":
+            c = np.ascontiguousarray(eng.get_coords(), np.float64)
+            lib.MDI_Send(c.ctypes.data_as(ctypes.c_void_p), 3 * n,
+                         MDI_DOUBLE, comm)
+        elif cmd == "<FORCES":
+            f = np.ascontiguousarray(eng.get_forces(), np.float64)
+            lib.MDI_Send(f.ctypes.data_as(ctypes.c_void_p), 3 * n,
+                         MDI_DOUBLE, comm)
+        elif cmd == ">FORCES":
+            arr = (ctypes.c_double * (3 * n))()
+            lib.MDI_Recv(arr, 3 * n, MDI_DOUBLE, comm)
+            ext_f = np.frombuffer(arr, np.float64).reshape(n, 3)
+            eng.step_with_forces(ext_f * (HARTREE / BOHR))
+        elif cmd == "<ENERGY":
+            v = ctypes.c_double(eng.get_energy())
+            lib.MDI_Send(ctypes.byref(v), 1, MDI_DOUBLE, comm)
+        elif cmd == ">ENERGY":
+            v = ctypes.c_double(0.0)
+            lib.MDI_Recv(ctypes.byref(v), 1, MDI_DOUBLE, comm)
+            eng.external_energy = float(v.value) * HARTREE
+        elif cmd == ">STRESS":
+            arr = (ctypes.c_double * 9)()
+            lib.MDI_Recv(arr, 9, MDI_DOUBLE, comm)
+            eng.external_stress = np.frombuffer(arr, np.float64).reshape(3, 3)
+        elif cmd == "EXIT":
+            break
+        if max_commands and served >= max_commands:
+            break
+    return served
+
+
 if __name__ == "__main__":
     import sys
 
-    serve(sys.argv[1] if len(sys.argv) > 1 else ".")
+    if "--libmdi" in sys.argv:
+        i = sys.argv.index("--libmdi")
+        serve_libmdi(
+            sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] != "--libmdi"
+            else ".",
+            mdi_options=" ".join(sys.argv[i + 1:]),
+        )
+    else:
+        serve(sys.argv[1] if len(sys.argv) > 1 else ".")

@@ -60,3 +60,89 @@ def test_mdi_engine_roundtrip(tmp_path):
     eng.step(5)
     x_after = eng.get_coords()
     assert not np.allclose(x_before, x_after)
+
+
+def test_mdi_libmdi_bridge(tmp_path):
+    """serve_libmdi drives the reference's exact MDI command loop through a
+    ctypes-loaded MDI library.  A compiled C stub (standing in for
+    libmdi.so, like the reference's own mdi_stub build) scripts a driver
+    session <NATOMS -> <FORCES -> <ENERGY -> EXIT and records everything
+    the engine sent; the recording must match direct MDIEngine values."""
+    import ctypes
+    import struct
+    import subprocess
+
+    stub_c = tmp_path / "fake_mdi.c"
+    stub_c.write_text(r"""
+#include <string.h>
+#include <stdio.h>
+#include <stdlib.h>
+const int MDI_COMMAND_LENGTH_ = 12;
+const int MDI_INT_ = 0;
+const int MDI_DOUBLE_ = 1;
+static int step_ = 0;
+static FILE* out_;
+int MDI_Init(const char* opts) {
+  const char* p = getenv("FAKE_MDI_OUT");
+  out_ = fopen(p ? p : "/tmp/fake_mdi.bin", "wb");
+  return out_ ? 0 : 1;
+}
+int MDI_Register_node(const char* n) { return 0; }
+int MDI_Register_command(const char* n, const char* c) { return 0; }
+int MDI_Accept_communicator(int* comm) { *comm = 1; return 0; }
+int MDI_Recv_command(char* buf, int comm) {
+  const char* seq[] = {"<NATOMS", "<FORCES", "<ENERGY", "EXIT"};
+  if (step_ >= 4) return 1;
+  memset(buf, 0, 12);
+  strncpy(buf, seq[step_++], 11);
+  return 0;
+}
+int MDI_Send(const void* data, int count, int dtype, int comm) {
+  int bytes = count * (dtype == MDI_DOUBLE_ ? 8 : 4);
+  fwrite(&count, 4, 1, out_);
+  fwrite(&dtype, 4, 1, out_);
+  fwrite(data, 1, bytes, out_);
+  fflush(out_);
+  return 0;
+}
+int MDI_Recv(void* data, int count, int dtype, int comm) {
+  memset(data, 0, count * (dtype == MDI_DOUBLE_ ? 8 : 4));
+  return 0;
+}
+""")
+    so = tmp_path / "libfake_mdi.so"
+    subprocess.run(
+        ["cc", "-shared", "-fPIC", "-o", str(so), str(stub_c)], check=True
+    )
+
+    n, pos = _setup(tmp_path)
+    rec = tmp_path / "mdi_record.bin"
+    import os
+
+    os.environ["FAKE_MDI_OUT"] = str(rec)
+    from gpumd_tpu.app.mdi import MDIEngine, serve_libmdi
+
+    served = serve_libmdi(str(tmp_path), lib_path=str(so))
+    assert served == 4
+
+    eng = MDIEngine(str(tmp_path))
+    data = rec.read_bytes()
+    off = 0
+
+    def read_msg():
+        nonlocal off
+        count, dtype = struct.unpack_from("<ii", data, off)
+        off += 8
+        fmt = "d" if dtype == 1 else "i"
+        size = count * (8 if dtype == 1 else 4)
+        vals = np.frombuffer(data[off:off + size],
+                             np.float64 if dtype == 1 else np.int32)
+        off += size
+        return vals
+
+    natoms = read_msg()
+    assert natoms[0] == n
+    forces = read_msg().reshape(n, 3)
+    np.testing.assert_allclose(forces, eng.get_forces(), atol=1e-12)
+    energy = read_msg()
+    assert abs(energy[0] - eng.get_energy()) < 1e-12
