@@ -82,7 +82,8 @@ def run_once(target_n, n_steps, engine="dense"):
         # fused cell-grid engine (engine/dense_md.py): the TPU hot path
         from gpumd_tpu.engine.dense_md import DenseNEPMD
 
-        md = DenseNEPMD(nep, box, n, position=pos, skin=1.0)
+        skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.5))
+        md = DenseNEPMD(nep, box, n, position=pos, skin=skin)
         run_block = jax.jit(lambda s: md.run(s, NVE(), dt, n_steps))
         carry, _ = run_block(state)  # compile + warmup
         jax.block_until_ready(carry.state.position)
@@ -124,7 +125,10 @@ def run_once(target_n, n_steps, engine="dense"):
 
 
 def run_tersoff(target_n, n_steps):
-    """BASELINE config 2: Tersoff silicon MD throughput (list path)."""
+    """BASELINE config 2: Tersoff silicon MD throughput on the compact
+    engine (engine/tersoff_compact.py); GPUMD_BENCH_ENGINE=list falls back
+    to the XLA list path."""
+    from gpumd_tpu.engine.tersoff_compact import CompactTersoffMD
     from gpumd_tpu.forcefield import ForceField
     from gpumd_tpu.integrate.ensembles.nve import NVE
     from gpumd_tpu.integrate.run import make_md_step
@@ -152,6 +156,21 @@ def run_tersoff(target_n, n_steps):
     state = make_state(pos, np.full(n, 28.085), np.zeros(n, int), box)
     state = initialize_velocity(state, 300.0, seed=3)
     dt = 1.0 / TIME_UNIT_CONVERSION
+
+    if os.environ.get("GPUMD_BENCH_ENGINE", "compact") != "list":
+        skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.0))
+        md = CompactTersoffMD(pot, box, n, position=pos, skin=skin)
+        run_block = jax.jit(lambda s: md.run(s, NVE(), dt, n_steps))
+        carry, _ = run_block(state)
+        jax.block_until_ready(carry.state.position)
+        t0 = time.time()
+        carry, _ = run_block(state)
+        ok = bool(jnp.isfinite(carry.state.position).all())
+        wall = time.time() - t0
+        if not ok or bool(carry.overflow):
+            raise RuntimeError("tersoff compact benchmark invalid")
+        return n, n_steps, wall
+
     ff = ForceField.create([pot], box, n, mn=24, skin=1.0,
                            per_atom_virial=False)
     step = make_md_step(ff, NVE(), dt, observer=lambda s: 0)

@@ -145,7 +145,9 @@ def main(argv=None):
     trainer = SNESTrainer(
         model, cfg, batches, workdir=workdir, test_batches=test_batches
     )
-    trainer.train()
+    # single-batch runs fuse output_interval generations per device call
+    # (host round-trips dominate on remote accelerators)
+    trainer.train_fused()
 
 
 if __name__ == "__main__":

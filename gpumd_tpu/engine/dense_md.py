@@ -73,10 +73,18 @@ class DenseNEPMD:
         mn_a: Optional[int] = None,
     ):
         self.nep = nep
-        self.plan = plan_grid(
-            box, nep.model.rc_radial_max, skin, n_atoms,
-            position=position, cap=cap,
-        )
+        if engine in ("auto", "compact") and cap is None:
+            from gpumd_tpu.engine.nep_compact import plan_grid_compact
+
+            self.plan = plan_grid_compact(
+                box, nep.model.rc_radial_max, skin, n_atoms,
+                position=position,
+            )
+        else:
+            self.plan = plan_grid(
+                box, nep.model.rc_radial_max, skin, n_atoms,
+                position=position, cap=cap,
+            )
         if self.plan is None:
             raise ValueError("box too thin for the dense engine (needs >= 3 "
                              "cells of rc+skin per periodic direction)")

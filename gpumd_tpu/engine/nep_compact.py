@@ -118,6 +118,53 @@ class CompactPlan(NamedTuple):
         return self.wl // 128
 
 
+def plan_grid_compact(
+    box: Box,
+    rc: float,
+    skin: float,
+    n_atoms: int,
+    position: Optional[np.ndarray] = None,
+    cap_margin: float = 1.3,
+) -> Optional[DenseGridPlan]:
+    """Grid planning tuned for the compact kernels' lane economics.
+
+    plan_grid picks the maximum cell count per axis (smallest legal cells);
+    for awkward nx (primes, nx % bx != 0) that forces bx = 1 and pads the
+    atom-lane axis A = bx*cap up to 128 — at 262k (nx = 23, cap = 40) 69%
+    of every kernel lane was dead.  This scans nx downward (larger x cells
+    are always geometrically legal) and picks the (nx, cap, bx) whose
+    padded-lane volume nz*ny*(nx/bx)*a_pad is smallest.
+    """
+    from gpumd_tpu.engine.grid import _max_occupancy, plan_grid
+
+    base = plan_grid(box, rc, skin, n_atoms, position=position)
+    if base is None:
+        return None
+    nx0, ny, nz = base.grid
+
+    def cap_for(grid):
+        if position is not None:
+            occ = _max_occupancy(np.asarray(position), box, grid)
+        else:
+            occ = n_atoms / (grid[0] * grid[1] * grid[2])
+        return max(8, int(np.ceil(occ * cap_margin / 8.0)) * 8)
+
+    best = None
+    for nx in range(nx0, max(2, (2 * nx0) // 3), -1):
+        cap = cap_for((nx, ny, nz))
+        bx = 1
+        for b in range(min(nx, max(1, 128 // cap)), 0, -1):
+            if nx % b == 0 and b * cap <= 128:
+                bx = b
+                break
+        score = nz * ny * (nx // bx) * round_up(bx * cap, 128)
+        if best is None or score < best[0]:
+            best = (score, nx, cap)
+    _, nx, cap = best
+    return DenseGridPlan(grid=(nx, ny, nz), cap=cap, rc=rc, skin=skin,
+                         pbc=base.pbc)
+
+
 def make_compact_plan(
     plan: DenseGridPlan,
     position: Optional[np.ndarray] = None,
@@ -138,18 +185,51 @@ def make_compact_plan(
             break
     if mn_r is None or mn_a is None:
         rc_out = plan.rc + plan.skin
+        rc_a_out = rc_angular + plan.skin
+        max_r = max_a = None
         if position is not None and box is not None:
-            # exact neighbor-count stats on the initial configuration
-            n = position.shape[0]
-            density = n / float(box.volume)
+            # exact max neighbor counts on the initial configuration (the
+            # reference sizes MN the same way, nep.cu:226-237); sample a
+            # subset of centers at large N — counts are homogeneous.
+            try:
+                from scipy.spatial import cKDTree
+
+                pos = np.asarray(position, np.float64)
+                lens = np.asarray(box.thickness(), np.float64)
+                if bool(np.all(np.asarray(box.pbc) > 0)) and getattr(
+                    box, "is_orthogonal", lambda: True
+                )():
+                    tree = cKDTree(np.mod(pos, lens), boxsize=lens)
+                else:
+                    tree = cKDTree(pos)
+                m = min(len(pos), 20000)
+                sel = np.random.default_rng(0).choice(
+                    len(pos), m, replace=False
+                )
+                cnt_r = tree.query_ball_point(
+                    tree.data[sel], rc_out, return_length=True)
+                cnt_a = tree.query_ball_point(
+                    tree.data[sel], rc_a_out, return_length=True)
+                max_r = int(cnt_r.max())  # includes self
+                max_a = int(cnt_a.max())
+            except Exception:
+                pass
+        if max_r is not None:
+            if mn_r is None:
+                mn_r = int(round_up(int(max_r * 1.1) + 8, 32))
+            if mn_a is None:
+                mn_a = int(round_up(int(max_a * 1.15) + 4, 8))
         else:
-            density = 0.05
-        est_r = density * 4.0 / 3.0 * np.pi * rc_out**3
-        est_a = density * 4.0 / 3.0 * np.pi * (rc_angular + plan.skin) ** 3
-        if mn_r is None:
-            mn_r = int(round_up(int(np.ceil(est_r * margin)) + 8, 32))
-        if mn_a is None:
-            mn_a = int(round_up(int(np.ceil(est_a * margin)) + 4, 8))
+            density = (
+                position.shape[0] / float(box.volume)
+                if position is not None and box is not None else 0.05
+            )
+            est_r = density * 4.0 / 3.0 * np.pi * rc_out**3
+            est_a = density * 4.0 / 3.0 * np.pi * rc_a_out**3
+            if mn_r is None:
+                mn_r = int(round_up(int(np.ceil(est_r * margin)) + 8, 32))
+            if mn_a is None:
+                mn_a = int(round_up(int(np.ceil(est_a * margin)) + 4, 8))
     mn_r = max(32, int(round_up(mn_r, 8)))
     mn_a = max(8, min(int(round_up(mn_a, 8)), mn_r))
     return CompactPlan(base=plan, bx=bx, mn_r=mn_r, mn_a=mn_a)

@@ -319,11 +319,16 @@ class CompactTersoffMD:
         mn: Optional[int] = None,
     ):
         from gpumd_tpu.engine.grid import plan_grid
+        from gpumd_tpu.engine.nep_compact import plan_grid_compact
 
         self.spec = TersoffSpec.from_potential(pot)
         self.rc = pot.rc
-        self.plan = plan_grid(box, pot.rc, skin, n_atoms, position=position,
-                              cap=cap)
+        if cap is None:
+            self.plan = plan_grid_compact(box, pot.rc, skin, n_atoms,
+                                          position=position)
+        else:
+            self.plan = plan_grid(box, pot.rc, skin, n_atoms,
+                                  position=position, cap=cap)
         if self.plan is None:
             raise ValueError("box too thin for the compact tersoff engine")
         self.skin = skin

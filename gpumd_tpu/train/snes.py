@@ -472,6 +472,66 @@ class SNESTrainer:
 
         self._theta_rmses = jax.jit(_theta_rmses)
 
+    def train_fused(self, generations: Optional[int] = None, log=print):
+        """Single-batch training with `output_interval` generations fused
+        into one jitted lax.scan — removes the per-generation host
+        round-trip, which dominates on a remote accelerator (the reference
+        has no analog: its generation loop is host-driven, snes.cu:354).
+        Falls back to train() when multiple batches are configured."""
+        if len(self.batches) != 1 or self.cfg.use_full_batch:
+            return self.train(generations, log=log)
+        gens = generations or self.cfg.maximum_generation
+        chunk = max(1, min(self.cfg.output_interval, gens))
+        batch = self.batches[0]
+        gen_step = make_generation_step(
+            self.model, self.cfg, self.q_scaler, self.lambda_1,
+            self.lambda_2,
+        )
+
+        @jax.jit
+        def run_chunk(state):
+            def body(st, _):
+                st, metrics = gen_step(st, batch)
+                return st, metrics
+            return jax.lax.scan(body, state, length=chunk)
+
+        loss_path = os.path.join(self.workdir, "loss.out")
+        t0 = time.time()
+        done = 0
+        while done < gens:
+            self.state, metrics = run_chunk(self.state)
+            done += chunk
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            self.best_theta = np.asarray(last["best_theta"])
+            row = [
+                done,
+                float(last["fitness"]), float(last["l1"]),
+                float(last["l2"]), float(last["rmse_e"]),
+                float(last["rmse_f"]), float(last["rmse_v"]),
+            ]
+            if self.test_batches:
+                te, tf_, tv = self._theta_rmses(
+                    jnp.asarray(self.best_theta), self.test_batches[0]
+                )
+                row += [float(te), float(tf_), float(tv)]
+            with open(loss_path, "a") as f:
+                f.write(
+                    f"{row[0]:<8d}"
+                    + "".join(f"{x:15.7e}" for x in row[1:]) + "\n"
+                )
+            log(
+                f"gen {done}: fitness {row[1]:.5f} rmse_e {row[4]:.5f} "
+                f"rmse_f {row[5]:.5f} rmse_v {row[6]:.5f} "
+                f"({time.time() - t0:.0f}s)"
+            )
+            if done % 100 < chunk:
+                self.save_restart()
+            if done % self.cfg.save_potential < chunk:
+                self.save_potential()
+        self.save_restart()
+        self.save_potential()
+        return self.state
+
     def save_restart(self):
         arr = np.stack(
             [np.asarray(self.state.mu), np.asarray(self.state.sigma)], axis=1

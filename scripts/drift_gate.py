@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""BASELINE NVE energy-drift gate: long f32 compact-engine run.
+
+Measures total-energy drift in eV/atom/ns for the configuration that
+actually ships (f32 NEP PbTe on the compact dense engine, Verlet skin) —
+the north-star gate is < 1e-5 eV/atom/ns (BASELINE.md; the reference's own
+test gate is the looser 2e-3 eV/fs^2/atom x dt^2 x N over 200 steps,
+tests_pytest/test_md_conservation.py:27-33).
+
+Method: NVE blocks of `block` steps; after each block the total energy
+(f64 host reduction of per-atom f32 values) is recorded; drift = linear
+fit over the samples after discarding the first 10% (thermal transient).
+
+Env: GPUMD_DRIFT_N (default 32k), GPUMD_DRIFT_PS (default 50 ps),
+GPUMD_DRIFT_DT (fs, default 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import build_pbte
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.nep.model import NEP
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    target_n = int(os.environ.get("GPUMD_DRIFT_N", 32000))
+    ps = float(os.environ.get("GPUMD_DRIFT_PS", 50.0))
+    dt_fs = float(os.environ.get("GPUMD_DRIFT_DT", 1.0))
+    n_steps = int(round(ps * 1000.0 / dt_fs))
+    block = 1000
+
+    nc = max(2, round((target_n / 8) ** (1 / 3)))
+    pos, types, lengths = build_pbte(nc, nc, nc)
+    n = len(pos)
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
+        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
+        basis_size_radial=6, basis_size_angular=6, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=1))
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    dt = dt_fs / TIME_UNIT_CONVERSION
+
+    md = DenseNEPMD(nep, box, n, position=pos, skin=1.5)
+    print(f"# N={n} engine={md.engine} steps={n_steps} block={block}",
+          file=sys.stderr)
+    ens = NVE()
+    carry = md.init_carry(state)
+    carry = carry._replace(state=jax.jit(md.compute)(carry.state, carry.idx))
+    aux = ens.init(carry.state)
+    step = md.make_step(ens, dt)
+
+    @jax.jit
+    def run_block(carry, aux):
+        (carry, aux), _ = jax.lax.scan(step, (carry, aux), length=block)
+        return carry, aux
+
+    def total_energy(st):
+        pe = np.sum(np.asarray(st.potential_energy, np.float64)
+                    * np.asarray(st.mask, np.float64))
+        v = np.asarray(st.velocity, np.float64)
+        m = np.asarray(st.mass, np.float64) * np.asarray(st.mask, np.float64)
+        ke = 0.5 * np.sum(m * np.sum(v * v, axis=1))
+        return pe + ke
+
+    times, energies = [], []
+    t0 = time.time()
+    done = 0
+    while done < n_steps:
+        carry, aux = run_block(carry, aux)
+        done += block
+        if bool(carry.overflow):
+            raise RuntimeError("overflow during drift run")
+        e = total_energy(carry.state)
+        times.append(done * dt_fs * 1e-6)  # ns
+        energies.append(e)
+        if done % (10 * block) == 0:
+            print(f"# step {done}: E={e:.6f} eV "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    times = np.asarray(times)
+    energies = np.asarray(energies)
+    k0 = max(1, len(times) // 10)
+    slope, _ = np.polyfit(times[k0:], energies[k0:], 1)
+    drift = abs(slope) / n  # eV/atom/ns
+    print(json.dumps({
+        "metric": "nve_drift",
+        "value": drift,
+        "unit": "eV_per_atom_per_ns",
+        "n_atoms": n,
+        "sim_ps": done * dt_fs * 1e-3,
+        "gate": 1e-5,
+        "pass": bool(drift < 1e-5),
+        "e_first": float(energies[0]),
+        "e_last": float(energies[-1]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gpumd_tpu.engine.grid import apply_perm, bin_dense, pack_ghost, plan_grid
 from gpumd_tpu.engine.nep_dense import dense_nep_compute, dense_nep_compute_v2
 from gpumd_tpu.forcefield import ForceField

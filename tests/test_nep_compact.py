@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gpumd_tpu.engine.grid import apply_perm, bin_dense, plan_grid
 from gpumd_tpu.engine.nep_compact import (
     block_centers,
