@@ -635,6 +635,7 @@ class AngularRDF:
         self.type_counts = None
 
     def sample_state(self, session, state, step):
+        import jax
         import jax.numpy as jnp
 
         from gpumd_tpu.model.box import num_replicas_for_cutoff
@@ -648,24 +649,44 @@ class AngularRDF:
         nbr = neighbor_brute(
             pos, box, state.mask[:n], rc=self.r_cut, mn=1024, reps=reps
         )
-        r12 = np.asarray(nbr.r12)
-        d = np.sqrt(np.sum(r12**2, axis=-1))
-        theta = np.arctan2(r12[..., 1], r12[..., 0])
-        m = np.asarray(nbr.mask) > 0
-        rng = ((0, self.r_cut), (-np.pi, np.pi))
-        h, _, _ = np.histogram2d(
-            d[m], theta[m], bins=(self.r_bins, self.t_bins), range=rng
-        )
-        self.hist += h
-        ti = np.broadcast_to(types[:, None], d.shape)
-        tj = types[np.asarray(nbr.idx) % n]
-        for k, (a, b) in enumerate(self.pairs):
-            sel = m & (((ti == a) & (tj == b)) | ((ti == b) & (tj == a)))
-            hk, _, _ = np.histogram2d(
-                d[sel], theta[sel], bins=(self.r_bins, self.t_bins),
-                range=rng,
+
+        # device-side 2D histogram: bucketize r/theta to a flat bin index
+        # and bincount — only (r_bins x t_bins) scalars reach the host
+        # (the previous host histogram moved the whole (N, MN) pair set).
+        nbins = self.r_bins * self.t_bins
+
+        @jax.jit
+        def hist2d(r12, mask, idx, types_d):
+            d = jnp.sqrt(jnp.sum(r12**2, axis=-1))
+            theta = jnp.arctan2(r12[..., 1], r12[..., 0])
+            ri = jnp.floor(d / self.r_cut * self.r_bins).astype(jnp.int32)
+            tiq = jnp.floor(
+                (theta + np.pi) / (2 * np.pi) * self.t_bins
+            ).astype(jnp.int32)
+            ri = jnp.clip(ri, 0, self.r_bins - 1)
+            tiq = jnp.clip(tiq, 0, self.t_bins - 1)
+            flat = ri * self.t_bins + tiq
+            ok = (mask > 0) & (d < self.r_cut)
+            h = jnp.bincount(
+                jnp.where(ok, flat, nbins).reshape(-1), length=nbins + 1
+            )[:nbins]
+            ti = types_d[:, None] * jnp.ones_like(idx)
+            tj = types_d[idx % types_d.shape[0]]
+            hp = []
+            for a, b in self.pairs:
+                sel = ok & (((ti == a) & (tj == b)) | ((ti == b) & (tj == a)))
+                hp.append(jnp.bincount(
+                    jnp.where(sel, flat, nbins).reshape(-1),
+                    length=nbins + 1,
+                )[:nbins])
+            return h, hp
+
+        h, hp = hist2d(nbr.r12, nbr.mask, nbr.idx, jnp.asarray(types))
+        self.hist += np.asarray(h).reshape(self.r_bins, self.t_bins)
+        for k in range(len(self.pairs)):
+            self.hist_pair[k] += np.asarray(hp[k]).reshape(
+                self.r_bins, self.t_bins
             )
-            self.hist_pair[k] += hk
         self.n_samples += 1
         if self.density is None:
             self.density = n / float(box.volume)
@@ -740,6 +761,7 @@ class ADF:
         return max(max(t[4], t[6]) for t in self.triples)
 
     def sample_state(self, session, state, step):
+        import jax
         import jax.numpy as jnp
 
         from gpumd_tpu.model.box import num_replicas_for_cutoff
@@ -748,50 +770,74 @@ class ADF:
         n = session._n
         pos = state.position[:n]
         box = state.box
-        types = np.asarray(state.type)[:n]
+        types = jnp.asarray(state.type)[:n]
         rc = self._rc_top()
         reps = num_replicas_for_cutoff(box, rc)
         nbr = neighbor_brute(
             pos, box, state.mask[:n], rc=rc, mn=96, reps=reps
         )
-        r12 = np.asarray(nbr.r12)  # (N, MN, 3)
-        m = np.asarray(nbr.mask) > 0
-        d = np.sqrt((r12**2).sum(-1))
-        idx = np.asarray(nbr.idx)
-        # cos angle between all neighbor slot pairs, per center atom
-        dots = np.einsum("nja,nka->njk", r12, r12)
-        dd = d[:, :, None] * d[:, None, :]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cosv = np.clip(dots / np.maximum(dd, 1e-30), -1.0, 1.0)
-        theta = np.degrees(np.arccos(cosv))  # (N, MN, MN)
-        mn = d.shape[1]
-        jk = np.triu(np.ones((mn, mn), bool), k=1)[None]  # j < k slots
+        nb = self.num_bins
+        ncol = 1 if self.global_ else len(self.triples)
 
-        def _window(lo, hi):
-            return m & (d >= lo) & (d < hi)
+        # device-side: the (N, MN, MN) triple-angle tensor never leaves the
+        # device (9e9 elements at 1M atoms on the host before); angles are
+        # bucketized and bincounted per atom chunk under lax.map.
+        @jax.jit
+        def hists(r12, mask, idx, types_d):
+            nn = r12.shape[0]
+            block = 2048
+            npad = -(-nn // block) * block
+            mn = r12.shape[1]
+            r12p = jnp.pad(r12, ((0, npad - nn), (0, 0), (0, 0)))
+            mp = jnp.pad(mask, ((0, npad - nn), (0, 0)))
+            tip = jnp.pad(types_d, (0, npad - nn), constant_values=-1)
+            tjp = jnp.pad(types_d[idx % nn], ((0, npad - nn), (0, 0)),
+                          constant_values=-1)
+            jk = jnp.triu(jnp.ones((mn, mn), bool), k=1)[None]
 
-        if self.global_:
-            ok_j = _window(self.rc_min, self.rc_max)
-            sel = ok_j[:, :, None] & ok_j[:, None, :] & jk
-            h, _ = np.histogram(
-                theta[sel], bins=self.num_bins, range=(0.0, 180.0)
-            )
-            self.hist[0] += h
-        else:
-            tj = types[idx]
-            for c, (it, jt, kt, rmnj, rmxj, rmnk, rmxk) in enumerate(
-                self.triples
-            ):
-                ci = types == it
-                wj = _window(rmnj, rmxj) & (tj == jt)
-                wk = _window(rmnk, rmxk) & (tj == kt)
-                sel = wj[:, :, None] & wk[:, None, :] & ci[:, None, None]
-                if jt == kt:
-                    sel = sel & jk
-                h, _ = np.histogram(
-                    theta[sel], bins=self.num_bins, range=(0.0, 180.0)
+            def chunk(args):
+                r12c, mc, tic, tjc = args
+                d = jnp.sqrt((r12c**2).sum(-1))
+                dots = jnp.einsum("nja,nka->njk", r12c, r12c)
+                dd = d[:, :, None] * d[:, None, :]
+                cosv = jnp.clip(dots / jnp.maximum(dd, 1e-30), -1.0, 1.0)
+                theta = jnp.degrees(jnp.arccos(cosv))
+                bins = jnp.clip(
+                    jnp.floor(theta / 180.0 * nb).astype(jnp.int32), 0,
+                    nb - 1,
                 )
-                self.hist[c] += h
+                out = []
+                if self.global_:
+                    okj = (mc > 0) & (d >= self.rc_min) & (d < self.rc_max)
+                    sel = okj[:, :, None] & okj[:, None, :] & jk
+                    out.append(jnp.bincount(
+                        jnp.where(sel, bins, nb).reshape(-1), length=nb + 1
+                    )[:nb])
+                else:
+                    for it, jt, kt, rmnj, rmxj, rmnk, rmxk in self.triples:
+                        ci = tic == it
+                        wj = (mc > 0) & (d >= rmnj) & (d < rmxj) & (tjc == jt)
+                        wk = (mc > 0) & (d >= rmnk) & (d < rmxk) & (tjc == kt)
+                        sel = (wj[:, :, None] & wk[:, None, :]
+                               & ci[:, None, None])
+                        if jt == kt:
+                            sel = sel & jk
+                        out.append(jnp.bincount(
+                            jnp.where(sel, bins, nb).reshape(-1),
+                            length=nb + 1,
+                        )[:nb])
+                return jnp.stack(out)
+
+            hs = jax.lax.map(chunk, (
+                r12p.reshape(-1, block, mn, 3),
+                mp.reshape(-1, block, mn),
+                tip.reshape(-1, block),
+                tjp.reshape(-1, block, mn),
+            ))
+            return jnp.sum(hs, axis=0)  # (ncol, nb)
+
+        h = np.asarray(hists(nbr.r12, nbr.mask, nbr.idx, types))
+        self.hist += h
         self.n_samples += 1
         self.last_step = step
 
@@ -856,6 +902,44 @@ def _ylm_complex(l, theta_cos, phi):
     return out
 
 
+def _ylm_complex_jnp(l, theta_cos, phi):
+    """Device (jnp) variant of _ylm_complex — same recurrences, complex64/
+    128 arrays on the accelerator."""
+    import jax.numpy as jnp
+    from math import factorial
+
+    x = theta_cos
+    sx = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    out = {}
+    for m in range(l + 1):
+        pmm = jnp.ones_like(x)
+        if m > 0:
+            fact = 1.0
+            for _ in range(m):
+                pmm = -pmm * fact * sx
+                fact += 2.0
+        if l == m:
+            plm = pmm
+        else:
+            pmmp1 = x * (2 * m + 1) * pmm
+            if l == m + 1:
+                plm = pmmp1
+            else:
+                for ll in range(m + 2, l + 1):
+                    plm = (x * (2 * ll - 1) * pmmp1 - (ll + m - 1) * pmm) / (
+                        ll - m
+                    )
+                    pmm, pmmp1 = pmmp1, plm
+        norm = np.sqrt(
+            (2 * l + 1) / (4 * np.pi) * factorial(l - m) / factorial(l + m)
+        )
+        y = norm * plm * jnp.exp(1j * m * phi)
+        out[m] = y
+        if m > 0:
+            out[-m] = (-1) ** m * jnp.conj(y)
+    return out
+
+
 def _wigner3j(j1, j2, j3, m1, m2, m3):
     """Wigner 3j symbol by the Racah sum (exact for small integer j)."""
     if m1 + m2 + m3 != 0:
@@ -909,6 +993,9 @@ class OrientOrder:
         self.blocks = []  # (step, qnarray rows)
 
     def sample_state(self, session, state, step):
+        import jax
+        import jax.numpy as jnp
+
         from gpumd_tpu.model.box import num_replicas_for_cutoff
         from gpumd_tpu.neighbor.neighbor import neighbor_brute
 
@@ -919,79 +1006,88 @@ class OrientOrder:
         nbr = neighbor_brute(
             pos, box, state.mask[:n], rc=self.rc, mn=96, reps=reps
         )
-        r12 = np.asarray(nbr.r12)
-        m = np.asarray(nbr.mask) > 0
-        d = np.sqrt((r12**2).sum(-1))
-        idx = np.asarray(nbr.idx)
-        if self.nnn > 0:
-            # keep the nnn nearest neighbors only
-            dd = np.where(m, d, np.inf)
-            order = np.argsort(dd, axis=1)
-            keep = np.zeros_like(m)
-            rows = np.arange(n)[:, None]
-            keep[rows, order[:, : self.nnn]] = True
-            m = m & keep
-        nb_count = m.sum(axis=1)
 
-        with np.errstate(invalid="ignore", divide="ignore"):
-            ct = np.where(m, r12[..., 2] / np.maximum(d, 1e-30), 0.0)
-        phi = np.arctan2(r12[..., 1], r12[..., 0])
-
-        qlm = {}  # (l, m) -> (N,) complex neighbor-averaged qlm
-        for l in set(self.degrees):
-            y = _ylm_complex(l, ct, phi)
-            for mm in range(-l, l + 1):
-                s = np.where(m, y[mm], 0.0).sum(axis=1)
-                qlm[(l, mm)] = s / np.maximum(nb_count, 1)
-
-        if self.average:
-            # Lechner-Dellago: average qlm over the atom and its neighbors
-            for l in set(self.degrees):
-                for mm in range(-l, l + 1):
-                    v = qlm[(l, mm)]
-                    nb_sum = np.where(m, v[idx], 0.0).sum(axis=1)
-                    qlm[(l, mm)] = (v + nb_sum) / np.maximum(
-                        nb_count + 1, 1
-                    )
-
-        cols = []
-        qnorm = {}
-        for l in self.degrees:
-            s2 = sum(
-                np.abs(qlm[(l, mm)]) ** 2 for mm in range(-l, l + 1)
-            )
-            q = np.sqrt(4.0 * np.pi / (2 * l + 1) * s2)
-            qnorm[l] = q
-            cols.append(q)
+        # device-side Steinhardt pipeline (only the per-atom q/w columns
+        # reach the host); wigner-3j constants stay host-side (tiny).
+        wig = {}
         if self.wl or self.wlhat:
-            wsums = {}
-            for l in self.degrees:
-                w = np.zeros(n)
+            for l in set(self.degrees):
+                terms = []
                 for m1 in range(-l, l + 1):
                     for m2 in range(-l, l + 1):
                         m3 = -(m1 + m2)
                         if abs(m3) > l:
                             continue
                         cg = _wigner3j(l, l, l, m1, m2, m3)
-                        if cg == 0.0:
-                            continue
-                        w = w + cg * np.real(
+                        if cg != 0.0:
+                            terms.append((m1, m2, m3, cg))
+                wig[l] = terms
+
+        @jax.jit
+        def compute_cols(r12, mask, idx):
+            m = mask > 0
+            d = jnp.sqrt((r12**2).sum(-1))
+            if self.nnn > 0:
+                dd = jnp.where(m, d, jnp.inf)
+                order = jnp.argsort(dd, axis=1)
+                keep = jnp.zeros(m.shape, bool)
+                rows = jnp.arange(m.shape[0])[:, None]
+                keep = keep.at[rows, order[:, : self.nnn]].set(True)
+                m = m & keep
+            nb_count = m.sum(axis=1)
+            ct = jnp.where(m, r12[..., 2] / jnp.maximum(d, 1e-30), 0.0)
+            phi = jnp.arctan2(r12[..., 1], r12[..., 0])
+
+            qlm = {}
+            for l in set(self.degrees):
+                y = _ylm_complex_jnp(l, ct, phi)
+                for mm in range(-l, l + 1):
+                    sv = jnp.where(m, y[mm], 0.0).sum(axis=1)
+                    qlm[(l, mm)] = sv / jnp.maximum(nb_count, 1)
+            if self.average:
+                for l in set(self.degrees):
+                    for mm in range(-l, l + 1):
+                        v = qlm[(l, mm)]
+                        nb_sum = jnp.where(m, v[idx % v.shape[0]], 0.0).sum(
+                            axis=1
+                        )
+                        qlm[(l, mm)] = (v + nb_sum) / jnp.maximum(
+                            nb_count + 1, 1
+                        )
+            cols = []
+            qnorm = {}
+            for l in self.degrees:
+                s2 = sum(
+                    jnp.abs(qlm[(l, mm)]) ** 2 for mm in range(-l, l + 1)
+                )
+                q = jnp.sqrt(4.0 * np.pi / (2 * l + 1) * s2)
+                qnorm[l] = q
+                cols.append(q)
+            if self.wl or self.wlhat:
+                wsums = {}
+                for l in self.degrees:
+                    w = 0.0
+                    for m1, m2, m3, cg in wig[l]:
+                        w = w + cg * jnp.real(
                             qlm[(l, m1)] * qlm[(l, m2)] * qlm[(l, m3)]
                         )
-                wsums[l] = w
-            if self.wl:
-                for l in self.degrees:
-                    cols.append(wsums[l])
-            if self.wlhat:
-                for l in self.degrees:
-                    qfac = np.sqrt(4.0 * np.pi / (2 * l + 1)) / np.maximum(
-                        qnorm[l], 1e-30
-                    )
-                    cols.append(wsums[l] * qfac**3)
-        if self.nnn > 0:
-            bad = nb_count < self.nnn
-            cols = [np.where(bad, 0.0, c) for c in cols]
-        self.blocks.append((step, np.stack(cols, axis=1)))
+                    wsums[l] = w
+                if self.wl:
+                    for l in self.degrees:
+                        cols.append(wsums[l])
+                if self.wlhat:
+                    for l in self.degrees:
+                        qfac = np.sqrt(
+                            4.0 * np.pi / (2 * l + 1)
+                        ) / jnp.maximum(qnorm[l], 1e-30)
+                        cols.append(wsums[l] * qfac**3)
+            if self.nnn > 0:
+                bad = nb_count < self.nnn
+                cols = [jnp.where(bad, 0.0, c) for c in cols]
+            return jnp.stack(cols, axis=1)
+
+        arr = np.asarray(compute_cols(nbr.r12, nbr.mask, nbr.idx))
+        self.blocks.append((step, arr))
 
     def postprocess(self, session):
         with open(os.path.join(session.workdir, "orientorder.out"), "a") as f:

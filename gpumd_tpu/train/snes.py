@@ -341,8 +341,10 @@ def make_population_pieces(
         g_sig = jnp.einsum("p,tpd->td", utility, z_by_class**2 - 1.0)
         grad_mu = jnp.take_along_axis(g_mu, tov[None, :], axis=0)[0]
         grad_sigma = jnp.take_along_axis(g_sig, tov[None, :], axis=0)[0]
-        mu = state.mu + state.sigma * grad_mu
-        sigma = jnp.minimum(state.sigma * jnp.exp(eta_sigma * grad_sigma), 1.0)
+        mu = (state.mu + state.sigma * grad_mu).astype(state.mu.dtype)
+        sigma = jnp.minimum(
+            state.sigma * jnp.exp(eta_sigma * grad_sigma), 1.0
+        ).astype(state.sigma.dtype)
         best = order[0, t]  # global-fitness best (ref: snes.cu:370)
         metrics = {
             "fitness": fitness[best, t],
