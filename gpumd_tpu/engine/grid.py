@@ -105,22 +105,36 @@ def plan_grid(
 
 
 def _max_occupancy(position: np.ndarray, box: Box, grid) -> int:
-    hinv = np.asarray(box.h_inv, dtype=np.float64)
-    s = position @ hinv.T
-    s -= np.floor(s)
-    idx = np.minimum((s * np.asarray(grid)).astype(np.int64),
-                     np.asarray(grid) - 1)
+    """Worst-case cell occupancy over BOTH float32 and float64 binning.
+
+    Lattice positions often sit exactly on cell boundaries; whole planes of
+    atoms then flip cells between the planner's host arithmetic and the
+    device's (f32) cell_ids, so a single-precision estimate can undercount
+    what binning actually sees (round-3: cap overflow at 262k/1M)."""
     nx, ny, nz = grid
-    cid = (idx[:, 2] * ny + idx[:, 1]) * nx + idx[:, 0]
-    return int(np.bincount(cid, minlength=nx * ny * nz).max())
+    worst = 0
+    for dt in (np.float64, np.float32):
+        hinv = np.asarray(box.h_inv, dtype=dt)
+        s = position.astype(dt) @ hinv.T
+        s = s - np.floor(s)
+        idx = np.minimum(
+            np.floor(s * np.asarray(grid, dt)).astype(np.int64),
+            np.asarray(grid) - 1,
+        )
+        cid = (idx[:, 2] * ny + idx[:, 1]) * nx + idx[:, 0]
+        worst = max(worst, int(np.bincount(cid, minlength=nx * ny * nz).max()))
+    return worst
 
 
 def cell_ids(position, box: Box, mask, plan: DenseGridPlan):
-    """(N,) int32 cell id per atom (padding atoms -> virtual overflow cell)."""
+    """(N,) int32 cell id per atom (padding atoms -> virtual overflow cell).
+
+    Fractional coords via the box's elementwise matvec — a (N,3)@(3,3)
+    matmul runs on the MXU at reduced effective precision (round-3: ~0.1 A
+    coordinate error scattered whole boundary planes across cells)."""
     nx, ny, nz = plan.grid
     dtype = position.dtype
-    hinv = box.h_inv.astype(dtype)
-    s = position @ hinv.T
+    s = box.fractional(position.astype(dtype))
     s = s - jnp.floor(s)
     gridf = jnp.asarray([nx, ny, nz], dtype)
     cxyz = jnp.clip(

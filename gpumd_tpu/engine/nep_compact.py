@@ -149,15 +149,40 @@ def plan_grid_compact(
             occ = n_atoms / (grid[0] * grid[1] * grid[2])
         return max(8, int(np.ceil(occ * cap_margin / 8.0)) * 8)
 
-    best = None
-    for nx in range(nx0, max(2, (2 * nx0) // 3), -1):
-        cap = cap_for((nx, ny, nz))
+    def occ_device(grid):
+        """True occupancy as DEVICE binning computes it.  The host estimate
+        can undercount: s = pos @ h_inv rounds differently on the
+        accelerator, and lattice-commensurate boundary planes then flip
+        cells wholesale (round-3: cap overflow at 262k/1M perfect PbTe)."""
+        import jax.numpy as jnp
+
+        from gpumd_tpu.engine.grid import cell_ids
+
+        probe = DenseGridPlan(grid=grid, cap=8, rc=rc, skin=skin,
+                              pbc=base.pbc)
+        p = box.wrap(jnp.asarray(position))
+        cid = cell_ids(p, box, jnp.ones(p.shape[0], p.dtype), probe)
+        return int(jnp.max(jnp.bincount(
+            cid, length=probe.n_cells + 1)[:probe.n_cells]))
+
+    def config_for(nx, occ):
+        cap = max(8, int(np.ceil(occ * cap_margin / 8.0)) * 8)
         bx = 1
         for b in range(min(nx, max(1, 128 // cap)), 0, -1):
             if nx % b == 0 and b * cap <= 128:
                 bx = b
                 break
-        score = nz * ny * (nx // bx) * round_up(bx * cap, 128)
+        return cap, bx, nz * ny * (nx // bx) * round_up(bx * cap, 128)
+
+    # score every candidate with the occupancy DEVICE binning will see; a
+    # commensurate-boundary pathology (whole lattice planes flipping cells)
+    # shows up as a large occupancy jump and deselects that nx naturally
+    best = None
+    for nx in range(nx0, max(2, (2 * nx0) // 3), -1):
+        occ = cap_for((nx, ny, nz)) / cap_margin
+        if position is not None:
+            occ = max(occ, occ_device((nx, ny, nz)))
+        cap, bx, score = config_for(nx, occ)
         if best is None or score < best[0]:
             best = (score, nx, cap)
     _, nx, cap = best

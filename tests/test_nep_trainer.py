@@ -68,6 +68,7 @@ def test_parse_and_batch(workdir):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_snes_training_reduces_loss(workdir):
     from gpumd_tpu.app.nep import main
 
