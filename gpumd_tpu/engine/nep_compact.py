@@ -286,14 +286,22 @@ class CompactSpec(NamedTuple):
         return self.l_max * (self.l_max + 2)
 
     @property
+    def sr(self) -> int:
+        """Radial channels: type-resolved S[t, k] sums.  Accumulating S and
+        contracting with the c tensor per ATOM in the XLA middle costs
+        T*KR1 ~ 14 FMAs per pair in-kernel, vs ~200 for the per-pair
+        c-contraction (round-3 profile: the radial chain dominated K1)."""
+        return self.num_types * self.kr1
+
+    @property
     def ch(self) -> int:
-        """K1 output channels: q_rad + zbl + s_{n,lm}, padded to 8."""
-        return round_up(self.nr1 + 1 + self.na1 * self.nlm, 8)
+        """K1 output channels: S[t,k] + zbl + s_{n,lm}, padded to 8."""
+        return round_up(self.sr + 1 + self.na1 * self.nlm, 8)
 
     @property
     def wch(self) -> int:
-        """Window cotangent channels: cot_q_rad + cot_zbl, padded to 8."""
-        return round_up(self.nr1 + 1, 8)
+        """Window cotangent channels: cot_S + cot_zbl, padded to 8."""
+        return round_up(self.sr + 1, 8)
 
     def c_rad_f(self, a, b, n, k) -> float:
         t, nr1, kr1 = self.num_types, self.nr1, self.kr1
@@ -541,7 +549,7 @@ def _sub_sum(x):
 
 
 def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
-               c_ref, w_ref, i_ref, out_ref):
+               c_ref, w_ref, i_ref, out_ref, *refs_extra):
     a_pad = cplan.a_pad
     nblk = cplan.nblk
     t = spec.num_types
@@ -556,10 +564,11 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
 
     n_chunks = cplan.mn_r // 8
     a_chunks = cplan.mn_a // 8
-    qacc = [None] * spec.nr1
+    sacc_r = [[None] * spec.kr1 for _ in range(t)]
     zacc = None
     sacc = [[None] * spec.nlm for _ in range(spec.na1)]
 
+    tl_ref = refs_extra[0] if refs_extra else None
     for r in range(n_chunks):
         idx8 = i_ref[0, 0, 0, r * 8:(r + 1) * 8, :]
         xj = _bgather(srcs[0], idx8, nblk)
@@ -567,21 +576,31 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
         zj = _bgather(srcs[2], idx8, nblk)
         tj = _bgather(srcs[3], idx8, nblk)
         dx, dy, dz = xj - cx, yj - cy, zj - cz
+        if tl_ref is not None:
+            # persist the gathered tiles: K2 reloads them from HBM instead
+            # of repeating the blocked gathers (round-3 profile: 2x46 ms)
+            tl_ref[0, 0, 0, 0, r * 8:(r + 1) * 8, :] = dx
+            tl_ref[0, 0, 0, 1, r * 8:(r + 1) * 8, :] = dy
+            tl_ref[0, 0, 0, 2, r * 8:(r + 1) * 8, :] = dz
+            tl_ref[0, 0, 0, 3, r * 8:(r + 1) * 8, :] = tj
         d2 = dx * dx + dy * dy + dz * dz
         ok = (d2 > _EPS2) & (tj > -0.5)
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, _EPS2))
         d = d2 * inv_d
-        mi = _type_masks(ct, t)
         mj = _type_masks(tj, t)
         rcp_r = 0.5 * (_by_type(ct, rc_r) + _by_type(tj, rc_r))
         fk, _ = _cheb(d, rcp_r, ok, spec.kr1 - 1, False)
-        wn = _pair_gn(fk, mi, mj, spec.c_rad_f, spec.nr1, spec.kr1, spec)
-        for n in range(spec.nr1):
-            qacc[n] = wn[n] if qacc[n] is None else qacc[n] + wn[n]
+        for tt in range(t):
+            for k in range(spec.kr1):
+                v = fk[k] * mj[tt]
+                sacc_r[tt][k] = (
+                    v if sacc_r[tt][k] is None else sacc_r[tt][k] + v
+                )
         if spec.zbl:
             ez, _ = _zbl_pair(d, inv_d, ok, ct, tj, spec, False)
             zacc = ez if zacc is None else zacc + ez
         if r < a_chunks:
+            mi = _type_masks(ct, t)
             rcp_a = 0.5 * (_by_type(ct, rc_a) + _by_type(tj, rc_a))
             fka, _ = _cheb(d, rcp_a, ok, spec.ka1 - 1, False)
             gn = _pair_gn(fka, mi, mj, spec.c_ang_f, spec.na1, spec.ka1, spec)
@@ -595,9 +614,10 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                     )
 
     ch = 0
-    for n in range(spec.nr1):
-        out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(qacc[n])
-        ch += 1
+    for tt in range(t):
+        for k in range(spec.kr1):
+            out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(sacc_r[tt][k])
+            ch += 1
     if zacc is None:
         zacc = jnp.zeros((8, a_pad), dt)
     out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(zacc)
@@ -611,10 +631,20 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
 
 
 def k1_call(centers, cand, idx, cplan: CompactPlan, spec: CompactSpec,
-            interpret: bool):
+            interpret: bool, save_tiles: bool = True):
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
     nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.wl
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 1, 1, spec.ch, a_pad),
+                              lambda z, y, x: (z, y, x, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nz, ny, nxb, spec.ch, a_pad),
+                                      centers.dtype)]
+    if save_tiles:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, 4, cplan.mn_r, a_pad),
+            lambda z, y, x: (z, y, x, 0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (nz, ny, nxb, 4, cplan.mn_r, a_pad), centers.dtype))
+    out = pl.pallas_call(
         functools.partial(_k1_kernel, cplan, spec, interpret),
         grid=(nz, ny, nxb),
         in_specs=[
@@ -623,12 +653,13 @@ def k1_call(centers, cand, idx, cplan: CompactPlan, spec: CompactSpec,
             pl.BlockSpec((1, 1, 1, cplan.mn_r, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, spec.ch, a_pad),
-                               lambda z, y, x: (z, y, x, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, spec.ch, a_pad),
-                                       centers.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(centers, cand, idx)
+    if save_tiles:
+        return out[0], out[1]
+    return out[0], None
 
 
 # --------------------------------------------------------------------------
@@ -638,24 +669,24 @@ def k1_call(centers, cand, idx, cplan: CompactPlan, spec: CompactSpec,
 
 def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                per_atom_virial: bool,
-               c_ref, w_ref, i_ref, cc_ref, cw_ref, out_ref, p_ref):
+               c_ref, tl_ref, i_ref, cc_ref, cw_ref, out_ref, p_ref):
     a_pad = cplan.a_pad
     nblk = cplan.nblk
     t = spec.num_types
-    cx = c_ref[0, 0, 0, 0:1, :]
-    cy = c_ref[0, 0, 0, 1:2, :]
-    cz = c_ref[0, 0, 0, 2:3, :]
     ct = c_ref[0, 0, 0, 3:4, :]
-    dt = cx.dtype
-    srcs = [_rep8(w_ref[0, 0, 0, c:c + 1, :], interpret) for c in range(4)]
+    dt = ct.dtype
     csrc = [_rep8(cw_ref[0, 0, 0, c:c + 1, :], interpret)
-            for c in range(spec.nr1 + 1)]
+            for c in range(spec.sr + 1)]
     rc_r = [jnp.asarray(v, dt) for v in spec.rc_radial]
     rc_a = [jnp.asarray(v, dt) for v in spec.rc_angular]
 
-    cotq_i = [cc_ref[0, 0, 0, n:n + 1, :] for n in range(spec.nr1)]
-    cotz_i = cc_ref[0, 0, 0, spec.nr1:spec.nr1 + 1, :]
-    base = spec.nr1 + 1
+    cots_r = [
+        [cc_ref[0, 0, 0, tt * spec.kr1 + k:tt * spec.kr1 + k + 1, :]
+         for k in range(spec.kr1)]
+        for tt in range(t)
+    ]
+    cotz_i = cc_ref[0, 0, 0, spec.sr:spec.sr + 1, :]
+    base = spec.sr + 1
     cots_i = [
         [cc_ref[0, 0, 0, base + n * spec.nlm + lm:base + n * spec.nlm + lm + 1,
                 :] for lm in range(spec.nlm)]
@@ -666,40 +697,44 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
     a_chunks = cplan.mn_a // 8
     gacc = [None, None, None]  # dE/dx_i center accumulation
     wacc = [[None] * 3 for _ in range(3)]  # per-atom / total virial rows
+    mi = _type_masks(ct, t)
 
     for r in range(n_chunks):
         idx8 = i_ref[0, 0, 0, r * 8:(r + 1) * 8, :]
-        xj = _bgather(srcs[0], idx8, nblk)
-        yj = _bgather(srcs[1], idx8, nblk)
-        zj = _bgather(srcs[2], idx8, nblk)
-        tj = _bgather(srcs[3], idx8, nblk)
-        dxv, dyv, dzv = xj - cx, yj - cy, zj - cz
+        dxv = tl_ref[0, 0, 0, 0, r * 8:(r + 1) * 8, :]
+        dyv = tl_ref[0, 0, 0, 1, r * 8:(r + 1) * 8, :]
+        dzv = tl_ref[0, 0, 0, 2, r * 8:(r + 1) * 8, :]
+        tj = tl_ref[0, 0, 0, 3, r * 8:(r + 1) * 8, :]
         d2 = dxv * dxv + dyv * dyv + dzv * dzv
         ok = (d2 > _EPS2) & (tj > -0.5)
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, _EPS2))
         d = d2 * inv_d
         ux, uy, uz = dxv * inv_d, dyv * inv_d, dzv * inv_d
-        mi = _type_masks(ct, t)
         mj = _type_masks(tj, t)
 
-        # ---- radial: two-sided local chain (ref find_force_radial)
+        # ---- radial: two-sided local chain (ref find_force_radial) on the
+        # type-resolved S cotangents: sig_i = sum_k f'_k cot_S_i[t_j, k],
+        # sig_j = sum_k f'_k cot_S_j[t_i, k] (gathered window rows)
         rcp_r = 0.5 * (_by_type(ct, rc_r) + _by_type(tj, rc_r))
         _, fkp = _cheb(d, rcp_r, ok, spec.kr1 - 1, True)
-        wp_ij = _pair_gn(fkp, mi, mj, spec.c_rad_f, spec.nr1, spec.kr1, spec)
-        wp_ji = _pair_gn(fkp, mi, mj, spec.c_rad_f, spec.nr1, spec.kr1, spec,
-                         transpose=True)
-        cotq_j = [
-            _bgather(csrc[n], idx8, nblk) for n in range(spec.nr1)
-        ]
-        sig_i = None  # dE_i/dd through this pair
-        sig_j = None  # dE_j/dd through this pair
-        for n in range(spec.nr1):
-            ti_term = cotq_i[n] * wp_ij[n]
-            tj_term = cotq_j[n] * wp_ji[n]
+        sig_i = None
+        sig_j = None
+        for k in range(spec.kr1):
+            ci = None  # cot_S_i[t_j, k] selected by neighbor type
+            for tt in range(t):
+                v = mj[tt] * cots_r[tt][k]
+                ci = v if ci is None else ci + v
+            cj_rows = None  # cot_S_j[t_i, k]: center-type select of gathers
+            for tt in range(t):
+                g = _bgather(csrc[tt * spec.kr1 + k], idx8, nblk)
+                v = mi[tt] * g
+                cj_rows = v if cj_rows is None else cj_rows + v
+            ti_term = ci * fkp[k]
+            tj_term = cj_rows * fkp[k]
             sig_i = ti_term if sig_i is None else sig_i + ti_term
             sig_j = tj_term if sig_j is None else sig_j + tj_term
         if spec.zbl:
-            cotz_j = _bgather(csrc[spec.nr1], idx8, nblk)
+            cotz_j = _bgather(csrc[spec.sr], idx8, nblk)
             _, dedd = _zbl_pair(d, inv_d, ok, ct, tj, spec, True)
             sig_i = sig_i + cotz_i * dedd
             sig_j = sig_j + cotz_j * dedd
@@ -781,7 +816,7 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
         p_ref[0, 0, 0, c] = jnp.zeros((cplan.mn_a, a_pad), dt)
 
 
-def k2_call(centers, cand, idx, cotc, cotw, cplan: CompactPlan,
+def k2_call(centers, tiles, idx, cotc, cotw, cplan: CompactPlan,
             spec: CompactSpec, per_atom_virial: bool, interpret: bool):
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
     nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.wl
@@ -793,7 +828,8 @@ def k2_call(centers, cand, idx, cotc, cotw, cplan: CompactPlan,
         grid=(nz, ny, nxb),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 4, a_pad), lambda z, y, x: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 4, wl), lambda z, y, x: (z, y, x, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 4, cplan.mn_r, a_pad),
+                         lambda z, y, x: (z, y, x, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, cplan.mn_r, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0)),
             pl.BlockSpec((1, 1, 1, spec.ch, a_pad),
@@ -813,7 +849,7 @@ def k2_call(centers, cand, idx, cotc, cotw, cplan: CompactPlan,
                                  centers.dtype),
         ],
         interpret=interpret,
-    )(centers, cand, idx, cotc, cotw)
+    )(centers, tiles, idx, cotc, cotw)
 
 
 # --------------------------------------------------------------------------
@@ -946,14 +982,30 @@ def build_indices(centers, cand, cplan: CompactPlan, rc_a_max: float):
     return idx, jnp.all(oks)
 
 
-def middle_compact(q_rad, e_zbl, s_flat, ti, mask, model: NepModel,
+def middle_compact(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
                    params: NepParams):
-    """Invariants + ANN from the kernel's descriptor sums — shares
-    _angular_q / ann_energy with the list path (golden-covered)."""
-    dtype = q_rad.dtype
-    ns = q_rad.shape[0]
+    """c-tensor contraction + invariants + ANN from the kernel's
+    type-resolved sums — shares _angular_q / ann_energy with the list path
+    (golden-covered).  s_rad is (ns, T*KR1): q_n = c[t_i, t, n, k] S[t, k]
+    (the kernel only accumulates S; the per-pair c-contraction was the
+    dominant K1 cost, round-3 profile)."""
+    dtype = s_rad.dtype
+    ns = s_rad.shape[0]
+    t = model.num_types
+    kr1 = model.basis_size_radial + 1
     na1 = model.n_max_angular + 1
     nlm = model.l_max * (model.l_max + 2)
+    s_r = s_rad.reshape(ns, t, kr1)
+    c_r = params.c_radial.astype(dtype)  # (T, T, NR1, KR1)
+    q_rad = 0.0
+    for a_t in range(t):
+        own = (ti == a_t)[:, None]
+        q_rad = q_rad + jnp.where(
+            own,
+            jnp.einsum("ptk,tnk->pn", s_r, c_r[a_t],
+                       preferred_element_type=dtype),
+            0.0,
+        )
     s = s_flat.reshape(ns, na1, nlm)
     q_ang = _angular_q(s, model, dtype)
     q = jnp.concatenate([q_rad, q_ang.reshape(ns, -1)], axis=-1)
@@ -997,32 +1049,32 @@ def compact_nep_compute(
     centers = block_centers(garr, cplan)
     cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
-    k1 = k1_call(centers, cand, idx, cplan, spec, interpret)
+    k1, tiles = k1_call(centers, cand, idx, cplan, spec, interpret)
     flat = blocks_to_slots(k1, cplan)  # (ns, CH)
-    nr1 = spec.nr1
+    sr = spec.sr
     nsd = spec.na1 * spec.nlm
 
-    def mid(qr, ez, sf):
-        return middle_compact(qr, ez, sf, type_slots, slot_mask, model,
+    def mid(srad, ez, sf):
+        return middle_compact(srad, ez, sf, type_slots, slot_mask, model,
                               params)
 
     e_atom, vjp_mid = jax.vjp(
-        mid, flat[:, :nr1], flat[:, nr1], flat[:, nr1 + 1:nr1 + 1 + nsd]
+        mid, flat[:, :sr], flat[:, sr], flat[:, sr + 1:sr + 1 + nsd]
     )
-    cot_q, cot_z, cot_s = vjp_mid(jnp.ones_like(e_atom))
+    cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_atom))
 
-    ch_pad = spec.ch - (nr1 + 1 + nsd)
+    ch_pad = spec.ch - (sr + 1 + nsd)
     cotc_flat = jnp.concatenate(
-        [cot_q, cot_z[:, None], cot_s]
-        + ([jnp.zeros((cot_q.shape[0], ch_pad), dtype)] if ch_pad else []),
+        [cot_sr, cot_z[:, None], cot_s]
+        + ([jnp.zeros((cot_sr.shape[0], ch_pad), dtype)] if ch_pad else []),
         axis=-1,
     )
     cotc = slots_to_blocks(cotc_flat, cplan)
 
-    wpad = spec.wch - (nr1 + 1)
+    wpad = spec.wch - (sr + 1)
     cotw_flat = jnp.concatenate(
-        [cot_q, cot_z[:, None]]
-        + ([jnp.zeros((cot_q.shape[0], wpad), dtype)] if wpad else []),
+        [cot_sr, cot_z[:, None]]
+        + ([jnp.zeros((cot_sr.shape[0], wpad), dtype)] if wpad else []),
         axis=-1,
     )
     cotw = pack_block_windows(
@@ -1030,7 +1082,7 @@ def compact_nep_compute(
         far_channels=0,
     )
 
-    outf, pvals = k2_call(centers, cand, idx, cotc, cotw, cplan, spec,
+    outf, pvals = k2_call(centers, tiles, idx, cotc, cotw, cplan, spec,
                           per_atom_virial, interpret)
 
     # scatter pair cotangents onto window lanes (MXU one-hot), fold back
