@@ -1225,16 +1225,22 @@ class Session:
         ndev = getattr(self, "engine_devices", 1)
         if ndev > 1:
             return self._run_dense_sharded(n_steps, ens, nep, chunk)
+        hnemd_fe = self.ff.hnemd_fe
+        if self.ff.hnemdec_mode is not None:
+            raise ValueError(
+                "engine dense: compute_hnemdec needs `engine list`"
+            )
         md = DenseNEPMD(
             nep, state.box, n, position=np.asarray(state.position)[:n],
-            per_atom_virial=needs_heat,
+            per_atom_virial=needs_heat or hnemd_fe is not None,
         )
-        if needs_heat and md.engine != "compact":
+        if (needs_heat or hnemd_fe is not None) and md.engine != "compact":
             raise ValueError(
                 "engine dense: per-atom heat-current observables need the "
                 "compact engine (this model fell back to the window engine);"
                 " use `engine list`"
             )
+        md.hnemd_fe = hnemd_fe
         carry = md.init_carry(state)
         carry = carry._replace(
             state=jax.jit(md.compute)(carry.state, carry.idx)
@@ -1282,6 +1288,15 @@ class Session:
         for m in self.measure_props:
             m.postprocess(self)
         self.measure_props = []
+        if (
+            self.ff.hnemd_fe is not None or self.ff.hnemdec_mode is not None
+        ):
+            import dataclasses
+
+            self.ff = dataclasses.replace(
+                self.ff, hnemd_fe=None, hnemdec_mode=None,
+                hnemdec_fe=None, hnemdec_coef=None,
+            )
         for prop in self.properties:
             if prop.finalize:
                 prop.finalize(self)

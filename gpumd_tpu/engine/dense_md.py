@@ -100,6 +100,7 @@ class DenseNEPMD:
                 engine = "v2"
         self.engine = engine
         self.per_atom_virial = per_atom_virial and engine == "compact"
+        self.hnemd_fe: Optional[tuple] = None  # set by the app for HNEMD
         self.cplan: Optional[CompactPlan] = None
         if engine == "compact":
             self.cplan = make_compact_plan(
@@ -170,15 +171,26 @@ class DenseNEPMD:
                 per_atom_virial=self.per_atom_virial,
                 interpret=self.interpret,
             )
+            f = out.force
             if out.virial_atom is not None:
                 w = out.virial_atom
             else:
                 n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
                 w = (out.virial_total / n_real) * state.mask[:, None, None]
+            if self.hnemd_fe is not None:
+                # homogeneous driving force F_i += W_i^T Fe with net-force
+                # correction (ref: src/force/force.cu:567-608); requires
+                # per_atom_virial=True (the app enforces this).
+                fe = jnp.asarray(self.hnemd_fe, dtype=f.dtype)
+                f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
+                n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+                f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+            j = jnp.einsum("nab,nb->na", w, state.velocity)
             return state._replace(
-                force=out.force,
+                force=f,
                 potential_energy=out.energy * state.mask,
                 virial=w,
+                heat_current=j,
             )
         out = dense_nep_compute_v2(
             state.position, state.type, state.mask, state.box,

@@ -240,3 +240,50 @@ run 6
     np.testing.assert_allclose(
         th_dense[:, 2], th_list[:, 2], rtol=1e-5, atol=1e-6
     )
+
+
+def test_engine_dense_hnemd(tmp_path):
+    """engine dense + compute_hnemd: the compact engine's per-atom virials
+    drive the homogeneous heat flow and feed kappa.out (round-2 VERDICT
+    item 2: heat transport on the fast path)."""
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+    from gpumd_tpu.potentials.nep.params import num_trainable, write_nep_txt
+
+    cfg = NepTrainConfig(
+        num_types=1, symbols=("Ar",), rc_radial=4.0, rc_angular=2.5,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=4, l_max_4body=0, neurons=4,
+    )
+    model = model_from_config(cfg)
+    theta = np.random.default_rng(0).normal(0, 0.2, num_trainable(model))
+    write_nep_txt(str(tmp_path / "nep.txt"), model, theta,
+                  np.ones(model.dim))
+    npts = 5
+    g = np.stack(np.meshgrid(*[np.arange(npts)] * 3, indexing="ij"), -1)
+    pos = g.reshape(-1, 3) * 3.2 + np.random.default_rng(1).uniform(
+        -0.2, 0.2, (npts**3, 3)
+    )
+    n = len(pos)
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar"] * n, positions=pos,
+                 lattice=np.diag([16.0] * 3), pbc=(True, True, True)),
+    )
+    (tmp_path / "run.in").write_text(
+        """potential nep.txt
+velocity 50
+time_step 2
+ensemble nvt_lan 50 50 100
+engine dense
+compute_hnemd 2 0.0001 0 0
+run 6
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    kappa = np.loadtxt(tmp_path / "kappa.out")
+    assert kappa.shape == (3, 5)
+    assert np.isfinite(kappa).all()
+    assert s.ff.hnemd_fe is None  # reset after the dense run
