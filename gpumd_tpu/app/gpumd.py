@@ -1246,19 +1246,32 @@ class Session:
             state=jax.jit(md.compute)(carry.state, carry.idx)
         )
         aux = ens.init(carry.state)
-        step = md.make_step(ens, self.dt)
+        from gpumd_tpu.measure.properties import heat_current_5
+
+        heat_props = [
+            m for m in self.measure_props if hasattr(m, "consume_heat")
+        ]
+        observer = (
+            (lambda st: heat_current_5(st)) if heat_props else None
+        )
+        step = md.make_step(ens, self.dt, observer=observer)
 
         @jax.jit
         def block(carry, aux):
-            (carry, aux), _ = jax.lax.scan(
+            (carry, aux), ys = jax.lax.scan(
                 step, (carry, aux), length=chunk
             )
-            return carry, aux
+            return carry, aux, ys
 
         t0 = time.time()
         done = 0
         while done < n_steps:
-            carry, aux = block(carry, aux)
+            carry, aux, ys = block(carry, aux)
+            if heat_props:
+                rows = np.asarray(ys)  # (chunk, 5)
+                for m in heat_props:
+                    m.consume_heat(rows, self.global_step)
+                    m.maybe_output(self)
             done += chunk
             self.global_step += chunk
             if bool(carry.overflow):

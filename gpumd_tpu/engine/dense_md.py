@@ -208,7 +208,9 @@ class DenseNEPMD:
 
     # ---- MD step -------------------------------------------------------------
 
-    def make_step(self, ensemble, dt):
+    def make_step(self, ensemble, dt, observer=None):
+        """observer(state) -> small pytree collected per step (scan ys) —
+        on-device per-step observables (HNEMD heat current windows)."""
         half_skin_sq = (0.5 * self.skin) ** 2
 
         def step(carry, _):
@@ -253,7 +255,8 @@ class DenseNEPMD:
                 state=state, orig_id=orig_id, ref_position=refp,
                 overflow=c.overflow | ov, idx=idx,
             )
-            return (new_c, aux), None
+            ys = observer(state) if observer is not None else None
+            return (new_c, aux), ys
 
         return step
 
