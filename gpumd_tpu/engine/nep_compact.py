@@ -231,19 +231,23 @@ def make_compact_plan(
                 sel = np.random.default_rng(0).choice(
                     len(pos), m, replace=False
                 )
+                # +0.35 A buffer: crystals have shells just beyond the
+                # cutoff that thermal motion pushes across (PbTe's 9.855 A
+                # shell overflowed a 1.1x margin in the round-3 drift run);
+                # x1.25 matches the reference's enlargement (nep.cu:226-237)
                 cnt_r = tree.query_ball_point(
-                    tree.data[sel], rc_out, return_length=True)
+                    tree.data[sel], rc_out + 0.35, return_length=True)
                 cnt_a = tree.query_ball_point(
-                    tree.data[sel], rc_a_out, return_length=True)
+                    tree.data[sel], rc_a_out + 0.35, return_length=True)
                 max_r = int(cnt_r.max())  # includes self
                 max_a = int(cnt_a.max())
             except Exception:
                 pass
         if max_r is not None:
             if mn_r is None:
-                mn_r = int(round_up(int(max_r * 1.1) + 8, 32))
+                mn_r = int(round_up(int(max_r * 1.25) + 8, 32))
             if mn_a is None:
-                mn_a = int(round_up(int(max_a * 1.15) + 4, 8))
+                mn_a = int(round_up(int(max_a * 1.25) + 4, 8))
         else:
             density = (
                 position.shape[0] / float(box.volume)
