@@ -53,14 +53,32 @@ def main():
     nc = max(2, round((target_n / 8) ** (1 / 3)))
     pos, types, lengths = build_pbte(nc, nc, nc)
     n = len(pos)
-    model = NepModel(
-        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
-        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
-        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
-        basis_size_radial=6, basis_size_angular=6, l_max=4,
-        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    # a REAL trained PbTe NEP (the reference's own example model): random
+    # weights are not a stable potential — the lattice collapses and melts,
+    # which measures nothing (round-3 first drift attempt).
+    trained = os.environ.get(
+        "GPUMD_DRIFT_MODEL", "/root/reference/examples/nep_train/nep.txt"
     )
-    nep = NEP(model=model, params=random_params(model, seed=1))
+    if os.path.exists(trained):
+        nep = NEP.from_file(trained, dtype=jnp.float32)
+        # bench geometry is (Te=0, Pb=1); match the model's symbol order
+        syms = nep.model.symbols
+        if tuple(syms) == ("Te", "Pb"):
+            pass
+        elif tuple(syms) == ("Pb", "Te"):
+            types = 1 - types
+        else:
+            raise SystemExit(f"unexpected symbols {syms}")
+    else:
+        model = NepModel(
+            version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+            atomic_numbers=(52, 82), rc_radial=(8.0, 8.0),
+            rc_angular=(4.0, 4.0), mn_radial=92, mn_angular=16,
+            n_max_radial=6, n_max_angular=6, basis_size_radial=6,
+            basis_size_angular=6, l_max=4, has_q=(1, 0, 0, 0, 0, 0),
+            neurons=30,
+        )
+        nep = NEP(model=model, params=random_params(model, seed=1))
     box = Box.orthogonal(lengths)
     state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
     state = initialize_velocity(state, 300.0, seed=3)
