@@ -156,6 +156,17 @@ class DenseNEPMD:
                 g(state.unwrapped_position)
                 if state.unwrapped_position is not None else None
             ),
+            # compensation low parts ride along; the PBC wrap above shifts
+            # the high part by one (f32-rounded) lattice vector, which is
+            # consistent with MIC to one ulp — the low part stays valid.
+            position_c=(
+                g(state.position_c)
+                if state.position_c is not None else None
+            ),
+            velocity_c=(
+                g(state.velocity_c)
+                if state.velocity_c is not None else None
+            ),
         )
         new_id = apply_perm(orig_id, perm, fill=0)
         new_id = jnp.where(slot_mask > 0, new_id, orig_id.shape[0])

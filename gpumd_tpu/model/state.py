@@ -37,6 +37,14 @@ class MDState(NamedTuple):
     charge: Optional[jnp.ndarray] = None  # (N,) for qNEP
     unwrapped_position: Optional[jnp.ndarray] = None  # (N, 3) for MSD
     step: jnp.ndarray = None  # () int32
+    # Kahan/TwoSum compensation (low parts) for extended-precision f32
+    # integration: the true value is position + position_c.  The reference
+    # integrates in f64 (ref: src/model/atom.cuh:30-37); on TPU f64 is
+    # emulated, so the Verlet updates instead accumulate with exact TwoSum
+    # error terms when these are present (see integrate/verlet.py), which
+    # removes the per-step rounding bias that dominates f32 NVE drift.
+    position_c: Optional[jnp.ndarray] = None  # (N, 3)
+    velocity_c: Optional[jnp.ndarray] = None  # (N, 3)
 
     @property
     def n_pad(self) -> int:
@@ -70,6 +78,7 @@ def make_state(
     n_pad: Optional[int] = None,
     track_unwrapped: bool = False,
     dtype=None,
+    compensated: bool = False,
 ) -> MDState:
     """Build an MDState, padding all per-atom arrays to n_pad.
 
@@ -113,4 +122,6 @@ def make_state(
         charge=padv(jnp.asarray(charge, dtype=rdt)) if charge is not None else None,
         unwrapped_position=position if track_unwrapped else None,
         step=jnp.zeros((), jnp.int32),
+        position_c=jnp.zeros((n_pad, 3), rdt) if compensated else None,
+        velocity_c=jnp.zeros((n_pad, 3), rdt) if compensated else None,
     )

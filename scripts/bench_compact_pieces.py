@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Time the phases of the compact-tile NEP engine at a given N on TPU:
+pack (ghost+centers+windows) / K1 / middle+cot / K2 / scatter / folds /
+rebuild (build_indices) / full fused force pass / full fused MD step.
+
+Env: N (default 1_000_000), REPS (default 3).
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import build_pbte
+
+
+def timeit(f, *a, reps=3):
+    g = jax.jit(lambda *x: sum(jnp.sum(l) for l in jax.tree.leaves(f(*x))))
+    s = float(np.asarray(g(*a)))
+    t0 = time.time()
+    for _ in range(reps):
+        s += float(np.asarray(g(*a)))
+    return (time.time() - t0) / reps
+
+
+def main():
+    n_target = int(os.environ.get("N", 1_000_000))
+    reps = int(os.environ.get("REPS", 3))
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.engine.grid import (
+        fold_block_windows, fold_ghost_grad_c, pack_block_windows,
+        pack_ghost, pack_ghost_vals,
+    )
+    from gpumd_tpu.engine.nep_compact import (
+        CompactSpec, block_centers, blocks_to_slots, build_indices,
+        k1_call, k2_call, middle_compact, scatter_call, slots_to_blocks,
+    )
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.nep.model import NEP
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    nc = max(2, round((n_target / 8) ** (1 / 3)))
+    pos, types, lengths = build_pbte(nc, nc, nc)
+    n = len(pos)
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
+        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
+        basis_size_radial=6, basis_size_angular=6, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=1))
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    md = DenseNEPMD(nep, box, n, position=pos, skin=1.5,
+                    per_atom_virial=False)
+    cplan = md.cplan
+    plan = md.plan
+    spec = CompactSpec.from_model(model, nep.params)
+    print(f"# N={n} grid={plan.grid} cap={plan.cap} bx={cplan.bx} "
+          f"mn_r={cplan.mn_r} mn_a={cplan.mn_a} wl={cplan.wl} "
+          f"a_pad={cplan.a_pad} ch={spec.ch}", file=sys.stderr)
+
+    carry = md.init_carry(state)
+    st = carry.state
+    idx = carry.idx
+    interpret = False
+    rc_a = model.rc_angular_max
+
+    def pack(p, t, m):
+        g = pack_ghost(p, t, m, box, plan)
+        return block_centers(g, cplan), pack_block_windows(g, plan, cplan.bx,
+                                                           cplan.wl)
+
+    t_pack = timeit(pack, st.position, st.type, st.mask, reps=reps)
+    centers, cand = jax.jit(pack)(st.position, st.type, st.mask)
+
+    t_k1 = timeit(lambda c, w, i: k1_call(c, w, i, cplan, spec, interpret),
+                  centers, cand, idx, reps=reps)
+    k1, tiles = jax.jit(
+        lambda c, w, i: k1_call(c, w, i, cplan, spec, interpret)
+    )(centers, cand, idx)
+
+    sr = spec.sr
+    nsd = spec.na1 * spec.nlm
+
+    def middle(k1b, t, m):
+        flat = blocks_to_slots(k1b, cplan)
+
+        def mid(srad, ez, sf):
+            return middle_compact(srad, ez, sf, t, m, model, nep.params)
+
+        e_atom, vjp_mid = jax.vjp(
+            mid, flat[:, :sr], flat[:, sr], flat[:, sr + 1:sr + 1 + nsd]
+        )
+        cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_atom))
+        cotc_flat = jnp.concatenate(
+            [cot_sr, cot_z[:, None], cot_s], axis=-1)
+        pad = spec.ch - cotc_flat.shape[1]
+        if pad:
+            cotc_flat = jnp.concatenate(
+                [cotc_flat, jnp.zeros((cotc_flat.shape[0], pad),
+                                      cotc_flat.dtype)], axis=-1)
+        cotc = slots_to_blocks(cotc_flat, cplan)
+        wflat = jnp.concatenate([cot_sr, cot_z[:, None]], axis=-1)
+        wpad = spec.wch - wflat.shape[1]
+        if wpad:
+            wflat = jnp.concatenate(
+                [wflat, jnp.zeros((wflat.shape[0], wpad), wflat.dtype)],
+                axis=-1)
+        cotw = pack_block_windows(pack_ghost_vals(wflat, plan), plan,
+                                  cplan.bx, cplan.wl, far_channels=0)
+        return e_atom, cotc, cotw
+
+    t_mid = timeit(middle, k1, st.type, st.mask, reps=reps)
+    _, cotc, cotw = jax.jit(middle)(k1, st.type, st.mask)
+
+    t_k2 = timeit(
+        lambda c, tl, i, cc, cw: k2_call(c, tl, i, cc, cw, cplan, spec,
+                                         False, interpret),
+        centers, tiles, idx, cotc, cotw, reps=reps)
+    outf, pvals = jax.jit(
+        lambda c, tl, i, cc, cw: k2_call(c, tl, i, cc, cw, cplan, spec,
+                                         False, interpret)
+    )(centers, tiles, idx, cotc, cotw)
+
+    t_scat = timeit(
+        lambda p, i: scatter_call(p, i[:, :, :, :cplan.mn_a, :], cplan,
+                                  interpret),
+        pvals, idx, reps=reps)
+    dcand = jax.jit(
+        lambda p, i: scatter_call(p, i[:, :, :, :cplan.mn_a, :], cplan,
+                                  interpret)
+    )(pvals, idx)
+
+    def folds(dc):
+        dg = fold_block_windows(dc, plan, cplan.bx)
+        return fold_ghost_grad_c(dg, plan)
+
+    t_fold = timeit(folds, dcand, reps=reps)
+
+    t_build = timeit(
+        lambda c, w: build_indices(c, w, cplan, rc_a)[0],
+        centers, cand, reps=max(1, reps - 1))
+
+    t_force = timeit(lambda s, i: md.compute(s, i).force, st, idx, reps=reps)
+
+    dt = 1.0 / TIME_UNIT_CONVERSION
+    nsteps = 10
+    run = jax.jit(lambda s: md.run(s, NVE(), dt, nsteps))
+    c2, _ = run(state)
+    jax.block_until_ready(c2.state.position)
+    t0 = time.time()
+    c2, _ = run(state)
+    ok = bool(jnp.isfinite(c2.state.position).all())
+    t_step = (time.time() - t0) / nsteps
+    assert ok and not bool(c2.overflow)
+
+    total = t_pack + t_k1 + t_mid + t_k2 + t_scat + t_fold
+    print(f"pack    {t_pack*1e3:8.1f} ms")
+    print(f"k1      {t_k1*1e3:8.1f} ms")
+    print(f"middle  {t_mid*1e3:8.1f} ms")
+    print(f"k2      {t_k2*1e3:8.1f} ms")
+    print(f"scatter {t_scat*1e3:8.1f} ms")
+    print(f"folds   {t_fold*1e3:8.1f} ms")
+    print(f"sum     {total*1e3:8.1f} ms (separate jits)")
+    print(f"rebuild {t_build*1e3:8.1f} ms (amortized /~50 steps at skin 1.5)")
+    print(f"force   {t_force*1e3:8.1f} ms (one fused force pass)")
+    print(f"step    {t_step*1e3:8.1f} ms (full fused MD step incl. "
+          f"init-rebuild/{nsteps})")
+    print(f"throughput {n * 1 / t_step:.3e} atom-step/s")
+
+
+if __name__ == "__main__":
+    main()

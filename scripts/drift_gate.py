@@ -80,7 +80,8 @@ def main():
         )
         nep = NEP(model=model, params=random_params(model, seed=1))
     box = Box.orthogonal(lengths)
-    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box,
+                       compensated=True)
     state = initialize_velocity(state, 300.0, seed=3)
     dt = dt_fs / TIME_UNIT_CONVERSION
 
