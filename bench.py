@@ -124,6 +124,65 @@ def run_once(target_n, n_steps, engine="dense"):
     return n, n_steps, wall
 
 
+def run_hnemd(target_n, n_steps):
+    """BASELINE config 4 at scale: HNEMD heat-transport MD on the compact
+    fast path — per-atom virial ON, homogeneous driving force, per-step
+    heat-current observer reduced on device (the configuration the
+    reference's graphene-kappa benchmark exercises,
+    ref: src/measure/hnemd_kappa.cu + compute_heat.cu:18-29)."""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.nep.model import NEP
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    nc = max(2, round((target_n / 8) ** (1 / 3)))
+    pos, types, lengths = build_pbte(nc, nc, nc)
+    n = len(pos)
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
+        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
+        basis_size_radial=6, basis_size_angular=6, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=1))
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    dt = 1.0 / TIME_UNIT_CONVERSION
+
+    md = DenseNEPMD(nep, box, n, position=pos,
+                    skin=float(os.environ.get("GPUMD_BENCH_SKIN", 1.5)),
+                    per_atom_virial=True)
+    md.hnemd_fe = (1.0e-4, 0.0, 0.0)  # A^-1, typical kappa driving
+
+    def observer(s):
+        return jnp.sum(s.heat_current * s.mask[:, None], axis=0)
+
+    def run(s):
+        carry = md.init_carry(s)
+        carry = carry._replace(state=md.compute(carry.state, carry.idx))
+        aux = NVE().init(carry.state)
+        step = md.make_step(NVE(), dt, observer=observer)
+        (carry, aux), js = jax.lax.scan(step, (carry, aux), length=n_steps)
+        return carry, js
+
+    run_block = jax.jit(run)
+    carry, js = run_block(state)
+    jax.block_until_ready(carry.state.position)
+    t0 = time.time()
+    carry, js = run_block(state)
+    ok = bool(jnp.isfinite(js).all())
+    wall = time.time() - t0
+    if not ok or bool(carry.overflow):
+        raise RuntimeError("hnemd benchmark invalid (overflow/non-finite)")
+    return n, n_steps, wall
+
+
 def run_tersoff(target_n, n_steps):
     """BASELINE config 2: Tersoff silicon MD throughput on the compact
     engine (engine/tersoff_compact.py); GPUMD_BENCH_ENGINE=list falls back
@@ -200,6 +259,15 @@ def main():
     n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
     engine = os.environ.get("GPUMD_BENCH_ENGINE", "dense")
     mode = os.environ.get("GPUMD_BENCH_MODE", "nep")
+    if mode == "hnemd":
+        n, n_steps, wall = run_hnemd(target_n, n_steps)
+        value = n * n_steps / wall
+        print(json.dumps({
+            "metric": "nep_hnemd_md_throughput", "value": value,
+            "unit": "atom_step_per_s_per_chip", "vs_baseline": value / 1e8,
+        }))
+        print(f"# N={n} steps={n_steps} wall={wall:.2f}s", file=sys.stderr)
+        return
     if mode == "tersoff":
         # BASELINE config 2 companion metric
         n, n_steps, wall = run_tersoff(target_n, n_steps)

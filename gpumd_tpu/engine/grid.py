@@ -187,14 +187,18 @@ def apply_perm(arr, perm, fill=0.0):
 
 
 def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
-               plan: DenseGridPlan):
+               plan: DenseGridPlan, shift_positions: bool = True):
     """Dense slot state -> ghost-padded (nzg, nyg, 4, (nx+2)*cap) f-array.
 
     The channel axis sits at -2 so Pallas can block single (z, y) rows (the
     TPU lowering requires the last two block dims be full-size or 8/128-
     aligned; leading dims may be blocked freely).
 
-    Channels: x, y, z (Cartesian, ghosts carry the exact lattice shift) and
+    Channels: x, y, z (Cartesian; ghosts carry the lattice shift when
+    shift_positions, else the raw coordinates for engines that apply the
+    minimum-image wrap in-kernel — the f32-rounded shift breaks the exact
+    antisymmetry dx_ij == -dx_ji for boundary pairs, whereas the in-kernel
+    MIC on raw coordinates is exactly antisymmetric by Sterbenz) and
     type (as float). Empty slots are parked at FAR so distance masks kill
     them with no explicit mask channel; non-periodic ghost layers are FAR.
     """
@@ -212,7 +216,7 @@ def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
         """Ghost-pad one grid axis (axis: 0=z, 1=y, 2=x-cells)."""
         out = []
         for k, a in enumerate(arrs):
-            shift = shift_col[k] if k < 3 else 0.0
+            shift = shift_col[k] if (k < 3 and shift_positions) else 0.0
             if axis == 2:  # x: slice cap-sized lane groups
                 lo, hi = a[..., -cap:], a[..., :cap]
             else:
@@ -307,39 +311,41 @@ def pack_candidates(garr, plan: DenseGridPlan, lane_align: int = 128):
     return centers, cand
 
 
+def pack_ghost_rows(rows, plan: DenseGridPlan, fill=0.0):
+    """Ghost-pad a row-grid VALUES array (nz, ny, C, nx*cap) ->
+    (nz+2, ny+2, C, (nx+2)*cap), for quantities invariant under the periodic
+    lattice shift (cotangents, charges): periodic ghost layers carry plain
+    copies; non-periodic ghost layers are `fill`."""
+    cap = plan.cap
+
+    def pad(a, axis, periodic):
+        if axis == 3:
+            lo, hi = a[..., -cap:], a[..., :cap]
+        else:
+            lo = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                      axis=axis)
+            hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        if not periodic:
+            lo = jnp.full_like(lo, fill)
+            hi = jnp.full_like(hi, fill)
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    rows = pad(rows, 3, plan.pbc[0])
+    rows = pad(rows, 1, plan.pbc[1])
+    rows = pad(rows, 0, plan.pbc[2])
+    return rows
+
+
 def pack_ghost_vals(vals, plan: DenseGridPlan, fill=0.0):
     """Slot-ordered per-atom VALUES (n_slots, C) -> ghost-padded grid
-    (nz+2, ny+2, C, (nx+2)*cap).
-
-    Like pack_ghost but for quantities that are invariant under the periodic
-    lattice shift (cotangents, charges): periodic ghost layers carry plain
-    copies; non-periodic ghost layers are `fill`.
-    """
+    (nz+2, ny+2, C, (nx+2)*cap) (see pack_ghost_rows)."""
     nx, ny, nz = plan.grid
     cap = plan.cap
     c = vals.shape[1]
-    comps = [vals[:, k].reshape(nz, ny, nx * cap) for k in range(c)]
-
-    def pad_axis(arrs, axis, periodic):
-        out = []
-        for a in arrs:
-            if axis == 2:
-                lo, hi = a[..., -cap:], a[..., :cap]
-            else:
-                lo = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
-                                          axis=axis)
-                hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
-            if not periodic:
-                lo = jnp.full_like(lo, fill)
-                hi = jnp.full_like(hi, fill)
-            out.append(jnp.concatenate([lo, a, hi],
-                                       axis=2 if axis == 2 else axis))
-        return out
-
-    comps = pad_axis(comps, 2, plan.pbc[0])
-    comps = pad_axis(comps, 1, plan.pbc[1])
-    comps = pad_axis(comps, 0, plan.pbc[2])
-    return jnp.stack(comps, axis=2)
+    rows = jnp.moveaxis(
+        vals.reshape(nz, ny, nx * cap, c), 3, 2
+    )
+    return pack_ghost_rows(rows, plan, fill)
 
 
 def pack_block_windows(g, plan: DenseGridPlan, bx: int, wl: int,
@@ -361,13 +367,36 @@ def pack_block_windows(g, plan: DenseGridPlan, bx: int, wl: int,
     nxb = nx // bx
     g5 = g.reshape(nzg, nyg, c, nx + 2, cap)
     chunks = []
-    for dz in range(3):
-        for dy in range(3):
-            for wx in range(bx + 2):
-                sl = g5[dz:dz + nz_out, dy:dy + ny, :,
-                        wx:wx + (nxb - 1) * bx + 1:bx]
-                # (nz_out, ny, C, nxb, cap) -> (nz_out, ny, nxb, C, cap)
-                chunks.append(jnp.moveaxis(sl, 3, 2))
+    if bx >= 2:
+        # Regrouped decomposition (round-3 perf): the bx+2 per-wx chunks
+        # with x-stride bx coalesce into TWO coarse contiguous views —
+        #   A: cells [0, nx)       viewed (nxb, bx*cap): wx in [0, bx)
+        #   B: cells [bx, nx+bx)   viewed (nxb, bx*cap): wx = bx, bx+1
+        # Same window-lane layout, 18 dense copies instead of 54 strided
+        # slices (XLA lowers fine-grained strided slice/scatter poorly).
+        if bx > 2:  # view B needs x-extent nx+bx; pad ghost cells with FAR
+            padx = jnp.zeros(
+                (nzg, nyg, c, bx - 2, cap), g5.dtype
+            ).at[:, :, :3].set(FAR).at[:, :, 3:4].set(-1.0)
+            g5b = jnp.concatenate([g5, padx], axis=3)
+        else:
+            g5b = g5
+        view_a = g5[:, :, :, 0:nx].reshape(nzg, nyg, c, nxb, bx * cap)
+        view_b = g5b[:, :, :, bx:nx + bx].reshape(
+            nzg, nyg, c, nxb, bx * cap)[..., :2 * cap]
+        for dz in range(3):
+            for dy in range(3):
+                for v in (view_a, view_b):
+                    sl = v[dz:dz + nz_out, dy:dy + ny]
+                    chunks.append(jnp.moveaxis(sl, 3, 2))
+    else:
+        for dz in range(3):
+            for dy in range(3):
+                for wx in range(bx + 2):
+                    sl = g5[dz:dz + nz_out, dy:dy + ny, :,
+                            wx:wx + (nxb - 1) * bx + 1:bx]
+                    # (nz_out, ny, C, nxb, cap) -> (nz_out, ny, nxb, C, cap)
+                    chunks.append(jnp.moveaxis(sl, 3, 2))
     cand = jnp.concatenate(chunks, axis=-1)
     used = 9 * (bx + 2) * cap
     if wl > used:
@@ -392,18 +421,39 @@ def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
     cap = plan.cap
     nxb = nx // bx
     c = dw.shape[3]
-    dg5 = jnp.zeros((nz + 2, ny + 2, c, nx + 2, cap), dw.dtype)
-    k = 0
-    for dz in range(3):
-        for dy in range(3):
-            for wx in range(bx + 2):
-                seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, nxb, C, cap)
-                seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, cap)
-                dg5 = dg5.at[
-                    dz:dz + nz, dy:dy + ny, :,
-                    wx:wx + (nxb - 1) * bx + 1:bx
-                ].add(seg)
-                k += 1
+    if bx >= 2:
+        # Adjoint of the regrouped pack (see pack_block_windows): two coarse
+        # contiguous adds per (dz, dy) instead of bx+2 stride-bx scatters.
+        nxp = nx + max(2, bx)
+        dg5 = jnp.zeros((nz + 2, ny + 2, c, nxp, cap), dw.dtype)
+        wgrp = (bx + 2) * cap
+        for k, (dz, dy) in enumerate(
+            (dz, dy) for dz in range(3) for dy in range(3)
+        ):
+            seg = dw[..., k * wgrp:(k + 1) * wgrp]  # (nz, ny, nxb, C, (bx+2)cap)
+            seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, (bx+2)cap)
+            seg_a = seg[..., :bx * cap].reshape(
+                seg.shape[:3] + (nx, cap))
+            seg_b = seg[..., bx * cap:]  # (.., nxb, 2cap)
+            if bx > 2:
+                seg_b = jnp.pad(seg_b, ((0, 0),) * 4 + ((0, (bx - 2) * cap),))
+            seg_b = seg_b.reshape(seg.shape[:3] + (nx, cap))
+            dg5 = dg5.at[dz:dz + nz, dy:dy + ny, :, 0:nx].add(seg_a)
+            dg5 = dg5.at[dz:dz + nz, dy:dy + ny, :, bx:nx + bx].add(seg_b)
+        dg5 = dg5[:, :, :, :nx + 2]
+    else:
+        dg5 = jnp.zeros((nz + 2, ny + 2, c, nx + 2, cap), dw.dtype)
+        k = 0
+        for dz in range(3):
+            for dy in range(3):
+                for wx in range(bx + 2):
+                    seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, nxb, C, cap)
+                    seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, cap)
+                    dg5 = dg5.at[
+                        dz:dz + nz, dy:dy + ny, :,
+                        wx:wx + (nxb - 1) * bx + 1:bx
+                    ].add(seg)
+                    k += 1
     return dg5.reshape(nz + 2, ny + 2, c, (nx + 2) * cap)
 
 

@@ -65,6 +65,7 @@ from gpumd_tpu.engine.grid import (
     fold_ghost_grad_c,
     pack_block_windows,
     pack_ghost,
+    pack_ghost_rows,
     pack_ghost_vals,
     round_up,
 )
@@ -873,6 +874,15 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     pv = p_ref[0, 0, 0]  # (pch, mnp, a_pad)
     dt = pv.dtype
     a_pad = cplan.a_pad
+    # Precision: the MXU's DEFAULT bf16 pass would round the pair values
+    # (the one-hot side is bf16-exact), silently breaking Newton's 3rd law
+    # — the center side subtracts the full-f32 value (round-3 drift hunt:
+    # momentum non-conservation + NVE heating).  Split the values into two
+    # bf16-exact parts and run TWO DEFAULT passes: hi carries the top 8
+    # mantissa bits, lo the next 8, residual ~2^-17 relative — drift-gate
+    # clean at 1/3 the cost of Precision.HIGHEST (6 passes).
+    pv_hi = pv.astype(jnp.bfloat16).astype(dt)
+    pv_lo = pv - pv_hi
     idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
     iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
     for b in range(cplan.nblk):
@@ -880,9 +890,17 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
         for m in range(mnp):
             col = idxt[:, m:m + 1]
             e = jnp.where(col == iota + b * 128, 1.0, 0.0).astype(dt)
+            # explicit DEFAULT: the surrounding default_matmul_precision
+            # ("high") context would otherwise leak HIGH into this trace,
+            # which Mosaic's dot lowering rejects
             d = jax.lax.dot_general(
-                pv[:, m, :], e, (((1,), (0,)), ((), ())),
+                pv_hi[:, m, :], e, (((1,), (0,)), ((), ())),
                 preferred_element_type=dt,
+                precision=jax.lax.Precision.DEFAULT,
+            ) + jax.lax.dot_general(
+                pv_lo[:, m, :], e, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt,
+                precision=jax.lax.Precision.DEFAULT,
             )
             acc = d if acc is None else acc + d
         out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = acc
@@ -1017,6 +1035,75 @@ def middle_compact(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
     return (ann_energy(q, ti, params, dtype) + e_zbl) * mask
 
 
+def _slots_to_lane_blocks(vals, cplan: CompactPlan, fill):
+    """Per-slot 1-D array (ns,) -> (NB, a_pad): pure reshape + lane pad (the
+    slot order is already block-major), no transpose."""
+    nb = cplan.base.n_cells // cplan.bx
+    v = vals.reshape(nb, cplan.a)
+    if cplan.a_pad > cplan.a:
+        v = jnp.pad(v, ((0, 0), (0, cplan.a_pad - cplan.a)),
+                    constant_values=fill)
+    return v
+
+
+def _lane_blocks_to_slots(v, cplan: CompactPlan):
+    """(NB, a_pad) -> (ns,)."""
+    return v[:, :cplan.a].reshape(-1)
+
+
+def middle_compact_blocks(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
+                          params: NepParams):
+    """middle_compact in the kernels' native block layout: channel axes on
+    sublanes, atoms on the 128-lane axis — (NB, C, A) instead of (ns, C).
+
+    Eliminates the (ns, CH) <-> block transposes that dominated the round-3
+    "middle + cot pack" phase (blocks_to_slots / slots_to_blocks moved ~1 GB
+    per step at 1M atoms), and gives every contraction the natural TPU
+    layout.  Shapes: s_rad (NB, T*KR1, A), e_zbl (NB, A),
+    s_flat (NB, NA1*NLM, A), ti int32 (NB, A), mask (NB, A).
+    """
+    dtype = s_rad.dtype
+    nb = s_rad.shape[0]
+    a = s_rad.shape[-1]
+    t = model.num_types
+    kr1 = model.basis_size_radial + 1
+    na1 = model.n_max_angular + 1
+    nlm = model.l_max * (model.l_max + 2)
+    s_r = s_rad.reshape(nb, t, kr1, a)
+    c_r = params.c_radial.astype(dtype)  # (T, T, NR1, KR1)
+    q_rad = 0.0
+    for a_t in range(t):
+        own = (ti == a_t)[:, None, :]
+        q_rad = q_rad + jnp.where(
+            own,
+            jnp.einsum("btka,tnk->bna", s_r, c_r[a_t],
+                       preferred_element_type=dtype),
+            0.0,
+        )
+    s = s_flat.reshape(nb, na1, nlm, a)
+    q_ang = _angular_q(s, model, dtype, channels_last=False)
+    q = jnp.concatenate([q_rad, q_ang.reshape(nb, -1, a)], axis=1)
+    q = q * params.q_scaler.astype(dtype)[None, :, None]
+
+    # ANN, all type branches then select (ann_energy in block layout)
+    w0 = params.w0.astype(dtype)  # (T, U, D)
+    b0 = params.b0.astype(dtype)  # (T, U)
+    w1 = params.w1.astype(dtype)  # (T, U)
+    x1 = jnp.tanh(
+        jnp.einsum("bda,tud->btua", q, w0, preferred_element_type=dtype)
+        - b0[None, :, :, None]
+    )
+    e_t = (
+        jnp.einsum("btua,tu->bta", x1, w1)
+        - params.b1_type.astype(dtype)[None, :, None]
+    )
+    e = 0.0
+    for a_t in range(t):
+        e = jnp.where(ti == a_t, e_t[:, a_t], e)
+    e = e - params.b1.astype(dtype)
+    return (e + e_zbl) * mask
+
+
 class CompactNepOutput(NamedTuple):
     energy: jnp.ndarray  # (n_slots,)
     force: jnp.ndarray  # (n_slots, 3)
@@ -1036,12 +1123,37 @@ def compact_nep_compute(
     per_atom_virial: bool = False,
     interpret: Optional[bool] = None,
 ) -> CompactNepOutput:
+    with jax.default_matmul_precision("high"):
+        return _compact_nep_compute(
+            position_slots, type_slots, slot_mask, box, cplan, idx, model,
+            params, per_atom_virial, interpret)
+
+
+def _compact_nep_compute(
+    position_slots,
+    type_slots,
+    slot_mask,
+    box: Box,
+    cplan: CompactPlan,
+    idx,
+    model: NepModel,
+    params: NepParams,
+    per_atom_virial: bool = False,
+    interpret: Optional[bool] = None,
+) -> CompactNepOutput:
     """Full compact-tile NEP evaluation on dense slot state.
 
     `idx` comes from build_indices at the last rebin; positions may have
     drifted up to skin/2 since (Verlet criterion — the cutoff functions mask
     pairs that left the cutoff, and no pair can have entered from outside
     the rc+skin list).
+
+    Matmul precision: everything here runs under default_matmul_precision
+    "high" (bf16_3x, ~19 mantissa bits).  TPU's DEFAULT bf16 MXU passes put
+    ~0.4% relative noise on the descriptor/ANN chain and its VJP — measured
+    3.4% RMS per-atom force error vs the f64 list path at 32k, which is
+    resampled every step and rectifies into +2.9e-2 eV/atom/ns NVE heating
+    (round-3 drift hunt; the <1e-5 gate needs force noise < ~1e-5 rel).
     """
     plan = cplan.base
     spec = CompactSpec.from_model(model, params)
@@ -1054,35 +1166,49 @@ def compact_nep_compute(
     cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
     k1, tiles = k1_call(centers, cand, idx, cplan, spec, interpret)
-    flat = blocks_to_slots(k1, cplan)  # (ns, CH)
     sr = spec.sr
     nsd = spec.na1 * spec.nlm
+    nz, ny = plan.grid[2], plan.grid[1]
+    nb = nz * ny * cplan.nxb
+    a_pad = cplan.a_pad
+
+    # block layout throughout the middle: (NB, C, A) with atoms on lanes —
+    # no (ns, CH) <-> block transposes (round-3 phase profile)
+    k1f = k1.reshape(nb, spec.ch, a_pad)
+    ti_b = _slots_to_lane_blocks(type_slots.astype(jnp.int32), cplan, 0)
+    mask_b = _slots_to_lane_blocks(slot_mask, cplan, 0.0)
 
     def mid(srad, ez, sf):
-        return middle_compact(srad, ez, sf, type_slots, slot_mask, model,
-                              params)
+        return middle_compact_blocks(srad, ez, sf, ti_b, mask_b, model,
+                                     params)
 
-    e_atom, vjp_mid = jax.vjp(
-        mid, flat[:, :sr], flat[:, sr], flat[:, sr + 1:sr + 1 + nsd]
+    e_blk, vjp_mid = jax.vjp(
+        mid, k1f[:, :sr], k1f[:, sr], k1f[:, sr + 1:sr + 1 + nsd]
     )
-    cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_atom))
+    cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_blk))
+    e_atom = _lane_blocks_to_slots(e_blk, cplan)
 
     ch_pad = spec.ch - (sr + 1 + nsd)
     cotc_flat = jnp.concatenate(
         [cot_sr, cot_z[:, None], cot_s]
-        + ([jnp.zeros((cot_sr.shape[0], ch_pad), dtype)] if ch_pad else []),
-        axis=-1,
+        + ([jnp.zeros((nb, ch_pad, a_pad), dtype)] if ch_pad else []),
+        axis=1,
     )
-    cotc = slots_to_blocks(cotc_flat, cplan)
+    cotc = cotc_flat.reshape(nz, ny, cplan.nxb, spec.ch, a_pad)
 
     wpad = spec.wch - (sr + 1)
-    cotw_flat = jnp.concatenate(
+    cotw_rows = jnp.concatenate(
         [cot_sr, cot_z[:, None]]
-        + ([jnp.zeros((cot_sr.shape[0], wpad), dtype)] if wpad else []),
-        axis=-1,
-    )
+        + ([jnp.zeros((nb, wpad, a_pad), dtype)] if wpad else []),
+        axis=1,
+    ).reshape(nz, ny, cplan.nxb, spec.wch, a_pad)
+    # blocks -> ghost row grid: one 16-channel relayout (vs the round-3
+    # full (ns, C) round trip), then the regular window pack
+    rows = cotw_rows[..., :cplan.a]
+    rows = jnp.moveaxis(rows, 2, 3).reshape(
+        nz, ny, spec.wch, cplan.nxb * cplan.a)
     cotw = pack_block_windows(
-        pack_ghost_vals(cotw_flat, plan), plan, cplan.bx, cplan.wl,
+        pack_ghost_rows(rows, plan), plan, cplan.bx, cplan.wl,
         far_channels=0,
     )
 

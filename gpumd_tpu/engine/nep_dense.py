@@ -258,6 +258,11 @@ def _tile_chunk(cx, cy, cz, wx, wy, wz, ct, wt, spec: DenseNepSpec):
         y_stack,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=dtype,
+        # in-kernel: explicit HIGHEST (full f32) — the surrounding
+        # default_matmul_precision("high") context would leak HIGH here,
+        # which Mosaic's dot lowering rejects; and DEFAULT bf16 on the
+        # angular descriptor assembly breaks the NVE drift gate
+        precision=jax.lax.Precision.HIGHEST,
     )  # (cap, ch_a, NLM)
     return s_out, a_out
 
@@ -723,9 +728,31 @@ def dense_nep_compute_v2(
     interpret: Optional[bool] = None,
 ) -> DenseNepOutput:
     """v2 fused evaluation: XLA packs per-cell candidates, Pallas runs one
-    lane-aligned tile per cell (see module banner)."""
+    lane-aligned tile per cell (see module banner).
+
+    Runs under matmul precision "high": TPU DEFAULT bf16 MXU passes put
+    ~0.4% noise per contraction on the descriptor/ANN chain, which breaks
+    the NVE drift gate (see compact_nep_compute precision note)."""
     from gpumd_tpu.engine.grid import fold_candidate_grad, pack_candidates
 
+    with jax.default_matmul_precision("high"):
+        return _dense_nep_compute_v2(
+            position_slots, type_slots, slot_mask, box, plan, model, params,
+            interpret, fold_candidate_grad, pack_candidates)
+
+
+def _dense_nep_compute_v2(
+    position_slots,
+    type_slots,
+    slot_mask,
+    box: Box,
+    plan: DenseGridPlan,
+    model: NepModel,
+    params: NepParams,
+    interpret,
+    fold_candidate_grad,
+    pack_candidates,
+) -> DenseNepOutput:
     spec = DenseNepSpec.from_model(model)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -285,10 +285,14 @@ class ShardedDenseMD:
         )
         def sharded_force(pos_z, typ_z, mask_z, box):
             ns_l = pos_z.shape[0] * pos_z.shape[1]
-            e, f, w = force_fn(
-                pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
-                mask_z.reshape(ns_l), box,
-            )
+            # matmul precision "high": see compact_nep_compute — DEFAULT
+            # bf16 MXU noise on the descriptor/ANN chain breaks the NVE
+            # drift gate
+            with jax.default_matmul_precision("high"):
+                e, f, w = force_fn(
+                    pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
+                    mask_z.reshape(ns_l), box,
+                )
             return (
                 e.reshape(pos_z.shape[0], -1),
                 f.reshape(pos_z.shape[0], -1, 3),

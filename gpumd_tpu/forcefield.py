@@ -146,6 +146,14 @@ class ForceField:
         return self._evaluate(state._replace(position=pos), nbr)
 
     def _evaluate(self, state: MDState, nbr: NeighborList) -> MDState:
+        # matmul precision "high" (bf16_3x): TPU's DEFAULT single-pass bf16
+        # MXU contractions put ~0.4% relative noise on descriptor/ANN chains
+        # and their VJPs, which breaks the NVE drift gate (measured on the
+        # compact engine, see engine/nep_compact.py precision note)
+        with jax.default_matmul_precision("high"):
+            return self._evaluate_prec(state, nbr)
+
+    def _evaluate_prec(self, state: MDState, nbr: NeighborList) -> MDState:
         e = jnp.zeros_like(state.potential_energy)
         f = jnp.zeros_like(state.force)
         w = jnp.zeros_like(state.virial)

@@ -119,10 +119,14 @@ def _angular_components(u, gn12, l_max: int, dtype):
     )
 
 
-def _angular_q(s, model: NepModel, dtype):
+def _angular_q(s, model: NepModel, dtype, channels_last: bool = True):
     """Rotation invariants from s components.
 
-    Returns (B, num_l, NA1) laid out L-major (find_q ordering).
+    With channels_last (the list path): s is (B, NA1, NLM), returns
+    (B, num_l, NA1) laid out L-major (find_q ordering).  With
+    channels_last=False (the compact engine's block layout, atoms on the
+    TPU lane axis): s is (B, NA1, NLM, A), returns (B, num_l, NA1, A) —
+    identical math, lm-channel axis at -2.
     """
     l_max = model.l_max
     c3b = tables.c3b_flat(l_max)
@@ -131,17 +135,29 @@ def _angular_q(s, model: NepModel, dtype):
     for L in range(1, l_max + 1):
         w += [1.0] + [2.0] * (2 * L)
     w = np.asarray(w) * c3b
+    if channels_last:
+        def pick(k):
+            return s[..., k]
+
+        def q3_term(lo, hi, wl):
+            return jnp.einsum("...nc,c->...n", s[..., lo:hi] ** 2, wl)
+    else:
+        def pick(k):
+            return s[..., k, :]
+
+        def q3_term(lo, hi, wl):
+            return jnp.einsum("...nca,c->...na", s[..., lo:hi, :] ** 2, wl)
     q3 = []
     for L in range(1, l_max + 1):
         lo, hi = L * L - 1, (L + 1) * (L + 1) - 1
         wl = jnp.asarray(w[lo:hi], dtype=dtype)
-        q3.append(jnp.einsum("pnc,c->pn", s[..., lo:hi] ** 2, wl))
-    q = q3  # list of (B, NA1)
+        q3.append(q3_term(lo, hi, wl))
+    q = q3  # list of (B, NA1[, A])
 
     has = model.has_q
     if has[0]:  # q_222: cubic L=2 invariant (find_q, C4B)
         c4 = tables.C4B
-        s3, s4, s5, s6, s7 = (s[..., k] for k in range(3, 8))
+        s3, s4, s5, s6, s7 = (pick(k) for k in range(3, 8))
         q.append(
             c4[0] * s3**3
             + c4[1] * s3 * (s4**2 + s5**2)
@@ -151,13 +167,14 @@ def _angular_q(s, model: NepModel, dtype):
         )
     if has[1]:  # q_1111: quartic L=1 invariant (C5B)
         c5 = tables.C5B
-        s0sq = s[..., 0] ** 2
-        s12sq = s[..., 1] ** 2 + s[..., 2] ** 2
+        s0sq = pick(0) ** 2
+        s12sq = pick(1) ** 2 + pick(2) ** 2
         q.append(c5[0] * s0sq**2 + c5[1] * s0sq * s12sq + c5[2] * s12sq**2)
     # Extended 4-body invariants mixing different L channels
     # (ref: find_q, nep_utilities.cuh:1578-1700). s component indices:
     # L=1 -> 0..2, L=2 -> 3..7, L=3 -> 8..14, L=4 -> 15..23.
-    sc = [s[..., k] for k in range(s.shape[-1])] if any(has[2:]) else None
+    nlm_total = s.shape[-1] if channels_last else s.shape[-2]
+    sc = [pick(k) for k in range(nlm_total)] if any(has[2:]) else None
     if has[2]:  # q_112 (L=1 x L=1 x L=2)
         c = tables.C4B2
         q.append(
@@ -508,6 +525,10 @@ class NEP(NamedTuple):
         def energy_fn(r12):
             return self.per_atom_energy(r12, type_, t2)
 
-        return compute_from_pair_energy(
-            energy_fn, nbr, mask, per_atom_virial=per_atom_virial
-        )
+        # matmul precision "high": TPU DEFAULT bf16 MXU passes put ~0.4%
+        # noise on the ANN/descriptor contractions and their VJP, which
+        # breaks the NVE drift gate (see compact_nep_compute)
+        with jax.default_matmul_precision("high"):
+            return compute_from_pair_energy(
+                energy_fn, nbr, mask, per_atom_virial=per_atom_virial
+            )

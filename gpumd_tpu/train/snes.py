@@ -490,8 +490,12 @@ class SNESTrainer:
             self.lambda_2,
         )
 
+        # batch must be a traced ARGUMENT: closing over it bakes the whole
+        # training set in as XLA constants and compile-time constant-folding
+        # then evaluates descriptor-sized tensors over the full dataset
+        # (round-3: 80+ min compiles on the 25-config PbTe example)
         @jax.jit
-        def run_chunk(state):
+        def run_chunk(state, batch):
             def body(st, _):
                 st, metrics = gen_step(st, batch)
                 return st, metrics
@@ -501,7 +505,7 @@ class SNESTrainer:
         t0 = time.time()
         done = 0
         while done < gens:
-            self.state, metrics = run_chunk(self.state)
+            self.state, metrics = run_chunk(self.state, batch)
             done += chunk
             last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             self.best_theta = np.asarray(last["best_theta"])
