@@ -124,6 +124,69 @@ def ewald_kvectors(lattice, alpha: float):
     return np.asarray(ks), np.asarray(gs)
 
 
+def _host_neighbors(pos, lattice, pbc, rc, mn, ci):
+    """Pure-numpy per-frame neighbor build (MIC + periodic images).
+
+    Dataset prep must NOT touch the accelerator: the device path
+    (neighbor_brute) costs one remote compile per distinct frame shape and
+    a blocking device round-trip per frame — on a tunneled TPU the PbTe
+    example's 25-frame build sat for hours behind other device work
+    (round-3 trainer-parity wedge).  Same semantics as neighbor_brute +
+    num_replicas_for_cutoff (box.py); training cells are small, so host
+    numpy is milliseconds per frame.
+    """
+    n = pos.shape[0]
+    h = lattice.T  # columns = lattice vectors (Box convention)
+    h_inv = np.linalg.inv(h)
+    pbcf = np.asarray([1.0 if p else 0.0 for p in pbc])
+    vol = abs(np.linalg.det(h))
+    a1, a2, a3 = h[:, 0], h[:, 1], h[:, 2]
+    thick = [
+        vol / np.linalg.norm(np.cross(a2, a3)),
+        vol / np.linalg.norm(np.cross(a3, a1)),
+        vol / np.linalg.norm(np.cross(a1, a2)),
+    ]
+    reps = [
+        max(0, int(np.ceil(rc / thick[d] + 0.5 - 1e-9)) - 1)
+        if pbcf[d] > 0 else 0
+        for d in range(3)
+    ]
+    sf = np.stack(
+        np.meshgrid(*[np.arange(-r, r + 1) for r in reps], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float64)
+    zi = int(np.argmax(np.all(sf == 0, axis=1)))
+    sf[[0, zi]] = sf[[zi, 0]]  # zero shift first (self-exclusion below)
+    shifts = sf @ h.T  # (n_img, 3)
+
+    out_idx = np.zeros((n, mn), np.int32)
+    out_r12 = np.full((n, mn, 3), 1.0e5, np.float64)
+    out_msk = np.zeros((n, mn), np.float64)
+    rc2 = rc * rc
+    blk = 512
+    for lo in range(0, n, blk):
+        hi = min(n, lo + blk)
+        rij = pos[None, :, :] - pos[lo:hi, None, :]  # j - i
+        s = rij @ h_inv.T
+        s = s - np.round(s) * pbcf[None, None, :]
+        rij = s @ h.T
+        d_all = rij[:, :, None, :] + shifts[None, None, :, :]
+        d2 = np.einsum("bjmk,bjmk->bjm", d_all, d_all)
+        valid = d2 < rc2
+        valid[np.arange(hi - lo), np.arange(lo, hi), 0] = False  # self
+        for b in range(hi - lo):
+            jj, mm = np.nonzero(valid[b])
+            cnt = len(jj)
+            if cnt > mn:
+                raise ValueError(
+                    f"config {ci}: neighbor overflow ({cnt} > {mn})"
+                )
+            out_idx[lo + b, :cnt] = jj
+            out_r12[lo + b, :cnt] = d_all[b, jj, mm]
+            out_msk[lo + b, :cnt] = 1.0
+    return out_idx, out_r12, out_msk
+
+
 def batch_structures(
     frames: Sequence[XYZFrame],
     symbols: Sequence[str],
@@ -164,23 +227,14 @@ def batch_structures(
         n = f.n_atoms
         if n > a:
             raise ValueError(f"config {ci} has {n} atoms > max_atoms {a}")
-        box = Box.from_lattice(f.lattice, pbc=f.pbc, dtype=jnp.float64)
-        reps = num_replicas_for_cutoff(box, rc)
-        nbr = neighbor_brute(
-            jnp.asarray(f.positions, jnp.float64),
-            box,
-            jnp.ones(n),
-            rc=rc,
-            mn=mn,
-            reps=reps,
+        h_idx, h_r12, h_msk = _host_neighbors(
+            np.asarray(f.positions, np.float64),
+            np.asarray(f.lattice, np.float64).reshape(3, 3),
+            f.pbc, rc, mn, ci,
         )
-        if bool(nbr.overflowed()):
-            raise ValueError(
-                f"config {ci}: neighbor overflow ({int(nbr.count.max())} > {mn})"
-            )
-        r12[ci, :n] = np.asarray(nbr.r12, dtype=dtype)
-        idx[ci, :n] = np.asarray(nbr.idx)
-        nbr_mask[ci, :n] = np.asarray(nbr.mask, dtype=dtype)
+        r12[ci, :n] = h_r12.astype(dtype)
+        idx[ci, :n] = h_idx
+        nbr_mask[ci, :n] = h_msk.astype(dtype)
         type_[ci, :n] = [sym_index[s] for s in f.symbols]
         mask[ci, :n] = 1.0
         n_atoms[ci] = n

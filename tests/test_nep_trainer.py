@@ -84,6 +84,7 @@ def test_snes_training_reduces_loss(workdir):
 
 
 @requires_reference
+@pytest.mark.slow  # consumes the nep.txt produced by the slow training test
 def test_trained_nep_txt_loads_in_md(workdir):
     """The trainer's nep.txt must round-trip through the MD-side loader and
     produce the same energies as the trainer-side evaluation."""
@@ -114,6 +115,7 @@ def test_trained_nep_txt_loads_in_md(workdir):
 
 
 @requires_reference
+@pytest.mark.slow  # consumes loss.out/nep.txt from the slow training test
 def test_prediction_mode(workdir):
     from gpumd_tpu.app.nep import main
 
