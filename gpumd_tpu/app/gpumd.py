@@ -243,6 +243,15 @@ class Session:
             self.type_names = list(pot.model.symbols)
         elif name.startswith("nep"):
             pot = NEP.from_file(path)
+            # foundation models (nep89): slice the type tables down to the
+            # species present in model.xyz so the T^2-unrolled fast engines
+            # stay open (identical numerics; ref nep.cu:100-395 carries the
+            # full table into the kernel instead)
+            present = set(self.symbols)
+            if 0 < len(present & set(pot.model.symbols)) < pot.model.num_types \
+                    and present <= set(pot.model.symbols):
+                pot = pot.restrict(sorted(
+                    present, key=list(pot.model.symbols).index))
             self.type_names = list(pot.model.symbols)
         else:
             raise ValueError(f"unsupported potential type {name!r}")
@@ -1394,6 +1403,34 @@ class Session:
         )
         self._finish_dense_run()
 
+    def _wire_nep_temperature(self, ens):
+        """temperature-dependent NEP (model_type 3): feed the ensemble
+        target temperature (ref: run.cu:679-681 sets force.temperature =
+        temperature1).  Applies to the list AND dense engine paths."""
+        import dataclasses
+
+        from gpumd_tpu.potentials.nep.model import NEP as _NEP
+
+        if not any(
+            isinstance(p, _NEP) and p.model.model_type == 3
+            for p in self.potentials
+        ):
+            return
+        t_tgt = getattr(ens, "t0", None) or getattr(ens, "t1", None)
+        if t_tgt is None:
+            raise ValueError(
+                "temperature-mode NEP needs a thermostatted ensemble"
+            )
+        self.potentials = [
+            p._replace(temperature=float(t_tgt))
+            if isinstance(p, _NEP) and p.model.model_type == 3
+            else p
+            for p in self.potentials
+        ]
+        self.ff = dataclasses.replace(
+            self.ff, potentials=tuple(self.potentials)
+        )
+
     def kw_run(self, args):
         self._require_state()
         n_steps = int(args[0])
@@ -1411,6 +1448,7 @@ class Session:
                 ens = _dc.replace(ens, n_steps=n_steps)
             if self.mobile_mask is not None and hasattr(ens, "mobile"):
                 ens = _dc.replace(ens, mobile=self.mobile_mask)
+            self._wire_nep_temperature(ens)
             return self._run_dense(n_steps, ens)
         ens = self.ensemble
         import dataclasses
@@ -1428,28 +1466,7 @@ class Session:
 
             ens = DeformWrapper(inner=ens, rate=deform)
 
-        # temperature-dependent NEP: feed the ensemble target temperature
-        # (ref: run.cu:679-681 sets force.temperature = temperature1)
-        from gpumd_tpu.potentials.nep.model import NEP as _NEP
-
-        if any(
-            isinstance(p, _NEP) and p.model.model_type == 3
-            for p in self.potentials
-        ):
-            t_tgt = getattr(ens, "t0", None) or getattr(ens, "t1", None)
-            if t_tgt is None:
-                raise ValueError(
-                    "temperature-mode NEP needs a thermostatted ensemble"
-                )
-            self.potentials = [
-                p._replace(temperature=float(t_tgt))
-                if isinstance(p, _NEP) and p.model.model_type == 3
-                else p
-                for p in self.potentials
-            ]
-            self.ff = dataclasses.replace(
-                self.ff, potentials=tuple(self.potentials)
-            )
+        self._wire_nep_temperature(ens)
 
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in self.measure_props

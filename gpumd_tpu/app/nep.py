@@ -111,6 +111,11 @@ def run_prediction(cfg, model, batches, workdir, log=print, tag="train"):
 
 
 def main(argv=None):
+    # bf16_3x matmuls throughout training: TPU's DEFAULT single-pass bf16
+    # MXU puts ~0.4% relative noise on descriptor/ANN contractions — the
+    # trainer's reported RMSEs and late-stage convergence need better (see
+    # engine/nep_compact.py precision note; ref trains in full f32)
+    jax.config.update("jax_default_matmul_precision", "high")
     argv = argv if argv is not None else sys.argv[1:]
     workdir = argv[0] if argv else "."
     cfg = parse_nep_in(os.path.join(workdir, "nep.in"))

@@ -181,6 +181,7 @@ class DenseNEPMD:
                 self.cplan, idx, self.nep.model, self.nep.params,
                 per_atom_virial=self.per_atom_virial,
                 interpret=self.interpret,
+                temperature=self.nep.temperature,
             )
             f = out.force
             if out.virial_atom is not None:

@@ -318,14 +318,18 @@ class CompactSpec(NamedTuple):
 
     @staticmethod
     def from_model(model: NepModel, params: NepParams) -> "CompactSpec":
-        if model.model_type != 0:
+        if model.model_type not in (0, 3):
             raise NotImplementedError(
-                "compact engine: potential models only (dipole/pol/"
-                "temperature use the list path)")
-        if model.num_types > 4:
+                "compact engine: potential / temperature models only "
+                "(dipole/pol observables use the list path)")
+        if model.num_types > 8:
+            # foundation models (nep89) should be NEP.restrict()-ed to the
+            # species present in the simulation first — the app does this;
+            # the per-pair c-tensor unroll grows as T^2 in-kernel
             raise NotImplementedError(
-                "compact engine: <= 4 species (the per-pair c-tensor "
-                "unroll grows as T^2; use the list path beyond)")
+                "compact engine: <= 8 SIMULATED species (restrict the "
+                "model to the present species, NEP.restrict, or use the "
+                "list path)")
         zbl_flex = ()
         if model.zbl and model.zbl_flexible:
             zbl_flex = tuple(
@@ -1004,37 +1008,6 @@ def build_indices(centers, cand, cplan: CompactPlan, rc_a_max: float):
     return idx, jnp.all(oks)
 
 
-def middle_compact(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
-                   params: NepParams):
-    """c-tensor contraction + invariants + ANN from the kernel's
-    type-resolved sums — shares _angular_q / ann_energy with the list path
-    (golden-covered).  s_rad is (ns, T*KR1): q_n = c[t_i, t, n, k] S[t, k]
-    (the kernel only accumulates S; the per-pair c-contraction was the
-    dominant K1 cost, round-3 profile)."""
-    dtype = s_rad.dtype
-    ns = s_rad.shape[0]
-    t = model.num_types
-    kr1 = model.basis_size_radial + 1
-    na1 = model.n_max_angular + 1
-    nlm = model.l_max * (model.l_max + 2)
-    s_r = s_rad.reshape(ns, t, kr1)
-    c_r = params.c_radial.astype(dtype)  # (T, T, NR1, KR1)
-    q_rad = 0.0
-    for a_t in range(t):
-        own = (ti == a_t)[:, None]
-        q_rad = q_rad + jnp.where(
-            own,
-            jnp.einsum("ptk,tnk->pn", s_r, c_r[a_t],
-                       preferred_element_type=dtype),
-            0.0,
-        )
-    s = s_flat.reshape(ns, na1, nlm)
-    q_ang = _angular_q(s, model, dtype)
-    q = jnp.concatenate([q_rad, q_ang.reshape(ns, -1)], axis=-1)
-    q = q * params.q_scaler.astype(dtype)
-    return (ann_energy(q, ti, params, dtype) + e_zbl) * mask
-
-
 def _slots_to_lane_blocks(vals, cplan: CompactPlan, fill):
     """Per-slot 1-D array (ns,) -> (NB, a_pad): pure reshape + lane pad (the
     slot order is already block-major), no transpose."""
@@ -1052,15 +1025,23 @@ def _lane_blocks_to_slots(v, cplan: CompactPlan):
 
 
 def middle_compact_blocks(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
-                          params: NepParams):
-    """middle_compact in the kernels' native block layout: channel axes on
+                          params: NepParams, temperature=None):
+    """c-tensor contraction + invariants + ANN from the kernels'
+    type-resolved sums, in their native block layout: channel axes on
     sublanes, atoms on the 128-lane axis — (NB, C, A) instead of (ns, C).
+    s_rad carries S[t, k] sums: q_n = c[t_i, t, n, k] S[t, k] (the kernel
+    only accumulates S; the per-pair c-contraction was the dominant K1
+    cost, round-3 profile).
 
-    Eliminates the (ns, CH) <-> block transposes that dominated the round-3
-    "middle + cot pack" phase (blocks_to_slots / slots_to_blocks moved ~1 GB
-    per step at 1M atoms), and gives every contraction the natural TPU
-    layout.  Shapes: s_rad (NB, T*KR1, A), e_zbl (NB, A),
-    s_flat (NB, NA1*NLM, A), ti int32 (NB, A), mask (NB, A).
+    The block layout eliminates the (ns, CH) <-> block transposes that
+    dominated the round-3 "middle + cot pack" phase (blocks_to_slots /
+    slots_to_blocks moved ~1 GB per step at 1M atoms), and gives every
+    contraction the natural TPU layout.  Shapes: s_rad (NB, T*KR1, A),
+    e_zbl (NB, A), s_flat (NB, NA1*NLM, A), ti int32 (NB, A), mask (NB, A).
+
+    `temperature` (model_type 3, nep*_temperature): appended as the last
+    descriptor channel before q_scaler, matching the list path
+    (model.py _block_energy; ref: nep.cu:1483).
     """
     dtype = s_rad.dtype
     nb = s_rad.shape[0]
@@ -1083,6 +1064,9 @@ def middle_compact_blocks(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
     s = s_flat.reshape(nb, na1, nlm, a)
     q_ang = _angular_q(s, model, dtype, channels_last=False)
     q = jnp.concatenate([q_rad, q_ang.reshape(nb, -1, a)], axis=1)
+    if model.model_type == 3:
+        tcol = jnp.full((nb, 1, a), temperature, dtype)
+        q = jnp.concatenate([q, tcol], axis=1)
     q = q * params.q_scaler.astype(dtype)[None, :, None]
 
     # ANN, all type branches then select (ann_energy in block layout)
@@ -1122,11 +1106,12 @@ def compact_nep_compute(
     params: NepParams,
     per_atom_virial: bool = False,
     interpret: Optional[bool] = None,
+    temperature=None,
 ) -> CompactNepOutput:
     with jax.default_matmul_precision("high"):
         return _compact_nep_compute(
             position_slots, type_slots, slot_mask, box, cplan, idx, model,
-            params, per_atom_virial, interpret)
+            params, per_atom_virial, interpret, temperature)
 
 
 def _compact_nep_compute(
@@ -1140,6 +1125,7 @@ def _compact_nep_compute(
     params: NepParams,
     per_atom_virial: bool = False,
     interpret: Optional[bool] = None,
+    temperature=None,
 ) -> CompactNepOutput:
     """Full compact-tile NEP evaluation on dense slot state.
 
@@ -1157,6 +1143,10 @@ def _compact_nep_compute(
     """
     plan = cplan.base
     spec = CompactSpec.from_model(model, params)
+    if model.model_type == 3 and temperature is None:
+        raise ValueError(
+            "temperature-mode NEP needs `temperature` (the app wires the "
+            "ensemble target temperature)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dtype = position_slots.dtype
@@ -1180,7 +1170,7 @@ def _compact_nep_compute(
 
     def mid(srad, ez, sf):
         return middle_compact_blocks(srad, ez, sf, ti_b, mask_b, model,
-                                     params)
+                                     params, temperature=temperature)
 
     e_blk, vjp_mid = jax.vjp(
         mid, k1f[:, :sr], k1f[:, sr], k1f[:, sr + 1:sr + 1 + nsd]

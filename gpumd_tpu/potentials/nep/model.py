@@ -352,6 +352,79 @@ class NEP(NamedTuple):
         model, params = load_nep_txt(path, dtype=dtype)
         return NEP(model=model, params=params)
 
+    def restrict(self, present_symbols) -> "NEP":
+        """NEP sliced to the species actually present in a simulation.
+
+        Foundation models (nep89-style, ref: src/force/nep.cu:100-395
+        handles them with full type tables in the kernel) carry up to 89
+        trained types, but the dense/compact TPU engines unroll per-pair
+        type branches as T^2 — intractable at 89.  Any one simulation
+        contains only a few species, so slicing the type tables to the
+        present set (preserving model order) keeps the fast path open with
+        IDENTICAL numerics: every per-type table is gathered by (t_i, t_j)
+        only.  System type codes must be remapped with the returned
+        model's symbol order.
+        """
+        import dataclasses
+
+        old = [str(s) for s in self.model.symbols]
+        present = [s for s in old if s in set(present_symbols)]
+        missing = set(present_symbols) - set(old)
+        if missing:
+            raise ValueError(f"species {sorted(missing)} not in the model")
+        sel = np.asarray([old.index(s) for s in present])
+        m = self.model
+        model = dataclasses.replace(
+            m,
+            num_types=len(present),
+            symbols=tuple(present),
+            atomic_numbers=tuple(m.atomic_numbers[i] for i in sel),
+            rc_radial=tuple(m.rc_radial[i] for i in sel),
+            rc_angular=tuple(m.rc_angular[i] for i in sel),
+        )
+        p = self.params
+
+        def tsel(a):
+            return None if a is None else a[sel]
+
+        zbl_flex = None
+        if p.zbl_flex is not None:
+            t_old = m.num_types
+
+            def pidx(a, b, t):
+                a, b = min(a, b), max(a, b)
+                return a * t - (a * (a - 1)) // 2 + (b - a)
+
+            rows = [
+                pidx(int(sel[a]), int(sel[b]), t_old)
+                for a in range(len(sel))
+                for b in range(a, len(sel))
+            ]
+            zbl_flex = p.zbl_flex[np.asarray(rows)]
+        params = p._replace(
+            w0=tsel(p.w0), b0=tsel(p.b0), w1=tsel(p.w1),
+            b1_type=tsel(p.b1_type),
+            c_radial=p.c_radial[sel][:, sel],
+            c_angular=p.c_angular[sel][:, sel],
+            zbl_flex=zbl_flex,
+            w0_pol=tsel(p.w0_pol), b0_pol=tsel(p.b0_pol),
+            w1_pol=tsel(p.w1_pol),
+            w1_charge=tsel(p.w1_charge),
+        )
+        return self._replace(model=model, params=params)
+
+    def remap_types(self, types, original_symbols) -> np.ndarray:
+        """Map type codes of the ORIGINAL (unrestricted) model to this
+        model's compact codes."""
+        old = [str(s) for s in original_symbols]
+        lut = np.full(len(old), -1, np.int32)
+        for i, s in enumerate(self.model.symbols):
+            lut[old.index(s)] = i
+        out = lut[np.asarray(types)]
+        if (out < 0).any():
+            raise ValueError("types present that the restricted model lacks")
+        return out
+
     # ---- descriptor + energy ------------------------------------------------
 
     def pair_energies(self, r12, t1, t2):

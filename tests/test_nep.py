@@ -320,3 +320,58 @@ def test_temperature_mode(rng):
             mask).energy)
         fd = -(float(ep) - float(em)) / (2 * h)
         assert np.isclose(fd, float(out.force[3, k]), rtol=1e-5, atol=1e-7)
+
+
+def test_restrict_foundation_model(rng):
+    """nep89-style foundation model: NEP.restrict slices the type tables to
+    the species present in a simulation with IDENTICAL numerics, keeping
+    the T^2-unrolled fast engines open (ref: nep.cu:100-395 instead carries
+    the full 89-type table into the kernel)."""
+    import string
+
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+
+    t_full = 89
+    syms = tuple(
+        f"{a}{b}" for a in string.ascii_uppercase
+        for b in string.ascii_lowercase
+    )[:t_full]
+    model = NepModel(
+        version=4, model_type=0, num_types=t_full, symbols=syms,
+        atomic_numbers=tuple(range(1, t_full + 1)),
+        rc_radial=(5.0,) * t_full, rc_angular=(3.5,) * t_full,
+        mn_radial=64, mn_angular=24, n_max_radial=4, n_max_angular=3,
+        basis_size_radial=4, basis_size_angular=3, l_max=4,
+        neurons=8, zbl=True, zbl_rc_inner=0.5, zbl_rc_outer=1.5,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=5))
+
+    # a 3-species system drawn from the middle of the table
+    present = [syms[10], syms[40], syms[70]]
+    n = 24
+    pos = rng.uniform(0, 9.0, (n, 3))
+    box = Box.orthogonal([9.0, 9.0, 9.0])
+    types_full = jnp.asarray(rng.integers(0, 3, n) * 30 + 10, jnp.int32)
+    mask = jnp.ones(n)
+    reps = num_replicas_for_cutoff(box, 5.0)
+    nbr = neighbor_brute(jnp.asarray(pos), box, mask, rc=5.0, mn=64,
+                         reps=reps)
+    out_full = nep.compute(types_full, nbr, mask)
+
+    small = nep.restrict(present)
+    assert small.model.num_types == 3
+    types_small = jnp.asarray(
+        small.remap_types(np.asarray(types_full), model.symbols))
+    out_small = small.compute(types_small, nbr, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(out_small.energy), np.asarray(out_full.energy),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out_small.force), np.asarray(out_full.force),
+        rtol=1e-10, atol=1e-12)
+
+    # and the restricted model qualifies for the compact fast engine
+    from gpumd_tpu.engine.nep_compact import CompactSpec
+
+    CompactSpec.from_model(small.model, small.params)

@@ -98,7 +98,7 @@ def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5):
     out = compact_nep_compute(
         pos_s, types_s, slot_mask, box, cplan, idx,
         nep.model, nep.params, per_atom_virial=per_atom_virial,
-        interpret=True,
+        interpret=True, temperature=nep.temperature,
     )
     inv = np.full(n, -1, np.int64)
     pa = np.asarray(perm)
@@ -171,6 +171,67 @@ def test_compact_four_species():
     box = Box.orthogonal([28.0, 28.0, 28.0])
     pos, types = _random_system(rng, n, [28.0, 28.0, 28.0], num_types=4)
     nep = _model(num_types=4)
+    e_ref, f_ref, w_ref, _ = _list_reference(nep, pos, types, box)
+    e, f, w, _ = _compact(nep, pos, types, box, n)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_compact_restricted_foundation_model():
+    """An 89-type foundation model restricted to 6 present species runs on
+    the compact engine (T in [5, 8] unroll path) and matches the FULL
+    model's list-path forces (ref: nep.cu:100-395 runs foundation models
+    with the full table; here NEP.restrict slices to the present set)."""
+    import string
+
+    rng = np.random.default_rng(13)
+    t_full = 89
+    syms = tuple(
+        f"{a}{b}" for a in string.ascii_uppercase
+        for b in string.ascii_lowercase
+    )[:t_full]
+    model = NepModel(
+        version=4, model_type=0, num_types=t_full, symbols=syms,
+        atomic_numbers=tuple(range(1, t_full + 1)),
+        rc_radial=(8.0,) * t_full, rc_angular=(4.0,) * t_full,
+        mn_radial=96, mn_angular=24, n_max_radial=2, n_max_angular=2,
+        basis_size_radial=2, basis_size_angular=2, l_max=2, neurons=8,
+        zbl=True, zbl_rc_inner=1.0, zbl_rc_outer=2.0,
+    )
+    nep_full = NEP(model=model, params=random_params(model, seed=3,
+                                                     dtype=jnp.float64))
+    present = [syms[i] for i in (4, 17, 33, 52, 68, 81)]
+    n = 260
+    box = Box.orthogonal([28.0, 28.0, 28.0])
+    pos, tsel = _random_system(rng, n, [28.0, 28.0, 28.0], num_types=6)
+    types_full = np.asarray([(4, 17, 33, 52, 68, 81)[t] for t in tsel])
+
+    e_ref, f_ref, w_ref, _ = _list_reference(nep_full, pos, types_full, box)
+
+    small = nep_full.restrict(present)
+    assert small.model.num_types == 6
+    types_small = small.remap_types(types_full, model.symbols)
+    e, f, w, _ = _compact(small, pos, types_small, box, n)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_compact_temperature_model():
+    """model_type 3 (nep*_temperature): the target temperature enters as
+    the last descriptor channel in the middle only (ref: nep.cu:1483);
+    compact engine must match the list path at the same T."""
+    rng = np.random.default_rng(21)
+    n = 220
+    box = Box.orthogonal([27.0, 27.0, 27.0])
+    pos, types = _random_system(rng, n, [27.0, 27.0, 27.0])
+    base = _model()
+    import dataclasses
+
+    model3 = dataclasses.replace(base.model, model_type=3)
+    nep = NEP(model=model3,
+              params=random_params(model3, seed=7, dtype=jnp.float64),
+              temperature=450.0)
     e_ref, f_ref, w_ref, _ = _list_reference(nep, pos, types, box)
     e, f, w, _ = _compact(nep, pos, types, box, n)
     np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
