@@ -43,9 +43,11 @@ def main():
         pack_ghost, pack_ghost_vals,
     )
     from gpumd_tpu.engine.nep_compact import (
-        CompactSpec, block_centers, blocks_to_slots, build_indices,
-        k1_call, k2_call, middle_compact, scatter_call, slots_to_blocks,
+        CompactSpec, _lane_blocks_to_slots, _slots_to_lane_blocks,
+        block_centers, build_indices, k1_call, k2_call,
+        middle_compact_blocks, scatter_call,
     )
+    from gpumd_tpu.engine.grid import pack_ghost_rows
     from gpumd_tpu.integrate.ensembles.nve import NVE
     from gpumd_tpu.integrate.velocity import initialize_velocity
     from gpumd_tpu.model.box import Box
@@ -100,36 +102,50 @@ def main():
     sr = spec.sr
     nsd = spec.na1 * spec.nlm
 
-    def middle(k1b, t, m):
-        flat = blocks_to_slots(k1b, cplan)
+    nz, ny = plan.grid[2], plan.grid[1]
+    nb = nz * ny * cplan.nxb
+    a_pad = cplan.a_pad
+    dtype = st.position.dtype
+    ti_b = jax.jit(lambda t: _slots_to_lane_blocks(
+        t.astype(jnp.int32), cplan, 0))(st.type)
+    mask_b = jax.jit(lambda m: _slots_to_lane_blocks(m, cplan, 0.0))(st.mask)
+
+    def middle(k1b, tb, mb):
+        # mirrors _compact_nep_compute's block-layout middle (round-3 late)
+        k1f = k1b.reshape(nb, spec.ch, a_pad)
 
         def mid(srad, ez, sf):
-            return middle_compact(srad, ez, sf, t, m, model, nep.params)
+            return middle_compact_blocks(srad, ez, sf, tb, mb, model,
+                                         nep.params)
 
-        e_atom, vjp_mid = jax.vjp(
-            mid, flat[:, :sr], flat[:, sr], flat[:, sr + 1:sr + 1 + nsd]
+        e_blk, vjp_mid = jax.vjp(
+            mid, k1f[:, :sr], k1f[:, sr], k1f[:, sr + 1:sr + 1 + nsd]
         )
-        cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_atom))
+        cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_blk))
+        ch_pad = spec.ch - (sr + 1 + nsd)
         cotc_flat = jnp.concatenate(
-            [cot_sr, cot_z[:, None], cot_s], axis=-1)
-        pad = spec.ch - cotc_flat.shape[1]
-        if pad:
-            cotc_flat = jnp.concatenate(
-                [cotc_flat, jnp.zeros((cotc_flat.shape[0], pad),
-                                      cotc_flat.dtype)], axis=-1)
-        cotc = slots_to_blocks(cotc_flat, cplan)
-        wflat = jnp.concatenate([cot_sr, cot_z[:, None]], axis=-1)
-        wpad = spec.wch - wflat.shape[1]
-        if wpad:
-            wflat = jnp.concatenate(
-                [wflat, jnp.zeros((wflat.shape[0], wpad), wflat.dtype)],
-                axis=-1)
-        cotw = pack_block_windows(pack_ghost_vals(wflat, plan), plan,
-                                  cplan.bx, cplan.wl, far_channels=0)
-        return e_atom, cotc, cotw
+            [cot_sr, cot_z[:, None], cot_s]
+            + ([jnp.zeros((nb, ch_pad, a_pad), dtype)] if ch_pad else []),
+            axis=1,
+        )
+        cotc = cotc_flat.reshape(nz, ny, cplan.nxb, spec.ch, a_pad)
+        wpad = spec.wch - (sr + 1)
+        cotw_rows = jnp.concatenate(
+            [cot_sr, cot_z[:, None]]
+            + ([jnp.zeros((nb, wpad, a_pad), dtype)] if wpad else []),
+            axis=1,
+        ).reshape(nz, ny, cplan.nxb, spec.wch, a_pad)
+        rows = cotw_rows[..., :cplan.a]
+        rows = jnp.moveaxis(rows, 2, 3).reshape(
+            nz, ny, spec.wch, cplan.nxb * cplan.a)
+        cotw = pack_block_windows(
+            pack_ghost_rows(rows, plan), plan, cplan.bx, cplan.wl,
+            far_channels=0,
+        )
+        return _lane_blocks_to_slots(e_blk, cplan), cotc, cotw
 
-    t_mid = timeit(middle, k1, st.type, st.mask, reps=reps)
-    _, cotc, cotw = jax.jit(middle)(k1, st.type, st.mask)
+    t_mid = timeit(middle, k1, ti_b, mask_b, reps=reps)
+    _, cotc, cotw = jax.jit(middle)(k1, ti_b, mask_b)
 
     t_k2 = timeit(
         lambda c, tl, i, cc, cw: k2_call(c, tl, i, cc, cw, cplan, spec,
