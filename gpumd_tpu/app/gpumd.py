@@ -1198,16 +1198,22 @@ class Session:
         self.properties.append(PropertyRequest(interval, process))
 
     def kw_engine(self, args):
-        """engine dense|list [n_devices]: route `run` through the fused
-        dense cell-grid NEP engine (engine/dense_md.py; bench hot path) or
-        the z-slab sharded variant when n_devices > 1 (engine/sharded.py).
-        Extension keyword — the reference selects its multi-GPU path by
-        device count (force.cu NEP_MULTIGPU dispatch); here it is explicit.
+        """engine dense|list [n_devices] [axis]: route `run` through the
+        fused dense cell-grid NEP engine (engine/dense_md.py; bench hot
+        path) or the slab-sharded variant when n_devices > 1
+        (engine/sharded.py; `axis` in x|y|z picks the partition direction,
+        like the reference's user-selectable partition,
+        nep_multigpu.cu:1429-1455).  Extension keyword — the reference
+        selects its multi-GPU path by device count (force.cu NEP_MULTIGPU
+        dispatch); here it is explicit.
         """
         self.engine_mode = args[0]
         self.engine_devices = int(args[1]) if len(args) > 1 else 1
+        self.engine_axis = args[2] if len(args) > 2 else "z"
         if self.engine_mode not in ("dense", "list"):
             raise ValueError("engine must be 'dense' or 'list'")
+        if self.engine_axis not in ("x", "y", "z"):
+            raise ValueError("engine partition axis must be x, y or z")
         self.log(f"engine: {self.engine_mode}")
 
     def _run_dense(self, n_steps, ens):
@@ -1346,6 +1352,7 @@ class Session:
         smd = ShardedDenseMD(
             nep, state.box, n, mesh,
             position=np.asarray(state.position)[:n],
+            axis=getattr(self, "engine_axis", "z"),
         )
         block, _ = smd.make_block(ens, self.dt, steps=chunk)
         block = jax.jit(block)
@@ -1361,24 +1368,7 @@ class Session:
             self.global_step += chunk
             # global rebin between blocks (amortized; atoms drift < skin/2
             # within a block for typical chunk sizes)
-            oid_np = np.asarray(oid)
-            valid = oid_np < n
-            inv = np.zeros(n, np.int64)
-            inv[oid_np[valid]] = np.nonzero(valid)[0]
-            take = lambda a: (
-                jnp.asarray(np.asarray(a)[inv]) if a is not None else None
-            )
-            snap = sstate._replace(
-                position=take(sstate.position),
-                velocity=take(sstate.velocity),
-                force=take(sstate.force),
-                mass=take(sstate.mass),
-                type=take(sstate.type),
-                potential_energy=take(sstate.potential_energy),
-                virial=take(sstate.virial),
-                heat_current=take(sstate.heat_current),
-                mask=take(sstate.mask),
-            )
+            snap = smd.gather_input_order(sstate, oid, n)
             pe = float(jnp.sum(snap.potential_energy * snap.mask))
             if not np.isfinite(pe):
                 raise RuntimeError(

@@ -42,6 +42,13 @@ from gpumd_tpu.potentials.nep.model import NEP
 
 AXIS = "slab"
 
+# Partition axis -> coordinate relabeling: internal column k is global
+# column _AXIS_PERM[axis][k], so the chosen global axis becomes the
+# internal z that the slab machinery shards (the reference lets the user
+# pick the partition direction too, nep_multigpu.cu:1429-1455).  Cyclic
+# permutations keep the frame right-handed.
+_AXIS_PERM = {"z": (0, 1, 2), "x": (1, 2, 0), "y": (2, 0, 1)}
+
 
 def _ring_halo(row_lo, row_hi, axis=AXIS):
     """Send my bottom interior row up-ring and top interior row down-ring.
@@ -188,10 +195,32 @@ class ShardedDenseMD:
 
     def __init__(self, nep: NEP, box: Box, n_atoms: int, mesh: Mesh,
                  position: Optional[np.ndarray] = None, skin: float = 1.0,
-                 cap: Optional[int] = None, interpret: Optional[bool] = None):
+                 cap: Optional[int] = None, interpret: Optional[bool] = None,
+                 axis: str = "z"):
         self.nep = nep
         self.mesh = mesh
         self.ndev = mesh.devices.size
+        if axis not in _AXIS_PERM:
+            raise ValueError("partition axis must be x, y or z")
+        self.axis = axis
+        self._perm = np.asarray(_AXIS_PERM[axis])
+        self._iperm = np.argsort(self._perm)
+        self._box_global = box
+        if axis != "z":
+            h = np.asarray(box.h, np.float64)
+            if not np.allclose(h, np.diag(np.diag(h)), atol=1e-9):
+                raise ValueError(
+                    "partition axis x/y needs an orthogonal box")
+            box = Box.orthogonal(
+                np.diag(h)[self._perm],
+                pbc=tuple(
+                    bool(np.asarray(box.pbc)[i] > 0) for i in self._perm
+                ),
+                dtype=box.h.dtype,
+            )
+            if position is not None:
+                position = np.asarray(position)[:, self._perm]
+        self.box = box  # internal frame (chosen axis relabeled to z)
         plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
                          position=position, cap=cap)
         if plan is None:
@@ -230,12 +259,36 @@ class ShardedDenseMD:
             self.interpret = jax.default_backend() != "tpu"
         self.spec = P(AXIS)  # z-major leading axis sharding
 
+    # ---- axis relabeling ----------------------------------------------
+
+    def _relabel(self, state: MDState, perm, box) -> MDState:
+        """Permute the coordinate columns of every 3-vector/3x3 field."""
+        if self.axis == "z":
+            return state
+        p = list(perm)
+        g = lambda a: None if a is None else a[:, p]
+        return state._replace(
+            position=g(state.position),
+            velocity=g(state.velocity),
+            force=g(state.force),
+            virial=state.virial[:, p][:, :, p],
+            heat_current=g(state.heat_current),
+            unwrapped_position=g(state.unwrapped_position),
+            box=box,
+        )
+
+    def to_global(self, state: MDState) -> MDState:
+        """Internal-frame state -> the caller's global frame."""
+        return self._relabel(state, self._iperm, self._box_global)
+
     # ---- global (replicated) rebin -----------------------------------
 
     def bin_state(self, state: MDState, with_id: bool = False):
-        """Input-order state -> slot-ordered arrays (z-major).  With
-        `with_id`, also returns the input-order index of each slot (n for
-        empty slots) so callers can restore atom order for dumps."""
+        """Input-order state (global frame) -> slot-ordered arrays
+        (internal frame, partition-axis-major).  With `with_id`, also
+        returns the input-order index of each slot (n for empty slots) so
+        callers can restore atom order for dumps."""
+        state = self._relabel(state, self._perm, self.box)
         pos_w = state.box.wrap(state.position)
         perm, slot_mask, overflow = bin_dense(
             pos_w, state.box, state.mask, self.plan
@@ -259,6 +312,29 @@ class ShardedDenseMD:
             oid = jnp.where(slot_mask > 0, oid, n)
             return sstate, oid, overflow
         return sstate, overflow
+
+    def gather_input_order(self, sstate: MDState, oid, n: int) -> MDState:
+        """Slot-ordered internal-frame state -> input-order global-frame
+        snapshot (the inverse of bin_state, for dumps/observables)."""
+        oid_np = np.asarray(oid)
+        valid = oid_np < n
+        inv = np.zeros(n, np.int64)
+        inv[oid_np[valid]] = np.nonzero(valid)[0]
+        take = lambda a: (
+            jnp.asarray(np.asarray(a)[inv]) if a is not None else None
+        )
+        snap = sstate._replace(
+            position=take(sstate.position),
+            velocity=take(sstate.velocity),
+            force=take(sstate.force),
+            mass=take(sstate.mass),
+            type=take(sstate.type),
+            potential_energy=take(sstate.potential_energy),
+            virial=take(sstate.virial),
+            heat_current=take(sstate.heat_current),
+            mask=take(sstate.mask),
+        )
+        return self.to_global(snap)
 
     # ---- sharded step block ------------------------------------------
 

@@ -250,3 +250,39 @@ run 6
     e_tot = th[:, 1] + th[:, 2]
     assert np.isfinite(e_tot).all()
     assert abs(e_tot[-1] - e_tot[0]) < 5e-3 * n  # random-NEP NVE drift
+
+
+def test_sharded_axis_x_matches_list(mesh8):
+    """Partition axis selection (ref: the user-selectable partition
+    direction, nep_multigpu.cu:1429-1455): an x-long box sharded along x
+    must reproduce the unsharded list-path forces in the global frame."""
+    from gpumd_tpu.forcefield import ForceField
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    rng = np.random.default_rng(5)
+    nep = _small_model()
+    skin = 0.5
+    lengths = [8 * (4.0 + skin) + 0.4, 14.0, 14.0]  # 8 cell layers along X
+    box = Box.orthogonal(lengths)
+    pos, types = _system(rng, lengths)
+    n = len(pos)
+    state = make_state(pos, np.ones(n), types, box)
+
+    ff = ForceField.create([nep], box, n, mn=64)
+    ref = ff.compute(state)
+
+    smd = ShardedDenseMD(nep, box, n, mesh8, position=pos, skin=skin,
+                         interpret=True, axis="x")
+    assert smd.plan.grid[2] == 8, smd.plan.grid  # internal z = global x
+    sstate, oid, overflow = smd.bin_state(state, with_id=True)
+    assert not bool(overflow)
+    _, compute = smd.make_block(NVE(), 1.0 / TIME_UNIT_CONVERSION, steps=1)
+    st2 = jax.jit(compute)(sstate)
+    snap = smd.gather_input_order(st2, oid, n)
+    np.testing.assert_allclose(
+        np.asarray(snap.force), np.asarray(ref.force), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(snap.potential_energy), np.asarray(ref.potential_energy),
+        rtol=1e-9, atol=1e-10)
