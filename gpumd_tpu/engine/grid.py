@@ -187,20 +187,20 @@ def apply_perm(arr, perm, fill=0.0):
 
 
 def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
-               plan: DenseGridPlan, shift_positions: bool = True):
+               plan: DenseGridPlan):
     """Dense slot state -> ghost-padded (nzg, nyg, 4, (nx+2)*cap) f-array.
 
     The channel axis sits at -2 so Pallas can block single (z, y) rows (the
     TPU lowering requires the last two block dims be full-size or 8/128-
     aligned; leading dims may be blocked freely).
 
-    Channels: x, y, z (Cartesian; ghosts carry the lattice shift when
-    shift_positions, else the raw coordinates for engines that apply the
-    minimum-image wrap in-kernel — the f32-rounded shift breaks the exact
-    antisymmetry dx_ij == -dx_ji for boundary pairs, whereas the in-kernel
-    MIC on raw coordinates is exactly antisymmetric by Sterbenz) and
+    Channels: x, y, z (Cartesian, ghosts carry the exact lattice shift) and
     type (as float). Empty slots are parked at FAR so distance masks kill
     them with no explicit mask channel; non-periodic ghost layers are FAR.
+    (The f32-rounded shift makes boundary-pair displacements antisymmetric
+    only to ~ulp(L); an exact-MIC-on-raw-coordinates variant was prototyped
+    in round 3 but the measured drift came from matmul precision instead —
+    see compact_nep_compute.)
     """
     nx, ny, nz = plan.grid
     cap = plan.cap
@@ -216,7 +216,7 @@ def pack_ghost(position_slots, type_slots, slot_mask, box: Box,
         """Ghost-pad one grid axis (axis: 0=z, 1=y, 2=x-cells)."""
         out = []
         for k, a in enumerate(arrs):
-            shift = shift_col[k] if (k < 3 and shift_positions) else 0.0
+            shift = shift_col[k] if k < 3 else 0.0
             if axis == 2:  # x: slice cap-sized lane groups
                 lo, hi = a[..., -cap:], a[..., :cap]
             else:
