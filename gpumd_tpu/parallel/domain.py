@@ -177,9 +177,16 @@ def _inv3(h):
 def _local_neighbors(pos_l, mask_l, pos_g, mask_g, box, cfg, row_offset):
     """Neighbor list for the local atoms against the global candidate set.
 
-    Brute-force path (with image shifts) — the cell-list variant arrives with
-    the slab-halo optimization.  Returns global neighbor indices.
+    Dispatch: O(N) cell-list build when the box is thick enough
+    (cfg.method == "cell", the production path — each device bins the
+    gathered candidates once and walks the 27-cell stencil for its own
+    rows only), else the brute-force path with image shifts (small boxes).
+    Returns global neighbor indices.
     """
+    if cfg.method == "cell":
+        return _local_neighbors_cell(
+            pos_l, mask_l, pos_g, mask_g, box, cfg, row_offset
+        )
     from gpumd_tpu.neighbor.neighbor import _FAR, _compact_rows, _image_shifts
 
     n_l = pos_l.shape[0]
@@ -213,6 +220,87 @@ def _local_neighbors(pos_l, mask_l, pos_g, mask_g, box, cfg, row_offset):
 
     from gpumd_tpu.neighbor.neighbor import NeighborList
 
+    return NeighborList(
+        idx=idx.astype(jnp.int32),
+        r12=r12,
+        mask=slot_valid.astype(dtype),
+        count=count,
+    )
+
+
+def _local_neighbors_cell(pos_l, mask_l, pos_g, mask_g, box, cfg, row_offset):
+    """Cell-list neighbor build for the local rows against the gathered
+    global candidates (mirrors neighbor_cell_list's sort-based binning,
+    restricted to this shard's atoms — the reference's per-GPU neighbor
+    build over owned + halo slabs, nep_multigpu.cu:1585-1650)."""
+    from gpumd_tpu.neighbor.neighbor import (
+        _FAR, NeighborList, _compact_rows,
+    )
+
+    n_l = pos_l.shape[0]
+    n_g = pos_g.shape[0]
+    dtype = pos_l.dtype
+    nx, ny, nz = cfg.grid
+    n_cells = nx * ny * nz
+    gridf = jnp.asarray([nx, ny, nz], dtype=dtype)
+
+    s = pos_g @ box.h_inv.T
+    s = s - jnp.floor(s) * box.pbc
+    cell_xyz = jnp.clip(
+        jnp.floor(s * gridf).astype(jnp.int32), 0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1]),
+    )
+    cell_id = (cell_xyz[:, 2] * ny + cell_xyz[:, 1]) * nx + cell_xyz[:, 0]
+    cell_id = jnp.where(mask_g > 0, cell_id, n_cells)
+    order = jnp.argsort(cell_id, stable=True)
+    sorted_cell = cell_id[order]
+    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells + 1))
+
+    offs = jnp.asarray(
+        [(i, j, k) for k in (-1, 0, 1) for j in (-1, 0, 1)
+         for i in (-1, 0, 1)],
+        dtype=jnp.int32,
+    )
+    dims = jnp.asarray([nx, ny, nz])
+    pbc_i = box.pbc.astype(bool)
+    cell_cap = cfg.cell_cap
+    n_cand = 27 * cell_cap
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)
+
+    rows = row_offset + jnp.arange(n_l)
+    my_cell = cell_xyz[rows]  # (n_l, 3)
+    neigh_xyz = my_cell[:, None, :] + offs[None, :, :]
+    wrapped = jnp.mod(neigh_xyz, dims)
+    in_range = jnp.all(
+        pbc_i | ((neigh_xyz >= 0) & (neigh_xyz < dims)), axis=-1
+    )
+    ncell = (wrapped[..., 2] * ny + wrapped[..., 1]) * nx + wrapped[..., 0]
+    ncell = jnp.where(in_range, ncell, n_cells)
+
+    start = cell_start[ncell]
+    end = cell_start[jnp.minimum(ncell + 1, n_cells)]
+    end = jnp.where(ncell >= n_cells, start, end)
+    cand_pos = start[:, :, None] + slot[None, None, :]  # (n_l, 27, cap)
+    cand_valid = cand_pos < end[:, :, None]
+    cand_j = order[jnp.minimum(cand_pos, n_g - 1)]
+
+    rij = box.minimum_image(pos_g[cand_j] - pos_l[:, None, None, :])
+    d2 = jnp.sum(rij**2, axis=-1)
+    valid = (
+        cand_valid
+        & (d2 < cfg.rc * cfg.rc)
+        & (cand_j != rows[:, None, None])
+        & (mask_l[:, None, None] > 0)
+    )
+    valid2 = valid.reshape(n_l, n_cand)
+    count = jnp.sum(valid2, axis=-1).astype(jnp.int32)
+    src, slot_valid = _compact_rows(valid2, cfg.mn)
+    r12 = jnp.take_along_axis(
+        rij.reshape(n_l, n_cand, 3), src[:, :, None], axis=1
+    )
+    idx = jnp.take_along_axis(cand_j.reshape(n_l, n_cand), src, axis=1)
+    idx = jnp.where(slot_valid, idx, rows[:, None])
+    r12 = jnp.where(slot_valid[:, :, None], r12, _FAR)
     return NeighborList(
         idx=idx.astype(jnp.int32),
         r12=r12,

@@ -91,10 +91,12 @@ def main():
                                                            cplan.wl)
 
     t_pack = timeit(pack, st.position, st.type, st.mask, reps=reps)
+    print(f"pack    {t_pack*1e3:8.1f} ms", flush=True)
     centers, cand = jax.jit(pack)(st.position, st.type, st.mask)
 
     t_k1 = timeit(lambda c, w, i: k1_call(c, w, i, cplan, spec, interpret),
                   centers, cand, idx, reps=reps)
+    print(f"k1      {t_k1*1e3:8.1f} ms", flush=True)
     k1, tiles = jax.jit(
         lambda c, w, i: k1_call(c, w, i, cplan, spec, interpret)
     )(centers, cand, idx)
@@ -145,37 +147,48 @@ def main():
         return _lane_blocks_to_slots(e_blk, cplan), cotc, cotw
 
     t_mid = timeit(middle, k1, ti_b, mask_b, reps=reps)
+    print(f"middle  {t_mid*1e3:8.1f} ms", flush=True)
     _, cotc, cotw = jax.jit(middle)(k1, ti_b, mask_b)
+    del k1
 
     t_k2 = timeit(
         lambda c, tl, i, cc, cw: k2_call(c, tl, i, cc, cw, cplan, spec,
                                          False, interpret),
         centers, tiles, idx, cotc, cotw, reps=reps)
+    print(f"k2      {t_k2*1e3:8.1f} ms", flush=True)
     outf, pvals = jax.jit(
         lambda c, tl, i, cc, cw: k2_call(c, tl, i, cc, cw, cplan, spec,
                                          False, interpret)
     )(centers, tiles, idx, cotc, cotw)
+    del tiles, cotc, cotw, outf
 
     t_scat = timeit(
         lambda p, i: scatter_call(p, i[:, :, :, :cplan.mn_a, :], cplan,
                                   interpret),
         pvals, idx, reps=reps)
+    print(f"scatter {t_scat*1e3:8.1f} ms", flush=True)
     dcand = jax.jit(
         lambda p, i: scatter_call(p, i[:, :, :, :cplan.mn_a, :], cplan,
                                   interpret)
     )(pvals, idx)
+    del pvals
 
     def folds(dc):
         dg = fold_block_windows(dc, plan, cplan.bx)
         return fold_ghost_grad_c(dg, plan)
 
     t_fold = timeit(folds, dcand, reps=reps)
+    print(f"folds   {t_fold*1e3:8.1f} ms", flush=True)
+    del dcand
 
     t_build = timeit(
         lambda c, w: build_indices(c, w, cplan, rc_a)[0],
         centers, cand, reps=max(1, reps - 1))
+    print(f"rebuild {t_build*1e3:8.1f} ms (amortized)", flush=True)
+    del centers, cand
 
     t_force = timeit(lambda s, i: md.compute(s, i).force, st, idx, reps=reps)
+    print(f"force   {t_force*1e3:8.1f} ms (one fused force pass)", flush=True)
 
     dt = 1.0 / TIME_UNIT_CONVERSION
     nsteps = 10
@@ -189,15 +202,7 @@ def main():
     assert ok and not bool(c2.overflow)
 
     total = t_pack + t_k1 + t_mid + t_k2 + t_scat + t_fold
-    print(f"pack    {t_pack*1e3:8.1f} ms")
-    print(f"k1      {t_k1*1e3:8.1f} ms")
-    print(f"middle  {t_mid*1e3:8.1f} ms")
-    print(f"k2      {t_k2*1e3:8.1f} ms")
-    print(f"scatter {t_scat*1e3:8.1f} ms")
-    print(f"folds   {t_fold*1e3:8.1f} ms")
     print(f"sum     {total*1e3:8.1f} ms (separate jits)")
-    print(f"rebuild {t_build*1e3:8.1f} ms (amortized /~50 steps at skin 1.5)")
-    print(f"force   {t_force*1e3:8.1f} ms (one fused force pass)")
     print(f"step    {t_step*1e3:8.1f} ms (full fused MD step incl. "
           f"init-rebuild/{nsteps})")
     print(f"throughput {n * 1 / t_step:.3e} atom-step/s")

@@ -86,3 +86,27 @@ def test_sharded_nep_matches_unsharded():
         np.asarray(out.potential_energy), np.asarray(ref.potential_energy), atol=1e-10
     )
     assert np.allclose(np.asarray(out.force), np.asarray(ref.force), atol=1e-10)
+
+
+def test_sharded_cell_list_matches_unsharded(rng):
+    """Cell-list halo build (method="cell", the production path at scale:
+    n > 2048 and a thick box) vs the single-chip list path."""
+    n = 4096
+    lengths = (48.0, 48.0, 48.0)
+    pos = rng.uniform(0, 1, (n, 3)) * np.array(lengths)
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.full(n, 39.948), np.zeros(n, int), box)
+    lj = LJ.from_params(1.032e-2, 3.405, 8.0)
+    ff = ForceField.create([lj], box, n, mn=128)
+    ref = ff.compute(state)
+
+    mesh = make_mesh(8)
+    smd = ShardedMD.create([lj], box, n, mesh, mn=128)
+    assert smd.neighbor.method == "cell"  # this test must cover the cell path
+    out = smd.compute_forces(smd.shard_state(state))
+    assert np.allclose(
+        np.asarray(out.potential_energy), np.asarray(ref.potential_energy),
+        atol=1e-11,
+    )
+    assert np.allclose(np.asarray(out.force), np.asarray(ref.force), atol=1e-11)
+    assert np.allclose(np.asarray(out.virial), np.asarray(ref.virial), atol=1e-11)
