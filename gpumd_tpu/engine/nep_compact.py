@@ -199,6 +199,9 @@ def make_compact_plan(
     mn_r: Optional[int] = None,
     mn_a: Optional[int] = None,
     margin: float = 1.25,
+    slack_mul: float = 1.25,
+    slack_add: int = 8,
+    rnd: int = 32,
 ) -> CompactPlan:
     """Pick block width and neighbor caps (host-side, like the reference's
     MN estimation with x1.25 enlargement, ref nep.cu:226-237)."""
@@ -246,9 +249,16 @@ def make_compact_plan(
                 pass
         if max_r is not None:
             if mn_r is None:
-                mn_r = int(round_up(int(max_r * 1.25) + 8, 32))
+                mn_r = int(round_up(int(max_r * slack_mul) + slack_add, rnd))
             if mn_a is None:
-                mn_a = int(round_up(int(max_a * 1.25) + 4, 8))
+                # max_a is already counted at rc_a_out + 0.35 (the thermal
+                # shell buffer) and includes the query atom itself (the
+                # list never holds self); a light x1.1 multiplicative slack
+                # on top suffices — the old x1.25 double-counted the buffer
+                # and cost a full 8-slot angular chunk in K2 + the scatter
+                # (mnp 40 -> 32 at 1M PbTe).  Overflow stays loud: every
+                # rebin checks counts against the caps.
+                mn_a = int(round_up(int((max_a - 1) * 1.1) + 4, 8))
         else:
             density = (
                 position.shape[0] / float(box.volume)
@@ -370,26 +380,43 @@ def _rep8(row, interpret: bool):
     return pltpu.repeat(row, 8, 0)
 
 
-def _bgather(src8, idx8, nblk: int):
-    """Gather src8 (8, nblk*128) at idx8 (8, A) via blocked single-vreg
-    dynamic_gathers (PERF_NOTES round-3 item 1).  Mosaic requires idx and
-    source tiles to be the same shape, so A > 128 is processed in 128-lane
-    chunks."""
+def _bgather_multi(srcs, idx8, nblk: int):
+    """Gather each of `srcs` (8, nblk*128) at idx8 (8, A) via blocked
+    single-vreg dynamic_gathers (PERF_NOTES round-3 item 1).  Mosaic
+    requires idx and source tiles to be the same shape, so A > 128 is
+    processed in 128-lane chunks.
+
+    Multi-channel: the per-block membership mask (idx in block b) is
+    channel-independent — computing it once per block and reusing it for
+    every source cuts the gather op count ~1.6x at 15 channels (the K2
+    cot-row gathers dominated the round-3 profile)."""
     a = idx8.shape[1]
     if a > 128:
         parts = [
-            _bgather(src8, idx8[:, c:c + 128], nblk)
+            _bgather_multi(srcs, idx8[:, c:c + 128], nblk)
             for c in range(0, a, 128)
         ]
-        return jnp.concatenate(parts, axis=1)
+        return [
+            jnp.concatenate([p[i] for p in parts], axis=1)
+            for i in range(len(srcs))
+        ]
     lo = idx8 & 127
-    acc = None
+    blk = idx8 >> 7
+    accs = [None] * len(srcs)
     for b in range(nblk):
-        g = jnp.take_along_axis(src8[:, b * 128:(b + 1) * 128], lo, axis=1)
-        sel = (idx8 >= b * 128) & (idx8 < (b + 1) * 128)
-        g = jnp.where(sel, g, 0.0)
-        acc = g if acc is None else acc + g
-    return acc
+        sel = blk == b
+        for i, src8 in enumerate(srcs):
+            g = jnp.take_along_axis(
+                src8[:, b * 128:(b + 1) * 128], lo, axis=1
+            )
+            g = jnp.where(sel, g, 0.0)
+            accs[i] = g if accs[i] is None else accs[i] + g
+    return accs
+
+
+def _bgather(src8, idx8, nblk: int):
+    """Single-channel wrapper over _bgather_multi."""
+    return _bgather_multi([src8], idx8, nblk)[0]
 
 
 def _by_type(tcode, values):
@@ -580,10 +607,7 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
     tl_ref = refs_extra[0] if refs_extra else None
     for r in range(n_chunks):
         idx8 = i_ref[0, 0, 0, r * 8:(r + 1) * 8, :]
-        xj = _bgather(srcs[0], idx8, nblk)
-        yj = _bgather(srcs[1], idx8, nblk)
-        zj = _bgather(srcs[2], idx8, nblk)
-        tj = _bgather(srcs[3], idx8, nblk)
+        xj, yj, zj, tj = _bgather_multi(srcs, idx8, nblk)
         dx, dy, dz = xj - cx, yj - cy, zj - cz
         if tl_ref is not None:
             # persist the gathered tiles: K2 reloads them from HBM instead
@@ -726,6 +750,9 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
         # sig_j = sum_k f'_k cot_S_j[t_i, k] (gathered window rows)
         rcp_r = 0.5 * (_by_type(ct, rc_r) + _by_type(tj, rc_r))
         _, fkp = _cheb(d, rcp_r, ok, spec.kr1 - 1, True)
+        # one multi-channel gather per chunk: all (t, k) cot_S rows + the
+        # ZBL cot share the per-block membership masks
+        cj = _bgather_multi(csrc, idx8, nblk)
         sig_i = None
         sig_j = None
         for k in range(spec.kr1):
@@ -735,15 +762,14 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                 ci = v if ci is None else ci + v
             cj_rows = None  # cot_S_j[t_i, k]: center-type select of gathers
             for tt in range(t):
-                g = _bgather(csrc[tt * spec.kr1 + k], idx8, nblk)
-                v = mi[tt] * g
+                v = mi[tt] * cj[tt * spec.kr1 + k]
                 cj_rows = v if cj_rows is None else cj_rows + v
             ti_term = ci * fkp[k]
             tj_term = cj_rows * fkp[k]
             sig_i = ti_term if sig_i is None else sig_i + ti_term
             sig_j = tj_term if sig_j is None else sig_j + tj_term
         if spec.zbl:
-            cotz_j = _bgather(csrc[spec.sr], idx8, nblk)
+            cotz_j = cj[spec.sr]
             _, dedd = _zbl_pair(d, inv_d, ok, ct, tj, spec, True)
             sig_i = sig_i + cotz_i * dedd
             sig_j = sig_j + cotz_j * dedd
@@ -869,45 +895,59 @@ def k2_call(centers, tiles, idx, cotc, cotw, cplan: CompactPlan,
 def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     """Scatter per-pair values onto window lanes via MXU one-hot matmuls.
 
-    Inputs stay in their natural tile layouts — p (pch, mnp, a_pad), idx
-    (mnp, a_pad) — the idx tile is transposed in-kernel so each neighbor
-    slot m yields an (a_pad, 1) target column whose one-hot against the
-    window-lane iota has atoms on sublanes, matching the values' atom-lane
-    axis for the contraction.  (A (P, 1) HBM index column would be
-    lane-padded x128 by XLA — 19 GB at 262k atoms, the round-3 OOM.)"""
+    The pair axis (m, a) is flattened into one contraction axis: the scatter
+    is ONE dot per 128-lane window block, (2*pch, mnp*a_pad) @
+    (mnp*a_pad, 128).  Two tricks keep the VPU side cheap (the round-3
+    version built a fresh (a_pad, 128) one-hot per (block, m) — one-hot
+    construction was ~half the measured scatter cost):
+
+      * the 128-lane one-hot E_r is built ONCE from idx & 127 and shared by
+        every window block; the block-membership test (idx >> 7 == b) is
+        applied to the (2*pch, P) VALUES instead — 128x fewer lanes than
+        masking E itself;
+      * the bf16 hi/lo precision split (see below) is stacked on the
+        channel axis so it rides the same dot instead of doubling the dot
+        count.
+
+    Precision: the MXU's DEFAULT bf16 pass would round the pair values
+    (the one-hot side is bf16-exact), silently breaking Newton's 3rd law
+    — the center side subtracts the full-f32 value (round-3 drift hunt:
+    momentum non-conservation + NVE heating).  Split the values into two
+    bf16-exact parts: hi carries the top 8 mantissa bits, lo the next 8,
+    residual ~2^-17 relative — drift-gate clean at 1/3 the cost of
+    Precision.HIGHEST (6 passes)."""
     pv = p_ref[0, 0, 0]  # (pch, mnp, a_pad)
     dt = pv.dtype
     a_pad = cplan.a_pad
-    # Precision: the MXU's DEFAULT bf16 pass would round the pair values
-    # (the one-hot side is bf16-exact), silently breaking Newton's 3rd law
-    # — the center side subtracts the full-f32 value (round-3 drift hunt:
-    # momentum non-conservation + NVE heating).  Split the values into two
-    # bf16-exact parts and run TWO DEFAULT passes: hi carries the top 8
-    # mantissa bits, lo the next 8, residual ~2^-17 relative — drift-gate
-    # clean at 1/3 the cost of Precision.HIGHEST (6 passes).
+    pch = pv.shape[0]
     pv_hi = pv.astype(jnp.bfloat16).astype(dt)
     pv_lo = pv - pv_hi
+    # NOTE: tile shapes only — merging the (m, a) axes into one contraction
+    # axis would need a sublane<->lane relayout, which Mosaic lowers
+    # catastrophically (measured 100x regression).
+    lhs = jnp.concatenate([pv_hi, pv_lo], axis=0)  # (2pch, mnp, a_pad)
     idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
     iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
-    for b in range(cplan.nblk):
-        acc = None
-        for m in range(mnp):
-            col = idxt[:, m:m + 1]
-            e = jnp.where(col == iota + b * 128, 1.0, 0.0).astype(dt)
+    accs = [None] * cplan.nblk
+    for m in range(mnp):
+        col = idxt[:, m:m + 1]  # (a_pad, 1)
+        e_m = jnp.where((col & 127) == iota, 1.0, 0.0).astype(dt)
+        hi_row = jnp.swapaxes(col >> 7, 0, 1)  # (1, a_pad)
+        lhs_m = lhs[:, m, :]  # (2pch, a_pad)
+        for b in range(cplan.nblk):
+            lhs_b = jnp.where(hi_row == b, lhs_m, 0.0)
             # explicit DEFAULT: the surrounding default_matmul_precision
             # ("high") context would otherwise leak HIGH into this trace,
             # which Mosaic's dot lowering rejects
             d = jax.lax.dot_general(
-                pv_hi[:, m, :], e, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt,
-                precision=jax.lax.Precision.DEFAULT,
-            ) + jax.lax.dot_general(
-                pv_lo[:, m, :], e, (((1,), (0,)), ((), ())),
+                lhs_b, e_m, (((1,), (0,)), ((), ())),
                 preferred_element_type=dt,
                 precision=jax.lax.Precision.DEFAULT,
             )
-            acc = d if acc is None else acc + d
-        out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = acc
+            accs[b] = d if accs[b] is None else accs[b] + d
+    for b in range(cplan.nblk):
+        acc = accs[b]
+        out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = acc[:pch] + acc[pch:]
 
 
 def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):

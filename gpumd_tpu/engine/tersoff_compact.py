@@ -44,7 +44,7 @@ from gpumd_tpu.engine.grid import (
 from gpumd_tpu.engine.nep_compact import (
     _EPS2,
     CompactPlan,
-    _bgather,
+    _bgather_multi,
     _rep8,
     _sub_sum,
     _type_masks,
@@ -176,10 +176,11 @@ def _tersoff_kernel(cplan: CompactPlan, spec: TersoffSpec, interpret: bool,
     gx, gy, gz, gt = [], [], [], []
     for r in range(mn // 8):
         idx8 = i_ref[0, 0, 0, r * 8:(r + 1) * 8, :]
-        gx.append(_bgather(srcs[0], idx8, nblk) - cx)
-        gy.append(_bgather(srcs[1], idx8, nblk) - cy)
-        gz.append(_bgather(srcs[2], idx8, nblk) - cz)
-        gt.append(_bgather(srcs[3], idx8, nblk))
+        xj, yj, zj, tj8 = _bgather_multi(srcs, idx8, nblk)
+        gx.append(xj - cx)
+        gy.append(yj - cy)
+        gz.append(zj - cz)
+        gt.append(tj8)
     dxv = jnp.concatenate(gx, axis=0)
     dyv = jnp.concatenate(gy, axis=0)
     dzv = jnp.concatenate(gz, axis=0)
@@ -334,9 +335,13 @@ class CompactTersoffMD:
         self.skin = skin
         self.interpret = interpret
         self.per_atom_virial = per_atom_virial
+        # Tersoff's per-pair cost scales as MN^2 (the zeta loop), so cap
+        # slack matters much more than for NEP: lighter margins and 8-slot
+        # granularity (the kernel chunks by 8, not 32).  Si at skin 1.0
+        # lands at mn 24 instead of 32 — a 1.8x cut of the dominant loop.
         self.cplan = make_compact_plan(
             self.plan, position=position, box=box, rc_angular=pot.rc,
-            mn_r=mn, mn_a=mn,
+            mn_r=mn, mn_a=mn, slack_mul=1.2, slack_add=4, rnd=8,
         )
         # single list: angular cap == radial cap
         self.cplan = self.cplan._replace(mn_a=self.cplan.mn_r)
