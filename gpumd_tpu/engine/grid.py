@@ -413,14 +413,16 @@ def pack_block_windows(g, plan: DenseGridPlan, bx: int, wl: int,
 
 def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
     """Adjoint of pack_block_windows: window cotangents
-    (nz, ny, nxb, C, wl) -> ghost-grid cotangents (nzg, nyg, C, nxg*cap).
+    (nz, ny, C, nxb, wl) -> ghost-grid cotangents (nzg, nyg, C, nxg*cap).
 
-    9*(bx+2) static strided slice-adds; no scatters.
+    The channel axis arrives OUTSIDE the x-block axis (the scatter kernel
+    emits that layout directly) so every slice-add reads contiguously —
+    no moveaxis relayout.  9*(bx+2) static strided slice-adds; no scatters.
     """
     nx, ny, nz = plan.grid
     cap = plan.cap
     nxb = nx // bx
-    c = dw.shape[3]
+    c = dw.shape[2]
     if bx >= 2:
         # Adjoint of the regrouped pack (see pack_block_windows): two coarse
         # contiguous adds per (dz, dy) instead of bx+2 stride-bx scatters.
@@ -430,8 +432,7 @@ def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
         for k, (dz, dy) in enumerate(
             (dz, dy) for dz in range(3) for dy in range(3)
         ):
-            seg = dw[..., k * wgrp:(k + 1) * wgrp]  # (nz, ny, nxb, C, (bx+2)cap)
-            seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, (bx+2)cap)
+            seg = dw[..., k * wgrp:(k + 1) * wgrp]  # (nz, ny, C, nxb, (bx+2)cap)
             seg_a = seg[..., :bx * cap].reshape(
                 seg.shape[:3] + (nx, cap))
             seg_b = seg[..., bx * cap:]  # (.., nxb, 2cap)
@@ -447,8 +448,7 @@ def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
         for dz in range(3):
             for dy in range(3):
                 for wx in range(bx + 2):
-                    seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, nxb, C, cap)
-                    seg = jnp.moveaxis(seg, 2, 3)  # (nz, ny, C, nxb, cap)
+                    seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, C, nxb, cap)
                     dg5 = dg5.at[
                         dz:dz + nz, dy:dy + ny, :,
                         wx:wx + (nxb - 1) * bx + 1:bx

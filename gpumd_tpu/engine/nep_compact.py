@@ -199,9 +199,9 @@ def make_compact_plan(
     mn_r: Optional[int] = None,
     mn_a: Optional[int] = None,
     margin: float = 1.25,
-    slack_mul: float = 1.25,
-    slack_add: int = 8,
-    rnd: int = 32,
+    slack_mul: float = 1.15,
+    slack_add: int = 4,
+    rnd: int = 8,
 ) -> CompactPlan:
     """Pick block width and neighbor caps (host-side, like the reference's
     MN estimation with x1.25 enlargement, ref nep.cu:226-237)."""
@@ -249,7 +249,14 @@ def make_compact_plan(
                 pass
         if max_r is not None:
             if mn_r is None:
-                mn_r = int(round_up(int(max_r * slack_mul) + slack_add, rnd))
+                # max_r is counted at rc_out + 0.35 (thermal shell buffer)
+                # and includes self (the list never holds self); the kernels
+                # chunk by 8 sublanes, so 8-slot granularity — the old
+                # 32-rounding with x1.25 put PbTe at 128 when ~110 suffices
+                # (every K1/K2 radial chunk is pure per-lane ALU cost).
+                # Overflow stays loud: every rebin checks the counts.
+                mn_r = int(
+                    round_up(int((max_r - 1) * slack_mul) + slack_add, rnd))
             if mn_a is None:
                 # max_a is already counted at rc_a_out + 0.35 (the thermal
                 # shell buffer) and includes the query atom itself (the
@@ -947,17 +954,25 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
             accs[b] = d if accs[b] is None else accs[b] + d
     for b in range(cplan.nblk):
         acc = accs[b]
-        out_ref[0, 0, 0, :, b * 128:(b + 1) * 128] = acc[:pch] + acc[pch:]
+        out_ref[0, 0, :, b * 128:(b + 1) * 128] = acc[:pch] + acc[pch:]
 
 
 def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
     """pvals (nz, ny, nxb, pch, mnp, a_pad) + idx_pairs (nz, ny, nxb, mnp,
-    a_pad) -> window cotangents (nz, ny, nxb, pch, wl)."""
+    a_pad) -> window cotangents (nz, ny, pch, nxb, wl).
+
+    The output channel axis sits OUTSIDE the x-block axis so that
+    fold_block_windows consumes it without a moveaxis relayout (the fold's
+    strided reads of a (.., nxb, C, wl) array were traffic-bound).  The
+    kernel emits (nz, ny, pch, nxb*wl) — Pallas TPU requires the last two
+    block dims to divide (8, 128) or equal the array dims, which a
+    (.., pch, 1, wl) block would violate — and the (nz, ny, pch, nxb, wl)
+    view is a free contiguous reshape."""
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
     nxb, wl, a_pad = cplan.nxb, cplan.wl, cplan.a_pad
     pch = pvals.shape[3]
     mnp = pvals.shape[4]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_scatter_kernel, cplan, mnp),
         grid=(nz, ny, nxb),
         in_specs=[
@@ -966,11 +981,12 @@ def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
             pl.BlockSpec((1, 1, 1, mnp, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, pch, wl),
-                               lambda z, y, x: (z, y, x, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, pch, wl), pvals.dtype),
+        out_specs=pl.BlockSpec((1, 1, pch, wl),
+                               lambda z, y, x: (z, y, 0, x)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, pch, nxb * wl), pvals.dtype),
         interpret=interpret,
     )(pvals, idx_pairs)
+    return out.reshape(nz, ny, pch, nxb, wl)
 
 
 # --------------------------------------------------------------------------

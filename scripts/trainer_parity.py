@@ -45,7 +45,9 @@ def main():
             os.remove(p)
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = repo
+    # prepend (not replace): the image's PYTHONPATH carries the accelerator
+    # plugin registration (/root/.axon_site)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     rc = subprocess.call(
         [sys.executable, "-m", "gpumd_tpu.app.nep", workdir],
         env=env, cwd=repo,
