@@ -416,18 +416,29 @@ def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
     (nz, ny, C, nxb, wl) -> ghost-grid cotangents (nzg, nyg, C, nxg*cap).
 
     The channel axis arrives OUTSIDE the x-block axis (the scatter kernel
-    emits that layout directly) so every slice-add reads contiguously —
-    no moveaxis relayout.  9*(bx+2) static strided slice-adds; no scatters.
+    emits that layout directly) so every read is contiguous.  Formulated as
+    a SUM OF ZERO-PADDED READS (one jnp.pad per window group, single fused
+    output loop) rather than slice-adds into a zeros buffer: the 18
+    overlapping `.at[].add`s alias each other, so XLA lowered them as a
+    serial read-modify-write chain over the full array — measured ~10x the
+    traffic bound at 1M atoms (PERF_NOTES round-3 "window folds").
     """
     nx, ny, nz = plan.grid
     cap = plan.cap
     nxb = nx // bx
     c = dw.shape[2]
+
+    def zpad(seg, dz, dy, xlo, xhi):
+        return jnp.pad(
+            seg,
+            ((dz, 2 - dz), (dy, 2 - dy), (0, 0), (xlo, xhi), (0, 0)),
+        )
+
+    total = None
     if bx >= 2:
-        # Adjoint of the regrouped pack (see pack_block_windows): two coarse
-        # contiguous adds per (dz, dy) instead of bx+2 stride-bx scatters.
+        # Adjoint of the regrouped pack (see pack_block_windows): the A view
+        # lands at x cells [0, nx), the B view at [bx, nx + bx).
         nxp = nx + max(2, bx)
-        dg5 = jnp.zeros((nz + 2, ny + 2, c, nxp, cap), dw.dtype)
         wgrp = (bx + 2) * cap
         for k, (dz, dy) in enumerate(
             (dz, dy) for dz in range(3) for dy in range(3)
@@ -439,22 +450,20 @@ def fold_block_windows(dw, plan: DenseGridPlan, bx: int):
             if bx > 2:
                 seg_b = jnp.pad(seg_b, ((0, 0),) * 4 + ((0, (bx - 2) * cap),))
             seg_b = seg_b.reshape(seg.shape[:3] + (nx, cap))
-            dg5 = dg5.at[dz:dz + nz, dy:dy + ny, :, 0:nx].add(seg_a)
-            dg5 = dg5.at[dz:dz + nz, dy:dy + ny, :, bx:nx + bx].add(seg_b)
-        dg5 = dg5[:, :, :, :nx + 2]
+            v = (zpad(seg_a, dz, dy, 0, nxp - nx)
+                 + zpad(seg_b, dz, dy, bx, nxp - nx - bx))
+            total = v if total is None else total + v
+        total = total[:, :, :, :nx + 2]
     else:
-        dg5 = jnp.zeros((nz + 2, ny + 2, c, nx + 2, cap), dw.dtype)
         k = 0
         for dz in range(3):
             for dy in range(3):
                 for wx in range(bx + 2):
                     seg = dw[..., k * cap:(k + 1) * cap]  # (nz, ny, C, nxb, cap)
-                    dg5 = dg5.at[
-                        dz:dz + nz, dy:dy + ny, :,
-                        wx:wx + (nxb - 1) * bx + 1:bx
-                    ].add(seg)
+                    v = zpad(seg, dz, dy, wx, 2 - wx)
+                    total = v if total is None else total + v
                     k += 1
-    return dg5.reshape(nz + 2, ny + 2, c, (nx + 2) * cap)
+    return total.reshape(nz + 2, ny + 2, c, (nx + 2) * cap)
 
 
 def fold_ghost_grad_c(dg, plan: DenseGridPlan):

@@ -914,7 +914,15 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
         masking E itself;
       * the bf16 hi/lo precision split (see below) is stacked on the
         channel axis so it rides the same dot instead of doubling the dot
-        count.
+        count;
+      * ALL nblk window blocks are stacked on the output-row axis of ONE
+        dot per m: the MXU streams a (rows <= 128) x K x 128 dot in the
+        same time regardless of how many rows are live, so nblk separate
+        (2*pch)-row dots wasted ~nblk/ceil(nblk*2*pch/128) of the array
+        (18 passes where 2 suffice at pch=4, nblk=18).  The per-block
+        masked values become row-blocks of the stacked LHS; the
+        accumulator holds all blocks' results and is unpacked once at the
+        end.
 
     Precision: the MXU's DEFAULT bf16 pass would round the pair values
     (the one-hot side is bf16-exact), silently breaking Newton's 3rd law
@@ -935,26 +943,28 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     lhs = jnp.concatenate([pv_hi, pv_lo], axis=0)  # (2pch, mnp, a_pad)
     idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
     iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
-    accs = [None] * cplan.nblk
+    acc = None  # (nblk*2pch, 128): every window block's result, stacked
     for m in range(mnp):
         col = idxt[:, m:m + 1]  # (a_pad, 1)
         e_m = jnp.where((col & 127) == iota, 1.0, 0.0).astype(dt)
         hi_row = jnp.swapaxes(col >> 7, 0, 1)  # (1, a_pad)
         lhs_m = lhs[:, m, :]  # (2pch, a_pad)
-        for b in range(cplan.nblk):
-            lhs_b = jnp.where(hi_row == b, lhs_m, 0.0)
-            # explicit DEFAULT: the surrounding default_matmul_precision
-            # ("high") context would otherwise leak HIGH into this trace,
-            # which Mosaic's dot lowering rejects
-            d = jax.lax.dot_general(
-                lhs_b, e_m, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            accs[b] = d if accs[b] is None else accs[b] + d
+        stacked = jnp.concatenate(
+            [jnp.where(hi_row == b, lhs_m, 0.0) for b in range(cplan.nblk)],
+            axis=0,
+        )  # (nblk*2pch, a_pad)
+        # explicit DEFAULT: the surrounding default_matmul_precision
+        # ("high") context would otherwise leak HIGH into this trace,
+        # which Mosaic's dot lowering rejects
+        d = jax.lax.dot_general(
+            stacked, e_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = d if acc is None else acc + d
     for b in range(cplan.nblk):
-        acc = accs[b]
-        out_ref[0, 0, :, b * 128:(b + 1) * 128] = acc[:pch] + acc[pch:]
+        ab = acc[b * 2 * pch:(b + 1) * 2 * pch]
+        out_ref[0, 0, :, b * 128:(b + 1) * 128] = ab[:pch] + ab[pch:]
 
 
 def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
