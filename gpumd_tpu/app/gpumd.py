@@ -1210,11 +1210,86 @@ class Session:
         self.engine_mode = args[0]
         self.engine_devices = int(args[1]) if len(args) > 1 else 1
         self.engine_axis = args[2] if len(args) > 2 else "z"
-        if self.engine_mode not in ("dense", "list"):
-            raise ValueError("engine must be 'dense' or 'list'")
+        if self.engine_mode not in ("dense", "list", "auto"):
+            raise ValueError("engine must be 'dense', 'list' or 'auto'")
         if self.engine_axis not in ("x", "y", "z"):
             raise ValueError("engine partition axis must be x, y or z")
         self.log(f"engine: {self.engine_mode}")
+
+    # ensembles the dense fast path integrates correctly today: constant-box
+    # state-protocol thermostats + the Berendsen/SCR barostats (box-rescale
+    # handled by the fractional-displacement Verlet criterion + in-scan cell
+    # thickness guard).  Everything else falls back to the list path.
+    _DENSE_ENSEMBLES = (
+        "NVE", "NVTBerendsen", "NVTLangevin", "NVTBDP", "NVTBAOAB",
+        "NVTNoseHooverChain", "NPTBerendsen", "NPTSCR",
+    )
+
+    def _dense_route_reason(self, ens):
+        """None when this run qualifies for the compact fast path, else a
+        human-readable reason for falling back to the list path.
+
+        The reference has ONE hot path — every run.in deck hits the
+        production kernels (ref: src/force/force.cu:514-565 dispatches by
+        potential, not by a user keyword).  `engine auto` (the default)
+        mirrors that on TPU; on CPU the Pallas kernels only run in
+        interpret mode, which is slower than the XLA list path, so auto
+        prefers list there (`engine dense` still forces the fast path)."""
+        from gpumd_tpu.potentials.nep.model import NEP as _NEP
+        from gpumd_tpu.potentials.tersoff import Tersoff1989 as _T89
+
+        if jax.default_backend() != "tpu":
+            return "non-TPU backend (interpret-mode kernels are slower)"
+        if len(self.potentials) != 1:
+            return "multiple potentials"
+        pot = self.potentials[0]
+        if isinstance(pot, _NEP):
+            from gpumd_tpu.engine.nep_compact import CompactSpec
+
+            try:
+                CompactSpec.from_model(pot.model, pot.params)
+            except NotImplementedError as e:
+                return f"model not compact-eligible ({e})"
+        elif not isinstance(pot, _T89):
+            return f"potential {type(pot).__name__} has no compact engine"
+        if type(ens).__name__ not in self._DENSE_ENSEMBLES:
+            return f"ensemble {type(ens).__name__} runs on the list path"
+        if getattr(self, "mc", None) is not None:
+            return "MCMD run"
+        if getattr(self, "_deposit", None) is not None:
+            return "deposition source"
+        if getattr(self, "deform", None) is not None:
+            return "deform run"
+        if getattr(self, "move_pin", None) is not None:
+            return "move groups"
+        if getattr(self, "drivers", None):
+            return "add_force/add_efield/electron_stop drivers"
+        if self.ff.hnemdec_mode is not None:
+            return "compute_hnemdec"
+        if any(getattr(m, "needs_stress", False) for m in self.measure_props):
+            return "per-step stress observer"
+        if any(
+            getattr(m, "needs_onsager", False) for m in self.measure_props
+        ):
+            return "onsager flux observer"
+        heatish = self.ff.hnemd_fe is not None or any(
+            getattr(m, "needs_heat", False) for m in self.measure_props
+        )
+        if isinstance(pot, _T89) and heatish:
+            return "Tersoff heat observables (list path)"
+        from gpumd_tpu.engine.nep_compact import plan_grid_compact
+
+        rc = (
+            pot.model.rc_radial_max if isinstance(pot, _NEP) else pot.rc
+        )
+        n = self._n
+        plan = plan_grid_compact(
+            self.state.box, rc, 1.0, n,
+            position=np.asarray(self.state.position)[:n],
+        )
+        if plan is None:
+            return "box too thin for the cell grid (< 3 cells per axis)"
+        return None
 
     def _run_dense(self, n_steps, ens):
         """MD block on the dense engine: supports a single NEP potential
@@ -1222,14 +1297,17 @@ class Session:
         snapshots at chunk boundaries."""
         from gpumd_tpu.engine.dense_md import DenseNEPMD
         from gpumd_tpu.potentials.nep.model import NEP as _NEP
+        from gpumd_tpu.potentials.tersoff import Tersoff1989 as _T89
 
         neps = [p for p in self.potentials if isinstance(p, _NEP)]
-        if len(self.potentials) != 1 or not neps:
-            raise ValueError("engine dense: exactly one NEP potential")
+        tersoffs = [p for p in self.potentials if isinstance(p, _T89)]
+        if len(self.potentials) != 1 or not (neps or tersoffs):
+            raise ValueError(
+                "engine dense: exactly one NEP or Tersoff1989 potential")
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props
         )
-        nep = neps[0]
+        nep = neps[0] if neps else None
         n = self._n
         state = self.state
         intervals = [p.interval for p in self.properties] + [
@@ -1239,23 +1317,37 @@ class Session:
         chunk = max(1, min(chunk, n_steps))
         ndev = getattr(self, "engine_devices", 1)
         if ndev > 1:
+            if nep is None:
+                raise ValueError("engine dense multi-device: NEP only")
             return self._run_dense_sharded(n_steps, ens, nep, chunk)
         hnemd_fe = self.ff.hnemd_fe
         if self.ff.hnemdec_mode is not None:
             raise ValueError(
                 "engine dense: compute_hnemdec needs `engine list`"
             )
-        md = DenseNEPMD(
-            nep, state.box, n, position=np.asarray(state.position)[:n],
-            per_atom_virial=needs_heat or hnemd_fe is not None,
-        )
-        if (needs_heat or hnemd_fe is not None) and md.engine != "compact":
-            raise ValueError(
-                "engine dense: per-atom heat-current observables need the "
-                "compact engine (this model fell back to the window engine);"
-                " use `engine list`"
+        if nep is None:
+            from gpumd_tpu.engine.tersoff_compact import CompactTersoffMD
+
+            if needs_heat or hnemd_fe is not None:
+                raise ValueError(
+                    "engine dense: Tersoff heat observables need "
+                    "`engine list`")
+            md = CompactTersoffMD(
+                tersoffs[0], state.box, n,
+                position=np.asarray(state.position)[:n],
             )
-        md.hnemd_fe = hnemd_fe
+        else:
+            md = DenseNEPMD(
+                nep, state.box, n, position=np.asarray(state.position)[:n],
+                per_atom_virial=needs_heat or hnemd_fe is not None,
+            )
+            if (needs_heat or hnemd_fe is not None) and md.engine != "compact":
+                raise ValueError(
+                    "engine dense: per-atom heat-current observables need "
+                    "the compact engine (this model fell back to the window "
+                    "engine); use `engine list`"
+                )
+            md.hnemd_fe = hnemd_fe
         carry = md.init_carry(state)
         carry = carry._replace(
             state=jax.jit(md.compute)(carry.state, carry.idx)
@@ -1349,13 +1441,33 @@ class Session:
         mesh = Mesh(np.array(jax.devices()[:ndev]), ("slab",))
         n = self._n
         state = self.state
+        needs_heat = any(
+            getattr(m, "needs_heat", False) for m in self.measure_props
+        )
+        hnemd_fe = self.ff.hnemd_fe
         smd = ShardedDenseMD(
             nep, state.box, n, mesh,
             position=np.asarray(state.position)[:n],
             axis=getattr(self, "engine_axis", "z"),
+            per_atom_virial=needs_heat or hnemd_fe is not None,
         )
-        block, _ = smd.make_block(ens, self.dt, steps=chunk)
+        if (needs_heat or hnemd_fe is not None) and smd.engine != "compact":
+            raise ValueError(
+                "engine dense sharded: heat observables need the compact "
+                "engine; use `engine list`")
+        smd.hnemd_fe = hnemd_fe
+        from gpumd_tpu.measure.properties import heat_current_5
+
+        heat_props = [
+            m for m in self.measure_props if hasattr(m, "consume_heat")
+        ]
+        observer = (
+            (lambda st: heat_current_5(st)) if heat_props else None
+        )
+        block, _ = smd.make_block(ens, self.dt, steps=chunk,
+                                  observer=observer)
         block = jax.jit(block)
+        block1 = None  # steps=1 fallback when drift invalidates a block
         sstate, oid, overflow = smd.bin_state(state, with_id=True)
         if bool(overflow):
             raise RuntimeError("dense engine: cell capacity overflow")
@@ -1363,7 +1475,33 @@ class Session:
         t0 = time.time()
         done = 0
         while done < n_steps:
-            sstate, aux = block(sstate, aux)
+            pre_state, pre_aux = sstate, aux
+            sstate, aux, ok, ys = block(sstate, aux)
+            if not bool(ok):
+                # drift exceeded skin/2 (or a cap overflowed) inside the
+                # block: the compact index tiles went stale mid-block.
+                # Restore the pre-block snapshot and advance with per-step
+                # blocks (index rebuild every step) for this chunk.
+                self.log("sharded block invalidated by drift; retrying "
+                         "with per-step index rebuilds")
+                if block1 is None:
+                    block1 = jax.jit(smd.make_block(
+                        ens, self.dt, steps=1, observer=observer)[0])
+                sstate, aux = pre_state, pre_aux
+                ys_rows = []
+                for _ in range(chunk):
+                    sstate, aux, ok, y1 = block1(sstate, aux)
+                    if not bool(ok):
+                        raise RuntimeError(
+                            "dense engine: neighbor cap overflow")
+                    if observer is not None:
+                        ys_rows.append(np.asarray(y1)[0])
+                ys = np.asarray(ys_rows) if ys_rows else ys
+            if heat_props:
+                rows = np.asarray(ys)
+                for m in heat_props:
+                    m.consume_heat(rows, self.global_step)
+                    m.maybe_output(self)
             done += chunk
             self.global_step += chunk
             # global rebin between blocks (amortized; atoms drift < skin/2
@@ -1430,7 +1568,8 @@ class Session:
             self.ensemble = NVE()
         if isinstance(self.ensemble, tuple):  # PIMD family
             return self._run_pimd(n_steps)
-        if getattr(self, "engine_mode", "list") == "dense":
+        mode = getattr(self, "engine_mode", "auto")
+        if mode in ("dense", "auto"):
             ens = self.ensemble
             import dataclasses as _dc
 
@@ -1438,8 +1577,13 @@ class Session:
                 ens = _dc.replace(ens, n_steps=n_steps)
             if self.mobile_mask is not None and hasattr(ens, "mobile"):
                 ens = _dc.replace(ens, mobile=self.mobile_mask)
-            self._wire_nep_temperature(ens)
-            return self._run_dense(n_steps, ens)
+            reason = (
+                self._dense_route_reason(ens) if mode == "auto" else None
+            )
+            if reason is None:
+                self._wire_nep_temperature(ens)
+                return self._run_dense(n_steps, ens)
+            self.log(f"engine auto: list path ({reason})")
         ens = self.ensemble
         import dataclasses
 

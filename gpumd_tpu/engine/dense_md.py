@@ -50,7 +50,8 @@ from gpumd_tpu.potentials.nep.model import NEP
 class DenseCarry(NamedTuple):
     state: MDState  # slot-ordered, n_slots rows
     orig_id: jnp.ndarray  # (n_slots,) int32 input-order index (or n for empty)
-    ref_position: jnp.ndarray  # (n_slots, 3) positions at last rebin
+    ref_frac: jnp.ndarray  # (n_slots, 3) FRACTIONAL positions at last rebin
+    ref_thick: jnp.ndarray  # (3,) box thicknesses at last rebin
     overflow: jnp.ndarray  # sticky bool: cap/MN overflow (results invalid)
     idx: Optional[jnp.ndarray] = None  # compact neighbor tiles (engine=compact)
 
@@ -130,13 +131,26 @@ class DenseNEPMD:
         if self.engine == "compact":
             idx, ok = self._build_idx(sstate)
             overflow = overflow | ~ok
+        overflow = overflow | ~self._cells_valid(sstate.box)
         return DenseCarry(
             state=sstate,
             orig_id=orig_id,
-            ref_position=sstate.position,
+            ref_frac=sstate.box.fractional(sstate.position),
+            ref_thick=sstate.box.thickness(),
             overflow=overflow,
             idx=idx,
         )
+
+    def _cells_valid(self, box: Box):
+        """Cells must be >= rc+skin thick AT BUILD time for the 3^3 window
+        to cover the list cutoff (between builds the affine Verlet
+        criterion in make_step covers box drift).  A barostat that shrinks
+        the box below this margin invalidates the static grid plan — flag
+        it loudly (sticky overflow), like the reference's neighbor-overflow
+        abort."""
+        t = box.thickness()
+        grid = jnp.asarray(self.plan.grid, t.dtype)
+        return jnp.min(t / grid) >= self.plan.rc + self.plan.skin - 1e-9
 
     def _rebin_arrays(self, state: MDState, orig_id, box):
         pos_w = box.wrap(state.position)
@@ -197,7 +211,9 @@ class DenseNEPMD:
                 f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
                 n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
                 f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
-            j = jnp.einsum("nab,nb->na", w, state.velocity)
+            # J_i = W_i v_i, elementwise multiply-sum (VPU, full precision:
+            # a dot_general here would run the MXU's DEFAULT bf16 pass)
+            j = jnp.sum(w * state.velocity[:, None, :], axis=2)
             return state._replace(
                 force=f,
                 potential_energy=out.energy * state.mask,
@@ -222,28 +238,50 @@ class DenseNEPMD:
 
     def make_step(self, ensemble, dt, observer=None):
         """observer(state) -> small pytree collected per step (scan ys) —
-        on-device per-step observables (HNEMD heat current windows)."""
-        half_skin_sq = (0.5 * self.skin) ** 2
+        on-device per-step observables (HNEMD heat current windows).
+
+        Rebuild criterion (barostat-safe): the list built at the last rebin
+        (box h0, positions p0, cutoff rc_out = rc+skin) stays complete while
+        2*u_max <= smin*rc_out - rc, where u_i = p_i - h s0_i is the
+        NON-AFFINE displacement (the barostat's homogeneous rescale drops
+        out exactly in fractional coordinates) and smin = min axis scale
+        since the rebin: a pair absent from the list had d0 >= rc_out, so
+        its distance now is >= smin*rc_out - 2*u_max > rc.  With a fixed box
+        (smin = 1) this reduces to the classic skin/2 criterion.  The
+        reference instead rebuilds its cell list from scratch every step
+        under every ensemble (run.cu:252-318) — amortization is the
+        TPU-side replacement, so it must stay exact under NPT."""
+        rc = self.plan.rc
+        rc_out = rc + self.skin
 
         def step(carry, _):
             state, aux = carry[0].state, carry[1]
             c: DenseCarry = carry[0]
             state, aux = ensemble.step1(state, aux, dt)
-            disp = state.box.minimum_image(state.position - c.ref_position)
-            need = jnp.max(jnp.sum(disp * disp, axis=-1) * state.mask) > half_skin_sq
+            smin = jnp.min(state.box.thickness() / c.ref_thick)
+            ref_cart = state.box.cartesian(c.ref_frac)
+            disp = state.box.minimum_image(state.position - ref_cart)
+            thresh = jnp.maximum(0.5 * (smin * rc_out - rc), 0.0)
+            need = (
+                jnp.max(jnp.sum(disp * disp, axis=-1) * state.mask)
+                > thresh * thresh
+            )
 
             if self.engine == "compact":
                 def rebin(args):
                     st, oid = args
                     sst, noid, ov = self._rebin_arrays(st, oid, st.box)
                     idx, ok = self._build_idx(sst)
-                    return sst, noid, sst.position, ov | ~ok, idx
+                    ok = ok & self._cells_valid(st.box)
+                    return (sst, noid, sst.box.fractional(sst.position),
+                            sst.box.thickness(), ov | ~ok, idx)
 
                 def keep(args):
                     st, oid = args
-                    return st, oid, c.ref_position, jnp.asarray(False), c.idx
+                    return (st, oid, c.ref_frac, c.ref_thick,
+                            jnp.asarray(False), c.idx)
 
-                state, orig_id, refp, ov, idx = jax.lax.cond(
+                state, orig_id, reff, reft, ov, idx = jax.lax.cond(
                     need, rebin, keep, (state, c.orig_id)
                 )
                 state = self.compute(state, idx)
@@ -251,20 +289,23 @@ class DenseNEPMD:
                 def rebin(args):
                     st, oid = args
                     sst, noid, ov = self._rebin_arrays(st, oid, st.box)
-                    return sst, noid, sst.position, ov
+                    ov = ov | ~self._cells_valid(st.box)
+                    return (sst, noid, sst.box.fractional(sst.position),
+                            sst.box.thickness(), ov)
 
                 def keep(args):
                     st, oid = args
-                    return st, oid, c.ref_position, jnp.asarray(False)
+                    return (st, oid, c.ref_frac, c.ref_thick,
+                            jnp.asarray(False))
 
-                state, orig_id, refp, ov = jax.lax.cond(
+                state, orig_id, reff, reft, ov = jax.lax.cond(
                     need, rebin, keep, (state, c.orig_id)
                 )
                 idx = None
                 state = self.compute(state)
             state, aux = ensemble.step2(state, aux, dt)
             new_c = DenseCarry(
-                state=state, orig_id=orig_id, ref_position=refp,
+                state=state, orig_id=orig_id, ref_frac=reff, ref_thick=reft,
                 overflow=c.overflow | ov, idx=idx,
             )
             ys = observer(state) if observer is not None else None

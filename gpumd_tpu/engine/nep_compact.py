@@ -1208,16 +1208,55 @@ def _compact_nep_compute(
     (round-3 drift hunt; the <1e-5 gate needs force noise < ~1e-5 rel).
     """
     plan = cplan.base
-    spec = CompactSpec.from_model(model, params)
     if model.model_type == 3 and temperature is None:
         raise ValueError(
             "temperature-mode NEP needs `temperature` (the app wires the "
             "ensemble target temperature)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dtype = position_slots.dtype
-
     garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan)
+    return compact_pipeline(
+        garr, type_slots, slot_mask, cplan, idx, model, params,
+        per_atom_virial=per_atom_virial, interpret=interpret,
+        temperature=temperature,
+    )
+
+
+def compact_pipeline(
+    garr,
+    type_slots,
+    slot_mask,
+    cplan: CompactPlan,
+    idx,
+    model: NepModel,
+    params: NepParams,
+    per_atom_virial: bool,
+    interpret: bool,
+    temperature=None,
+    hook_cot_rows=None,
+    hook_dghost=None,
+    fold_plan: Optional[DenseGridPlan] = None,
+) -> CompactNepOutput:
+    """Core of the compact evaluation, parameterized for slab sharding.
+
+    `garr` is the caller's ghost array (single-chip: pack_ghost over the
+    full periodic grid; sharded: z-halo rows filled by ppermute — see
+    engine/sharded.py).  The hooks are the two points where a slab engine
+    must exchange z-rows with its ring neighbors:
+      hook_cot_rows(rows_padded) — fill the z ghost rows of the window
+        cotangent grid (j-side radial chain needs neighbor slabs' cot_S);
+      hook_dghost(dghost) — return z ghost-row cotangents to their owner
+        slabs before the x/y fold.
+    `fold_plan` overrides the plan used for x/y ghost folding (the slab
+    engine folds with pbc_z disabled; z was consumed by hook_dghost).
+    The reference's multi-GPU path runs its production kernels per slab
+    the same way (ref: src/force/nep_multigpu.cu:1585-1755)."""
+    plan = cplan.base
+    spec = CompactSpec.from_model(model, params)
+    dtype = garr.dtype
+    if fold_plan is None:
+        fold_plan = plan
+
     centers = block_centers(garr, cplan)
     cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
@@ -1263,9 +1302,11 @@ def _compact_nep_compute(
     rows = cotw_rows[..., :cplan.a]
     rows = jnp.moveaxis(rows, 2, 3).reshape(
         nz, ny, spec.wch, cplan.nxb * cplan.a)
+    rows_p = pack_ghost_rows(rows, plan)
+    if hook_cot_rows is not None:
+        rows_p = hook_cot_rows(rows_p)
     cotw = pack_block_windows(
-        pack_ghost_rows(rows, plan), plan, cplan.bx, cplan.wl,
-        far_channels=0,
+        rows_p, plan, cplan.bx, cplan.wl, far_channels=0,
     )
 
     outf, pvals = k2_call(centers, tiles, idx, cotc, cotw, cplan, spec,
@@ -1275,7 +1316,9 @@ def _compact_nep_compute(
     dcand = scatter_call(pvals, idx[:, :, :, :cplan.mn_a, :], cplan,
                          interpret)
     dghost = fold_block_windows(dcand, plan, cplan.bx)
-    dslots = fold_ghost_grad_c(dghost, plan)  # (ns, pch)
+    if hook_dghost is not None:
+        dghost = hook_dghost(dghost)
+    dslots = fold_ghost_grad_c(dghost, fold_plan)  # (ns, pch)
 
     og = blocks_to_slots(outf, cplan)  # (ns, 16)
     grad_total = og[:, :3] + dslots[:, :3]

@@ -35,6 +35,16 @@ from gpumd_tpu.engine.grid import (
     DenseGridPlan, FAR, apply_perm, bin_dense, fold_ghost_grad, pack_ghost,
     plan_grid,
 )
+from gpumd_tpu.engine.nep_compact import (
+    CompactPlan,
+    CompactSpec,
+    block_centers,
+    build_indices,
+    compact_pipeline,
+    make_compact_plan,
+    pack_block_windows,
+    plan_grid_compact,
+)
 from gpumd_tpu.engine.nep_dense import DenseNepSpec, dense_nep_compute_v2
 from gpumd_tpu.model.box import Box
 from gpumd_tpu.model.state import MDState
@@ -187,6 +197,98 @@ def sharded_nep_force(position_slots, type_slots, slot_mask, box: Box,
     return e_atom, force, w_total
 
 
+def _exchange_pos_rows(garr, nz_l, box: Box, pbc_z: bool):
+    """Fill the z ghost rows of a position ghost array ((nz_l+2, ny+2, 4,
+    lanes), channels x/y/z/type) from the ring neighbors, applying the
+    lattice shift at the periodic seam (FAR when the global z is open)."""
+    dtype = garr.dtype
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    row_lo = garr[1]
+    row_hi = garr[nz_l]
+    ghost_lo, ghost_hi = _ring_halo(row_lo, row_hi)
+    hz, at_bottom, at_top = _wrap_shift(dtype, box, idx, nd)
+    if pbc_z:
+        for k in range(3):
+            ghost_lo = ghost_lo.at[:, k].add(jnp.where(at_bottom, -hz[k], 0.0))
+            ghost_hi = ghost_hi.at[:, k].add(jnp.where(at_top, hz[k], 0.0))
+    else:
+        far = jnp.full_like(ghost_lo[:, :3], FAR)
+        ghost_lo = ghost_lo.at[:, :3].set(
+            jnp.where(at_bottom, far, ghost_lo[:, :3]))
+        ghost_hi = ghost_hi.at[:, :3].set(
+            jnp.where(at_top, far, ghost_hi[:, :3]))
+    return garr.at[0].set(ghost_lo).at[nz_l + 1].set(ghost_hi)
+
+
+def _exchange_val_rows(rows_p, nz_l, pbc_z: bool):
+    """Fill the z ghost rows of a shift-invariant VALUES grid (cotangents):
+    plain ppermute copies; zero at an open global seam."""
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    lo, hi = _ring_halo(rows_p[1], rows_p[nz_l])
+    if not pbc_z:
+        at_bottom = idx == 0
+        at_top = idx == nd - 1
+        lo = jnp.where(at_bottom, jnp.zeros_like(lo), lo)
+        hi = jnp.where(at_top, jnp.zeros_like(hi), hi)
+    return rows_p.at[0].set(lo).at[nz_l + 1].set(hi)
+
+
+def _return_ghost_cots(dg, nz_l):
+    """Return z ghost-row cotangents to their owner slabs: my lo-ghost
+    cotangent is a gradient wrt my LOWER neighbor's top interior row (the
+    lattice shift is additive, so gradients pass unchanged)."""
+    nd = jax.lax.axis_size(AXIS)
+    down = [(i, (i - 1) % nd) for i in range(nd)]
+    up = [(i, (i + 1) % nd) for i in range(nd)]
+    add_to_my_top = jax.lax.ppermute(dg[0], AXIS, down)  # from upper nbr
+    add_to_my_bottom = jax.lax.ppermute(dg[nz_l + 1], AXIS, up)
+    return dg.at[nz_l].add(add_to_my_top).at[1].add(add_to_my_bottom)
+
+
+def sharded_compact_build_idx(position_slots, type_slots, slot_mask,
+                              box: Box, cplan_local: CompactPlan,
+                              rc_angular: float, pbc_z: bool):
+    """Per-slab neighbor-tile build (runs INSIDE shard_map): halo-exchanged
+    ghost windows -> distance-sorted index tiles, exactly the single-chip
+    build_indices on the local slab.  Returns (idx_local, ok_local)."""
+    plan_noz = cplan_local.base
+    nz_l = plan_noz.grid[2]
+    garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan_noz)
+    garr = _exchange_pos_rows(garr, nz_l, box, pbc_z)
+    centers = block_centers(garr, cplan_local)
+    cand = pack_block_windows(garr, plan_noz, cplan_local.bx, cplan_local.wl)
+    return build_indices(centers, cand, cplan_local, rc_angular)
+
+
+def sharded_compact_force(position_slots, type_slots, slot_mask, box: Box,
+                          cplan_local: CompactPlan, idx, model, params,
+                          per_atom_virial: bool, interpret: bool,
+                          pbc_z: bool, temperature=None):
+    """Compact-tile force/energy/virial on one z-slab (INSIDE shard_map).
+
+    This is the PRODUCTION engine per slab — the same K1/middle/K2/scatter
+    kernels as single-chip (ref: the multi-GPU path also runs the
+    production kernels per slab, src/force/nep_multigpu.cu:1585-1755) —
+    with three ring exchanges: position ghost rows in, window-cotangent
+    rows in, ghost-row force cotangents back out.  Returns per-slot local
+    outputs; the caller psums the total virial."""
+    plan_noz = cplan_local.base
+    nz_l = plan_noz.grid[2]
+    garr = pack_ghost(position_slots, type_slots, slot_mask, box, plan_noz)
+    garr = _exchange_pos_rows(garr, nz_l, box, pbc_z)
+    out = compact_pipeline(
+        garr, type_slots, slot_mask, cplan_local, idx, model, params,
+        per_atom_virial=per_atom_virial, interpret=interpret,
+        temperature=temperature,
+        hook_cot_rows=lambda rows_p: _exchange_val_rows(rows_p, nz_l, pbc_z),
+        hook_dghost=lambda dg: _return_ghost_cots(dg, nz_l),
+    )
+    w_total = jax.lax.psum(out.virial_total, AXIS)
+    return out.energy, out.force, w_total, out.virial_atom
+
+
 class ShardedDenseMD:
     """Multi-chip NEP MD driver: dense grid z-sharded over a 1-D mesh.
 
@@ -196,7 +298,9 @@ class ShardedDenseMD:
     def __init__(self, nep: NEP, box: Box, n_atoms: int, mesh: Mesh,
                  position: Optional[np.ndarray] = None, skin: float = 1.0,
                  cap: Optional[int] = None, interpret: Optional[bool] = None,
-                 axis: str = "z"):
+                 axis: str = "z", engine: str = "auto",
+                 per_atom_virial: bool = False,
+                 mn_r: Optional[int] = None, mn_a: Optional[int] = None):
         self.nep = nep
         self.mesh = mesh
         self.ndev = mesh.devices.size
@@ -221,8 +325,21 @@ class ShardedDenseMD:
             if position is not None:
                 position = np.asarray(position)[:, self._perm]
         self.box = box  # internal frame (chosen axis relabeled to z)
-        plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
-                         position=position, cap=cap)
+        if engine == "auto":
+            try:
+                CompactSpec.from_model(nep.model, nep.params)
+                engine = "compact"
+            except NotImplementedError:
+                engine = "v2"
+        self.engine = engine
+        self.per_atom_virial = per_atom_virial and engine == "compact"
+        self.hnemd_fe: Optional[tuple] = None  # set by the app for HNEMD
+        if engine == "compact" and cap is None:
+            plan = plan_grid_compact(box, nep.model.rc_radial_max, skin,
+                                     n_atoms, position=position)
+        else:
+            plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
+                             position=position, cap=cap)
         if plan is None:
             raise ValueError("box too thin for the dense engine")
         nx, ny, nz = plan.grid
@@ -233,10 +350,7 @@ class ShardedDenseMD:
                 f"cannot split {plan.grid[2]} z-layers over {self.ndev} devices"
             )
         if nz != plan.grid[2]:
-            plan = plan_grid(box, nep.model.rc_radial_max, skin, n_atoms,
-                             position=position, cap=None)
             # re-plan with forced nz: recompute cap for the coarser grid
-            t = np.asarray(box.thickness(), np.float64)
             grid = (plan.grid[0], plan.grid[1], nz)
             if position is not None:
                 from gpumd_tpu.engine.grid import _max_occupancy
@@ -253,6 +367,24 @@ class ShardedDenseMD:
             grid=(plan.grid[0], plan.grid[1], nz_l), cap=plan.cap,
             rc=plan.rc, skin=plan.skin, pbc=plan.pbc,
         )
+        self.pbc_z = bool(np.asarray(box.pbc)[2] > 0)
+        self.cplan_local: Optional[CompactPlan] = None
+        if engine == "compact":
+            cplan = make_compact_plan(
+                plan, position=position, box=box,
+                rc_angular=nep.model.rc_angular_max, mn_r=mn_r, mn_a=mn_a,
+            )
+            # the slab pipeline handles z through ring halos: the local
+            # plan carries pbc_z = False so pack_ghost/fold leave the z
+            # ghost rows to the hooks
+            plan_noz = DenseGridPlan(
+                grid=self.plan_local.grid, cap=plan.cap, rc=plan.rc,
+                skin=plan.skin,
+                pbc=(plan.pbc[0], plan.pbc[1], False),
+            )
+            self.cplan_local = CompactPlan(
+                base=plan_noz, bx=cplan.bx, mn_r=cplan.mn_r, mn_a=cplan.mn_a,
+            )
         self.skin = skin
         self.interpret = interpret
         if self.interpret is None:
@@ -338,20 +470,146 @@ class ShardedDenseMD:
 
     # ---- sharded step block ------------------------------------------
 
-    def make_block(self, ensemble, dt, steps: int):
-        """jitted (slot_state) -> (slot_state, overflow_flag) advancing
-        `steps` steps with the force pass sharded over the mesh."""
+    def make_block(self, ensemble, dt, steps: int, observer=None):
+        """jitted (slot_state, aux) -> (slot_state, aux, ok, ys) advancing
+        `steps` steps with the force pass sharded over the mesh.
+
+        Compact engine: the per-slab neighbor-index tiles are built ONCE at
+        block entry (shard_mapped build_indices); within the block the
+        Verlet skin covers drift, and `ok` goes False if any atom moved
+        more than skin/2 from its block-entry position or a neighbor cap
+        overflowed — the caller then re-bins globally and retries with a
+        shorter block (the reference's multi-GPU path instead re-partitions
+        every step, nep_multigpu.cu:1457-1530; amortization is the
+        TPU-side replacement)."""
         plan_local = self.plan_local
         model, params = self.nep.model, self.nep.params
         interpret = self.interpret
         nz = self.plan.grid[2]
+        mesh = self.mesh
+        temperature = getattr(self.nep, "temperature", None)
+
+        if self.engine == "compact":
+            cplan_local = self.cplan_local
+            rc_a = self.nep.model.rc_angular_max
+            pbc_z = self.pbc_z
+            per_atom_virial = self.per_atom_virial
+            hnemd_fe = self.hnemd_fe
+
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                out_specs=(P(AXIS), P()),
+                check_vma=False,
+            )
+            def sharded_build_idx(pos_z, typ_z, mask_z, box):
+                ns_l = pos_z.shape[0] * pos_z.shape[1]
+                idx, ok = sharded_compact_build_idx(
+                    pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
+                    mask_z.reshape(ns_l), box, cplan_local, rc_a, pbc_z,
+                )
+                # idx is (nz_l, ny, nxb, mn_r, a_pad); ok reduced over slabs
+                ok_all = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+                return idx, ok_all
+
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+                out_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
+                check_vma=False,
+            )
+            def sharded_force(pos_z, typ_z, mask_z, idx, box):
+                ns_l = pos_z.shape[0] * pos_z.shape[1]
+                # matmul precision "high": DEFAULT bf16 MXU noise on the
+                # descriptor/ANN chain breaks the NVE drift gate
+                with jax.default_matmul_precision("high"):
+                    e, f, w, w_atom = sharded_compact_force(
+                        pos_z.reshape(ns_l, 3), typ_z.reshape(ns_l),
+                        mask_z.reshape(ns_l), box, cplan_local, idx,
+                        model, params, per_atom_virial, interpret, pbc_z,
+                        temperature=temperature,
+                    )
+                if w_atom is None:
+                    w_atom = jnp.zeros((ns_l, 3, 3), f.dtype)
+                return (
+                    e.reshape(pos_z.shape[0], -1),
+                    f.reshape(pos_z.shape[0], -1, 3),
+                    w,
+                    w_atom.reshape(pos_z.shape[0], -1, 3, 3),
+                )
+
+            def compute(state: MDState, idx) -> MDState:
+                pos_z = state.position.reshape(nz, -1, 3)
+                typ_z = state.type.reshape(nz, -1)
+                mask_z = state.mask.reshape(nz, -1)
+                e, f, w, w_atom = sharded_force(
+                    pos_z, typ_z, mask_z, idx, state.box)
+                f = f.reshape(-1, 3)
+                n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+                if per_atom_virial:
+                    wv = w_atom.reshape(-1, 3, 3) * state.mask[:, None, None]
+                else:
+                    wv = (w / n_real) * state.mask[:, None, None]
+                if hnemd_fe is not None:
+                    # homogeneous driving force (ref: force.cu:567-608)
+                    fe = jnp.asarray(hnemd_fe, dtype=f.dtype)
+                    f = f + jnp.einsum(
+                        "nba,b->na", wv, fe,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ) * state.mask[:, None]
+                    f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+                j = jnp.sum(wv * state.velocity[:, None, :], axis=2)
+                return state._replace(
+                    force=f,
+                    potential_energy=e.reshape(-1) * state.mask,
+                    virial=wv,
+                    heat_current=j,
+                )
+
+            half_skin_sq = (0.5 * self.plan.skin) ** 2
+
+            def step(carry, _):
+                state, aux, idx, ref, ok = carry
+                state, aux = ensemble.step1(state, aux, dt)
+                disp = state.box.minimum_image(state.position - ref)
+                ok = ok & (
+                    jnp.max(jnp.sum(disp * disp, -1) * state.mask)
+                    <= half_skin_sq
+                )
+                state = compute(state, idx)
+                state, aux = ensemble.step2(state, aux, dt)
+                ys = observer(state) if observer is not None else None
+                return (state, aux, idx, ref, ok), ys
+
+            def block(state: MDState, aux=None):
+                pos_z = state.position.reshape(nz, -1, 3)
+                typ_z = state.type.reshape(nz, -1)
+                mask_z = state.mask.reshape(nz, -1)
+                idx, ok = sharded_build_idx(
+                    pos_z, typ_z, mask_z, state.box)
+                state = compute(state, idx)
+                if aux is None:
+                    aux = ensemble.init(state)
+                carry = (state, aux, idx, state.position, ok)
+                (state, aux, _, _, ok), ys = jax.lax.scan(
+                    step, carry, length=steps)
+                return state, aux, ok, ys
+
+            def compute_oneshot(state: MDState) -> MDState:
+                """Fresh-index single evaluation (old compute signature,
+                for snapshots/tests)."""
+                pos_z = state.position.reshape(nz, -1, 3)
+                typ_z = state.type.reshape(nz, -1)
+                mask_z = state.mask.reshape(nz, -1)
+                idx, _ = sharded_build_idx(pos_z, typ_z, mask_z, state.box)
+                return compute(state, idx)
+
+            return block, compute_oneshot
 
         def force_fn(pos, typ, mask, box):
             return sharded_nep_force(
                 pos, typ, mask, box, plan_local, model, params, interpret
             )
-
-        mesh = self.mesh
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
@@ -393,13 +651,14 @@ class ShardedDenseMD:
             state, aux = ensemble.step1(state, aux, dt)
             state = compute(state)
             state, aux = ensemble.step2(state, aux, dt)
-            return (state, aux), None
+            ys = observer(state) if observer is not None else None
+            return (state, aux), ys
 
         def block(state: MDState, aux=None):
             state = compute(state)
             if aux is None:
                 aux = ensemble.init(state)
-            (state, aux), _ = jax.lax.scan(step, (state, aux), length=steps)
-            return state, aux
+            (state, aux), ys = jax.lax.scan(step, (state, aux), length=steps)
+            return state, aux, jnp.asarray(True), ys
 
         return block, compute

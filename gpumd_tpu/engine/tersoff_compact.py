@@ -275,6 +275,27 @@ def compact_tersoff_compute(
     per_atom_virial: bool = False,
     interpret: Optional[bool] = None,
 ) -> CompactTersoffOutput:
+    with jax.default_matmul_precision("high"):
+        return _compact_tersoff_compute(
+            position_slots, type_slots, slot_mask, box, cplan, idx, spec,
+            per_atom_virial, interpret)
+
+
+def _compact_tersoff_compute(
+    position_slots,
+    type_slots,
+    slot_mask,
+    box: Box,
+    cplan: CompactPlan,
+    idx,
+    spec: TersoffSpec,
+    per_atom_virial: bool = False,
+    interpret: Optional[bool] = None,
+) -> CompactTersoffOutput:
+    """Force-path matmul policy: everything XLA-side runs bf16_3x ("high");
+    the scatter kernel's in-Mosaic dot is DEFAULT with a manual hi/lo split
+    (see engine/nep_compact.py _scatter_kernel).  Enforced by
+    tests/test_precision_policy.py."""
     plan = cplan.base
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -380,9 +401,13 @@ class CompactTersoffMD:
         from gpumd_tpu.engine.dense_md import DenseNEPMD
         return DenseNEPMD._rebin_arrays(self, state, orig_id, box)
 
-    def make_step(self, ensemble, dt):
+    def _cells_valid(self, box):
         from gpumd_tpu.engine.dense_md import DenseNEPMD
-        return DenseNEPMD.make_step(self, ensemble, dt)
+        return DenseNEPMD._cells_valid(self, box)
+
+    def make_step(self, ensemble, dt, observer=None):
+        from gpumd_tpu.engine.dense_md import DenseNEPMD
+        return DenseNEPMD.make_step(self, ensemble, dt, observer=observer)
 
     def run(self, state, ensemble, dt, n_steps: int):
         from gpumd_tpu.engine.dense_md import DenseNEPMD

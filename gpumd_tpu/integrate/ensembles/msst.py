@@ -53,9 +53,11 @@ class MSST:
         )
         pe = jnp.sum(state.potential_energy * m)
         kin = jnp.einsum(
-            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        w = jnp.einsum("nab,n->ab", state.virial, m)
+        w = jnp.einsum("nab,n->ab", state.virial, m,
+                   precision=jax.lax.Precision.HIGHEST)
         vol = state.box.volume
         d = self.shock_direction
         p_cur = (kin[d, d] + w[d, d]) / vol

@@ -175,9 +175,11 @@ class MTTK:
         """Instantaneous stress tensor in eV/A^3 (virial + kinetic)."""
         m = state.mask
         kin = jnp.einsum(
-            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        w = jnp.einsum("nab,n->ab", state.virial, m)
+        w = jnp.einsum("nab,n->ab", state.virial, m,
+                   precision=jax.lax.Precision.HIGHEST)
         p = (kin + w) / state.box.volume
         p = 0.5 * (p + p.T)
         if self.couple_type != NONE:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gpumd_tpu.integrate.ensembles.nvt import NVTBerendsen, _RampMixin
@@ -75,9 +76,11 @@ class NPTSCR(_RampMixin):
         # SCR barostat
         m = state.mask
         kin = jnp.einsum(
-            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        w = jnp.einsum("nab,n->ab", state.virial, m)
+        w = jnp.einsum("nab,n->ab", state.virial, m,
+                   precision=jax.lax.Precision.HIGHEST)
         vol = state.box.volume
         p = (kin + w) / vol * PRESSURE_UNIT_CONVERSION
         diag = jnp.diagonal(p)
@@ -136,9 +139,11 @@ class NPTBerendsen(_RampMixin):
         # barostat: instantaneous pressure (GPa)
         m = state.mask
         kin = jnp.einsum(
-            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+            "n,na,nb->ab", state.mass * m, state.velocity, state.velocity,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        w = jnp.einsum("nab,n->ab", state.virial, m)
+        w = jnp.einsum("nab,n->ab", state.virial, m,
+                   precision=jax.lax.Precision.HIGHEST)
         p = (kin + w) / state.box.volume * PRESSURE_UNIT_CONVERSION
         diag = jnp.diagonal(p)
         if self.isotropic:

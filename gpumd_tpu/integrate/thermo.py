@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gpumd_tpu.model.state import MDState
@@ -33,9 +34,11 @@ def compute_thermo(state: MDState, ndof=None) -> Thermo:
     dof = 3.0 * n if ndof is None else ndof
     temp = 2.0 * ke / (dof * K_B)
     kin_tensor = jnp.einsum(
-        "n,na,nb->ab", state.mass * m, state.velocity, state.velocity
+        "n,na,nb->ab", state.mass * m, state.velocity, state.velocity,
+            precision=jax.lax.Precision.HIGHEST,
     )
-    w = jnp.einsum("nab,n->ab", state.virial, m)
+    w = jnp.einsum("nab,n->ab", state.virial, m,
+                   precision=jax.lax.Precision.HIGHEST)
     pressure = (kin_tensor + w) / state.box.volume
     return Thermo(
         temperature=temp, kinetic_energy=ke, potential_energy=pe, pressure=pressure

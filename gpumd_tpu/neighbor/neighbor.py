@@ -178,7 +178,11 @@ def neighbor_brute(
     n = position.shape[0]
     dtype = position.dtype
     shifts_frac = jnp.asarray(_image_shifts(reps, np.float64), dtype=dtype)
-    shifts_cart = shifts_frac @ box.h.T  # (n_img, 3)
+    # integer-combination lattice shifts: HIGHEST precision (tiny matmul;
+    # the MXU's DEFAULT bf16 pass would round ghost shifts by ~0.4%)
+    shifts_cart = jnp.matmul(
+        shifts_frac, box.h.T, precision=jax.lax.Precision.HIGHEST
+    )  # (n_img, 3)
     n_img = shifts_cart.shape[0]
 
     blk = min(row_block, n)

@@ -268,6 +268,22 @@ def num_trainable(model: NepModel) -> int:
     return model.num_ann_params() + model.num_descriptor_params()
 
 
+def global_bias_index(model: NepModel) -> int:
+    """Flat-vector slot of the global output bias b1 (the slot the trainer
+    shifts to absorb the mean energy error, ref: fitness.cu:457
+    `elite[number_of_variables_ann - 1] += energy_shift_per_structure`)."""
+    t, neu, dim = model.num_types, model.neurons, model.dim
+    per_type = (dim + 2) * neu
+    if model.charge_mode:
+        per_type += neu
+    if model.version == 5:
+        per_type += 1
+    p = t * per_type
+    if model.charge_mode:
+        p += 1  # sqrt_eps_inf sits before b1
+    return p
+
+
 def params_from_vector(model: NepModel, theta, q_scaler=None) -> NepParams:
     """Traceable flat-vector -> NepParams (exact reference file ordering:
     per-type ANN blocks, global bias, then c basis-major type-pair-minor).

@@ -92,7 +92,7 @@ def main():
             return c.state
 
         def ref_pos(c):
-            return c.ref_position
+            return c.state.box.cartesian(c.ref_frac)
     else:
         from gpumd_tpu.forcefield import ForceField
         from gpumd_tpu.integrate.run import make_md_step

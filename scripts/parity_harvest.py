@@ -18,8 +18,8 @@ REF = "/root/reference/examples/nep_train/loss.out"
 
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nep_parity"
-    ours = np.loadtxt(workdir + "/loss.out")
-    ref = np.loadtxt(REF)
+    ours = np.atleast_2d(np.loadtxt(workdir + "/loss.out"))
+    ref = np.atleast_2d(np.loadtxt(REF))
     gmax = int(ours[-1, 0])
     rows = []
     for g in (100, 500, 1000, 2000, 4000, 6000, 8000, 10000, 15000, 20000):
@@ -34,7 +34,10 @@ def main():
     for g, oe, re_, of, rf in rows:
         print(f"| {g} | {oe:.5f} | {re_:.5f} | {of:.5f} | {rf:.5f} |")
     o_last = ours[-1]
-    r_match = ref[ref[:, 0] <= gmax][-1]
+    r_sel = ref[ref[:, 0] <= gmax]
+    # run truncated before the reference's first logged generation: compare
+    # against the reference's first row rather than crashing
+    r_match = r_sel[-1] if len(r_sel) else ref[0]
     r_final = ref[-1]
     print(json.dumps({
         "metric": "trainer_parity_pbte",

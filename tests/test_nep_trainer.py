@@ -334,3 +334,84 @@ def test_atomic_v_dipole_training(tmp_path):
     )
     e, f_, v, q, b = per_type_rmses(model, cfg, out, batch)
     assert np.isfinite(np.asarray(v)).all() and float(v[-1]) > 0.0
+
+
+def test_energy_shift_invariance():
+    """do_shift makes the energy fitness invariant to a constant per-atom
+    offset (ref: dataset.cu:823-922 gpu_get_energy_shift; fitness.cu passes
+    do_shift=true for every population evaluation) — the trainer never has
+    to evolve the constant through SNES."""
+    from gpumd_tpu.io.nep_input import NepTrainConfig
+    from gpumd_tpu.potentials.nep.params import NepModel
+    from gpumd_tpu.train.nep_train import ConfigOutput
+    from gpumd_tpu.train.snes import per_type_rmses
+
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("A", "B"),
+        atomic_numbers=(1, 2), rc_radial=(6.0, 6.0), rc_angular=(4.0, 4.0),
+        mn_radial=8, mn_angular=8, n_max_radial=2, n_max_angular=2,
+        basis_size_radial=2, basis_size_angular=2, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=4,
+    )
+    cfg = NepTrainConfig(num_types=2, symbols=("A", "B"))
+
+    class FakeBatch:
+        type = jnp.asarray([[0, 0], [0, 1]])
+        mask = jnp.ones((2, 2))
+        n_atoms = jnp.asarray([2, 2])
+        num_configs = 2
+        energy_ref = jnp.asarray([0.0, 0.0])
+        force_ref = jnp.zeros((2, 2, 3))
+        virial_ref = jnp.zeros((2, 6))
+        has_virial = jnp.asarray([1.0, 1.0])
+        weight = jnp.ones(2)
+        energy_weight = jnp.ones(2)
+
+    out0 = ConfigOutput(
+        energy=jnp.asarray([2.0, 4.0]),
+        force=jnp.zeros((2, 2, 3)),
+        virial=jnp.zeros((2, 6)),
+    )
+    # same energies + 100 eV/atom constant offset
+    out1 = ConfigOutput(
+        energy=out0.energy + 100.0 * FakeBatch.n_atoms,
+        force=out0.force, virial=out0.virial,
+    )
+    e0, _, _, _, _, s0 = per_type_rmses(
+        model, cfg, out0, FakeBatch(), do_shift=True, return_shift=True)
+    e1, _, _, _, _, s1 = per_type_rmses(
+        model, cfg, out1, FakeBatch(), do_shift=True, return_shift=True)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=1e-6)
+    assert np.isclose(float(s1) - float(s0), 100.0)
+    # global row: de = (1, 2), shift = 1.5 -> rmse = 0.5
+    assert np.isclose(float(e0[2]), 0.5)
+
+
+def test_global_bias_absorbs_shift():
+    """Adding the shift to the b1 slot lowers predicted energies by the
+    shift (ref: fitness.cu:457 elite[last_ann] += shift; our ANN also
+    SUBTRACTS b1)."""
+    import jax
+    from gpumd_tpu.potentials.nep.params import (
+        NepModel, global_bias_index, num_trainable, params_from_vector,
+        random_params,
+    )
+
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("A", "B"),
+        atomic_numbers=(1, 2), rc_radial=(6.0, 6.0), rc_angular=(4.0, 4.0),
+        mn_radial=8, mn_angular=8, n_max_radial=2, n_max_angular=2,
+        basis_size_radial=2, basis_size_angular=2, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=4,
+    )
+    d = num_trainable(model)
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.uniform(-1, 1, d))
+    p0 = params_from_vector(model, theta)
+    p1 = params_from_vector(model, theta.at[global_bias_index(model)].add(2.5))
+    assert np.isclose(float(p1.b1 - p0.b1), 2.5)
+    # every other leaf unchanged
+    for name in ("w0", "b0", "w1", "c_radial", "c_angular", "q_scaler"):
+        a0, a1 = getattr(p0, name), getattr(p1, name)
+        if a0 is not None:
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))

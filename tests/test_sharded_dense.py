@@ -140,16 +140,19 @@ def test_sharded_md_block_matches_dense(mesh8):
 
     smd = ShardedDenseMD(nep, box, n, mesh8, position=pos, skin=skin,
                          interpret=True)
+    assert smd.engine == "compact"  # production kernels run sharded
     assert smd.plan.grid[2] % 8 == 0
     sstate, overflow = smd.bin_state(state)
     assert not bool(overflow)
     block, _ = smd.make_block(NVE(), dt, steps=4)
-    out_state, _ = block(sstate)
+    out_state, _, ok, _ = block(sstate)
+    assert bool(ok)
 
     dmd = DenseNEPMD(nep, box, n, position=pos, skin=skin, interpret=True,
-                     cap=smd.plan.cap)
-    # force identical plans so slot layouts line up
+                     mn_r=smd.cplan_local.mn_r, mn_a=smd.cplan_local.mn_a)
+    # identical plans so slot layouts and kernel tilings line up
     assert dmd.plan.grid == smd.plan.grid, (dmd.plan, smd.plan)
+    assert dmd.cplan.mn_r == smd.cplan_local.mn_r
     carry, _ = jax.jit(lambda s: dmd.run(s, NVE(), dt, 4))(state)
     np.testing.assert_allclose(
         np.asarray(out_state.position), np.asarray(carry.state.position),
@@ -286,3 +289,60 @@ def test_sharded_axis_x_matches_list(mesh8):
     np.testing.assert_allclose(
         np.asarray(snap.potential_energy), np.asarray(ref.potential_energy),
         rtol=1e-9, atol=1e-10)
+
+
+def test_sharded_compact_matches_single_chip_100k(mesh8):
+    """VERDICT round-3 item 1 gate: the COMPACT (production) engine runs
+    sharded and bit-matches the single-chip compact engine at >= 100k atoms
+    on the 8-device CPU mesh, forces + energies + per-atom virials.
+
+    (The reference's multi-GPU path runs its production kernels per slab,
+    nep_multigpu.cu:1585-1755 — engine/sharded.py now does the same via
+    compact_pipeline + ring halos.)"""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    rng = np.random.default_rng(11)
+    nep = _small_model()
+    skin = 0.5
+    # ~100k atoms: 48^3 sites at a0 2.6 => 110,592 atoms in a 124.8 A box
+    a0 = 2.6
+    nc = 48
+    g = np.stack(
+        np.meshgrid(*[np.arange(nc)] * 3, indexing="ij"), -1).reshape(-1, 3)
+    pos = (g + 0.5) * a0 + rng.uniform(-0.2, 0.2, (nc**3, 3))
+    types = rng.integers(0, 2, len(pos))
+    lengths = [nc * a0] * 3
+    box = Box.orthogonal(lengths)
+    n = len(pos)
+    assert n >= 100_000
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box,
+                       dtype=jnp.float64)
+
+    smd = ShardedDenseMD(nep, box, n, mesh8, position=pos, skin=skin,
+                         interpret=True, per_atom_virial=True)
+    assert smd.engine == "compact"
+    sstate, oid, overflow = smd.bin_state(state, with_id=True)
+    assert not bool(overflow)
+    _, compute = smd.make_block(
+        NVE(), 1.0 / TIME_UNIT_CONVERSION, steps=1)
+    st2 = jax.jit(compute)(sstate)
+    snap = smd.gather_input_order(st2, oid, n)
+
+    dmd = DenseNEPMD(nep, box, n, position=pos, skin=skin, interpret=True,
+                     per_atom_virial=True,
+                     mn_r=smd.cplan_local.mn_r, mn_a=smd.cplan_local.mn_a)
+    assert dmd.plan.grid == smd.plan.grid
+    carry = dmd.init_carry(state)
+    ref_c = jax.jit(dmd.compute)(carry.state, carry.idx)
+    ref = dmd.to_input_order(carry._replace(state=ref_c), n)
+
+    np.testing.assert_allclose(
+        np.asarray(snap.potential_energy), np.asarray(ref.potential_energy),
+        rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(snap.force), np.asarray(ref.force), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(snap.virial), np.asarray(ref.virial), rtol=1e-7,
+        atol=1e-9)
