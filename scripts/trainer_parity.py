@@ -55,8 +55,8 @@ def main():
     if rc != 0:
         raise SystemExit(f"trainer exited rc={rc}")
 
-    ours = np.loadtxt(os.path.join(workdir, "loss.out"))
-    ref = np.loadtxt(os.path.join(REF_DIR, "loss.out"))
+    ours = np.atleast_2d(np.loadtxt(os.path.join(workdir, "loss.out")))
+    ref = np.atleast_2d(np.loadtxt(os.path.join(REF_DIR, "loss.out")))
     # columns: gen, total, L1, L2, rmse_E, rmse_F, rmse_V, (test cols)
     our_final = ours[-1]
     ref_final = ref[-1]
