@@ -67,6 +67,10 @@ class PropertyRequest:
     interval: int
     process: Callable  # (session, state, global_step) -> None
     finalize: Optional[Callable] = None
+    # samples per-atom virials (the dense engine must not spread the total)
+    needs_atom_virial: bool = False
+    # writes back into session.state (plumed): list path only
+    mutates_state: bool = False
 
 
 class Session:
@@ -1006,7 +1010,10 @@ class Session:
         def finalize(session):
             bridge.finalize()
 
-        self.properties.append(PropertyRequest(interval, process, finalize))
+        self.properties.append(PropertyRequest(
+            interval, process, finalize,
+            needs_atom_virial=True, mutates_state=True,
+        ))
 
     def kw_dump_netcdf(self, args):
         """dump_netcdf grouping_method group_id interval has_velocity file
@@ -1272,9 +1279,13 @@ class Session:
             getattr(m, "needs_onsager", False) for m in self.measure_props
         ):
             return "onsager flux observer"
+        if any(p.mutates_state for p in self.properties):
+            return "state-mutating property (plumed)"
         heatish = self.ff.hnemd_fe is not None or any(
-            getattr(m, "needs_heat", False) for m in self.measure_props
-        )
+            getattr(m, "needs_heat", False)
+            or getattr(m, "needs_atom_virial", False)
+            for m in self.measure_props
+        ) or any(p.needs_atom_virial for p in self.properties)
         if isinstance(pot, _T89) and heatish:
             return "Tersoff heat observables (list path)"
         from gpumd_tpu.engine.nep_compact import plan_grid_compact
@@ -1307,15 +1318,26 @@ class Session:
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props
         )
+        needs_av = any(
+            getattr(m, "needs_atom_virial", False) for m in self.measure_props
+        ) or any(p.needs_atom_virial for p in self.properties)
         nep = neps[0] if neps else None
         n = self._n
         state = self.state
+        ndev = getattr(self, "engine_devices", 1)
+        # properties with a device_init accumulate inside the scan (no host
+        # sync, no chunk collapse); everything else samples at chunk
+        # boundaries (ref analog: measure.process every step, run.cu:299)
+        dev_props = [
+            m for m in self.measure_props
+            if hasattr(m, "device_init") and nep is not None and ndev == 1
+        ]
+        host_props = [m for m in self.measure_props if m not in dev_props]
         intervals = [p.interval for p in self.properties] + [
-            m.interval for m in self.measure_props
+            m.interval for m in host_props
         ]
         chunk = math.gcd(*intervals) if intervals else n_steps
         chunk = max(1, min(chunk, n_steps))
-        ndev = getattr(self, "engine_devices", 1)
         if ndev > 1:
             if nep is None:
                 raise ValueError("engine dense multi-device: NEP only")
@@ -1328,7 +1350,7 @@ class Session:
         if nep is None:
             from gpumd_tpu.engine.tersoff_compact import CompactTersoffMD
 
-            if needs_heat or hnemd_fe is not None:
+            if needs_heat or needs_av or hnemd_fe is not None:
                 raise ValueError(
                     "engine dense: Tersoff heat observables need "
                     "`engine list`")
@@ -1339,9 +1361,12 @@ class Session:
         else:
             md = DenseNEPMD(
                 nep, state.box, n, position=np.asarray(state.position)[:n],
-                per_atom_virial=needs_heat or hnemd_fe is not None,
+                per_atom_virial=needs_heat or needs_av
+                or hnemd_fe is not None,
             )
-            if (needs_heat or hnemd_fe is not None) and md.engine != "compact":
+            if (
+                needs_heat or needs_av or hnemd_fe is not None
+            ) and md.engine != "compact":
                 raise ValueError(
                     "engine dense: per-atom heat-current observables need "
                     "the compact engine (this model fell back to the window "
@@ -1361,19 +1386,34 @@ class Session:
         observer = (
             (lambda st: heat_current_5(st)) if heat_props else None
         )
-        step = md.make_step(ens, self.dt, observer=observer)
+        if dev_props:
+            def measure(maccs, st, orig_id):
+                return tuple(
+                    m.device_update(a, st, orig_id)
+                    for m, a in zip(dev_props, maccs)
+                )
+            maccs = tuple(m.device_init(self, n) for m in dev_props)
+        else:
+            measure, maccs = None, ()
+        step = md.make_step(ens, self.dt, observer=observer,
+                            measure=measure)
 
         @jax.jit
-        def block(carry, aux):
-            (carry, aux), ys = jax.lax.scan(
-                step, (carry, aux), length=chunk
-            )
-            return carry, aux, ys
+        def block(carry, aux, maccs):
+            if dev_props:
+                (carry, aux, maccs), ys = jax.lax.scan(
+                    step, (carry, aux, maccs), length=chunk
+                )
+            else:
+                (carry, aux), ys = jax.lax.scan(
+                    step, (carry, aux), length=chunk
+                )
+            return carry, aux, maccs, ys
 
         t0 = time.time()
         done = 0
         while done < n_steps:
-            carry, aux, ys = block(carry, aux)
+            carry, aux, maccs, ys = block(carry, aux, maccs)
             if heat_props:
                 rows = np.asarray(ys)  # (chunk, 5)
                 for m in heat_props:
@@ -1396,12 +1436,14 @@ class Session:
             for prop in self.properties:
                 if done % prop.interval == 0:
                     prop.process(self, snap, self.global_step)
-            for m in self.measure_props:
+            for m in host_props:
                 if done % m.interval == 0 and hasattr(m, "sample_state"):
                     m.sample_state(self, snap, self.global_step)
         wall = time.time() - t0
         rate = n * n_steps / max(wall, 1e-9)
         self.log(f"Speed of this run = {rate:.5g} atom*step/second (dense)")
+        for m, a in zip(dev_props, maccs):
+            m.device_postprocess(self, a)
         self._finish_dense_run()
 
     def _finish_dense_run(self):
@@ -1444,6 +1486,9 @@ class Session:
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props
         )
+        needs_heat = needs_heat or any(
+            getattr(m, "needs_atom_virial", False) for m in self.measure_props
+        ) or any(p.needs_atom_virial for p in self.properties)
         hnemd_fe = self.ff.hnemd_fe
         smd = ShardedDenseMD(
             nep, state.box, n, mesh,
@@ -2123,7 +2168,10 @@ class Session:
                 f.flush()
                 acc["rows"] = []
 
-        self.properties.append(PropertyRequest(sample_interval, process))
+        self.properties.append(PropertyRequest(
+            sample_interval, process,
+            needs_atom_virial=bool({"virial", "jp"} & quantities),
+        ))
         self.log(f"compute: method {method} {sorted(quantities)}")
 
     def kw_minimize(self, args):
@@ -2594,7 +2642,9 @@ class Session:
                 files[name].write(" ".join(f"{v2:f}" for v2 in arr) + "\n")
                 files[name].flush()
 
-        self.properties.append(PropertyRequest(interval, process))
+        self.properties.append(
+            PropertyRequest(interval, process, needs_atom_virial=True)
+        )
         self.log(f"dump_shock_nemd {args}")
 
     def kw_compute_extrapolation(self, args):

@@ -236,9 +236,15 @@ class DenseNEPMD:
 
     # ---- MD step -------------------------------------------------------------
 
-    def make_step(self, ensemble, dt, observer=None):
+    def make_step(self, ensemble, dt, observer=None, measure=None):
         """observer(state) -> small pytree collected per step (scan ys) —
         on-device per-step observables (HNEMD heat current windows).
+
+        measure(maccs, state, orig_id) -> maccs — carried on-device
+        measurement accumulators (SHC correlation ring buffers etc.);
+        when given, the scan carry is (DenseCarry, aux, maccs) and the
+        update runs after step2, matching the reference's
+        measure.process-after-integrate ordering (run.cu:295-299).
 
         Rebuild criterion (barostat-safe): the list built at the last rebin
         (box h0, positions p0, cutoff rc_out = rc+skin) stays complete while
@@ -257,6 +263,7 @@ class DenseNEPMD:
         def step(carry, _):
             state, aux = carry[0].state, carry[1]
             c: DenseCarry = carry[0]
+            maccs = carry[2] if measure is not None else None
             state, aux = ensemble.step1(state, aux, dt)
             smin = jnp.min(state.box.thickness() / c.ref_thick)
             ref_cart = state.box.cartesian(c.ref_frac)
@@ -309,6 +316,9 @@ class DenseNEPMD:
                 overflow=c.overflow | ov, idx=idx,
             )
             ys = observer(state) if observer is not None else None
+            if measure is not None:
+                maccs = measure(maccs, state, orig_id)
+                return (new_c, aux, maccs), ys
             return (new_c, aux), ys
 
         return step

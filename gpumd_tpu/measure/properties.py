@@ -354,6 +354,7 @@ class SHC:
     """
 
     needs_heat = False
+    needs_atom_virial = True  # samples W_i rows; dense path must not spread
 
     def __init__(self, sample_interval, nc, direction, num_omega, max_omega,
                  dt, group_mask=None):
@@ -368,6 +369,95 @@ class SHC:
         self.s_frames: List[np.ndarray] = []
         self.v_frames: List[np.ndarray] = []
 
+    # ---- on-device accumulation (compact fast path) ----------------------
+    #
+    # The reference processes SHC per step on-GPU with ring buffers of the
+    # group's per-atom (s, v) and accumulates +-Nc-lag correlation sums
+    # (ref: src/measure/shc.cu, shc.cuh:26-75).  The TPU equivalent carries
+    # the ring buffers in the scan: per sampled step one (Nc, G, 3) x (G, 3)
+    # contraction per direction updates all lags at once on the MXU —
+    # no host sync, and the chunk size no longer collapses to
+    # sample_interval.  Correlation pairs match the host sample_state/
+    # postprocess path exactly (mean over t of sum_i s_i(t) v_i(t+lag)).
+
+    def device_init(self, session, n):
+        import jax.numpy as jnp
+
+        self.n = int(n)
+        if self.group_mask is not None:
+            gidx = np.nonzero(np.asarray(self.group_mask)[:n] > 0)[0]
+        else:
+            gidx = np.arange(n)
+        self._gidx = jnp.asarray(gidx.astype(np.int32))
+        g = len(gidx)
+        nc = self.nc
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "count": jnp.zeros((), jnp.int32),
+            "s_ring": jnp.zeros((nc, g, 3), jnp.float32),
+            "v_ring": jnp.zeros((nc, g, 3), jnp.float32),
+            "kpos": jnp.zeros((nc, 3), jnp.float32),
+            "kneg": jnp.zeros((nc, 3), jnp.float32),
+            "nvalid": jnp.zeros((nc,), jnp.int32),
+        }
+
+    def device_update(self, macc, state, orig_id):
+        import jax
+        import jax.numpy as jnp
+
+        nc = self.nc
+
+        def sample(m):
+            n_slots = orig_id.shape[0]
+            inv = jnp.zeros(self.n + 1, jnp.int32).at[orig_id].set(
+                jnp.arange(n_slots, dtype=jnp.int32), mode="drop"
+            )
+            slots = inv[self._gidx]
+            rdt = m["s_ring"].dtype
+            s_now = state.virial[slots][:, self.direction, :].astype(rdt)
+            v_now = state.velocity[slots].astype(rdt)  # (G, 3)
+            pos = m["count"] % nc
+            s_ring = m["s_ring"].at[pos].set(s_now)
+            v_ring = m["v_ring"].at[pos].set(v_now)
+            # d[l, c] = sum_g s(ring l) v(now); e[l, c] = sum_g s(now) v(ring l)
+            hi = jax.lax.Precision.HIGHEST
+            d = jnp.einsum("lgc,gc->lc", s_ring, v_now, precision=hi)
+            e = jnp.einsum("gc,lgc->lc", s_now, v_ring, precision=hi)
+            lags = jnp.arange(nc)
+            slot_for_lag = (pos - lags) % nc
+            valid = lags <= m["count"]
+            return {
+                "step": m["step"],
+                "count": m["count"] + 1,
+                "s_ring": s_ring,
+                "v_ring": v_ring,
+                "kpos": m["kpos"]
+                + jnp.where(valid[:, None], d[slot_for_lag], 0.0),
+                "kneg": m["kneg"]
+                + jnp.where(valid[:, None], e[slot_for_lag], 0.0),
+                "nvalid": m["nvalid"] + valid.astype(jnp.int32),
+            }
+
+        do = (macc["step"] + 1) % self.sample_interval == 0
+        out = jax.lax.cond(do, sample, lambda m: m, macc)
+        return dict(out, step=macc["step"] + 1)
+
+    def device_postprocess(self, session, macc):
+        kpos = np.asarray(macc["kpos"], np.float64)
+        kneg = np.asarray(macc["kneg"], np.float64)
+        nvalid = np.asarray(macc["nvalid"], np.float64)
+        nc = int(np.count_nonzero(nvalid))
+        if nc == 0:
+            return
+        cnt = np.maximum(nvalid[:nc], 1.0)[:, None]
+        kp = kpos[:nc] / cnt
+        kn = kneg[:nc] / cnt
+        ki_pos, ko_pos = kp[:, 0] + kp[:, 1], kp[:, 2]
+        ki_neg, ko_neg = kn[:, 0] + kn[:, 1], kn[:, 2]
+        ki = np.concatenate([ki_neg[::-1][:-1], ki_pos])
+        ko = np.concatenate([ko_neg[::-1][:-1], ko_pos])
+        self._write_out(session, ki, ko, nc)
+
     def sample_state(self, session, state, step):
         n = session._n
         w = np.asarray(state.virial)[:n]  # (N, 3, 3)
@@ -379,6 +469,8 @@ class SHC:
         self.v_frames.append(v.copy())
 
     def postprocess(self, session):
+        if not self.s_frames:  # device path already wrote, or no samples
+            return
         s = np.stack(self.s_frames)  # (Nd, G, 3)
         v = np.stack(self.v_frames)
         nd = len(s)
@@ -407,10 +499,13 @@ class SHC:
         # assemble t = -(Nc-1)..(Nc-1)
         ki = np.concatenate([ki_neg[::-1][:-1], ki_pos])
         ko = np.concatenate([ko_neg[::-1][:-1], ko_pos])
+        self._write_out(session, ki, ko, nc)
+
+    def _write_out(self, session, ki, ko, nc):
         # natural velocity -> A/ps
         vel_unit = 1000.0 / TIME_UNIT_CONVERSION
-        ki *= vel_unit
-        ko *= vel_unit
+        ki = ki * vel_unit
+        ko = ko * vel_unit
         dt_ps = self.dt * self.sample_interval * TIME_UNIT_CONVERSION / 1000.0
         t = (np.arange(2 * nc - 1) - (nc - 1)) * dt_ps
         # Hann window + cosine transform (shc.cu:350-395)
@@ -1123,6 +1218,8 @@ class ModalAnalysis:
     samples and emits per-bin kappa scaled by
     KAPPA_UNIT_CONVERSION / (V T fe samples_per_output).
     """
+
+    needs_atom_virial = True  # samples W_i columns per mode
 
     def __init__(self, method, sample_interval, first_mode, last_mode,
                  bin_size=None, f_bin_size=None, output_interval=None,

@@ -287,3 +287,53 @@ run 6
     assert kappa.shape == (3, 5)
     assert np.isfinite(kappa).all()
     assert s.ff.hnemd_fe is None  # reset after the dense run
+
+def test_engine_dense_shc_on_device(tmp_path):
+    """engine dense + compute_shc: SHC correlations accumulate on device
+    inside the scan (no per-step host sampling, chunk stays the thermo
+    interval) and match the list path's host-sampled shc.out
+    (ref: src/measure/shc.cu processes SHC per step on-GPU)."""
+    from gpumd_tpu.app.gpumd import Session
+    from gpumd_tpu.io.nep_input import NepTrainConfig, model_from_config
+    from gpumd_tpu.io.xyz import XYZFrame, write_xyz
+    from gpumd_tpu.potentials.nep.params import num_trainable, write_nep_txt
+
+    cfg = NepTrainConfig(
+        num_types=1, symbols=("Ar",), rc_radial=4.0, rc_angular=2.5,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=4, l_max_4body=0, neurons=4,
+    )
+    model = model_from_config(cfg)
+    theta = np.random.default_rng(0).normal(0, 0.2, num_trainable(model))
+    write_nep_txt(str(tmp_path / "nep.txt"), model, theta,
+                  np.ones(model.dim))
+    npts = 5
+    g = np.stack(np.meshgrid(*[np.arange(npts)] * 3, indexing="ij"), -1)
+    pos = g.reshape(-1, 3) * 3.2 + np.random.default_rng(1).uniform(
+        -0.2, 0.2, (npts**3, 3)
+    )
+    n = len(pos)
+    write_xyz(
+        str(tmp_path / "model.xyz"),
+        XYZFrame(symbols=["Ar"] * n, positions=pos,
+                 lattice=np.diag([16.0] * 3), pbc=(True, True, True)),
+    )
+    run = """potential nep.txt
+velocity 50
+time_step 2
+ensemble nve
+{engine}compute_shc 1 4 0 5 25.0
+run 8
+"""
+    (tmp_path / "run.in").write_text(run.format(engine="engine dense\n"))
+    Session(str(tmp_path), quiet=True).execute()
+    shc_dense = np.loadtxt(tmp_path / "shc.out", comments="#")
+    (tmp_path / "shc.out").unlink()
+    (tmp_path / "run.in").write_text(run.format(engine=""))
+    Session(str(tmp_path), quiet=True).execute()
+    shc_list = np.loadtxt(tmp_path / "shc.out", comments="#")
+    assert shc_dense.shape == shc_list.shape == (2 * 4 - 1 + 5, 3)
+    scale = np.abs(shc_list[:, 1:]).max()
+    np.testing.assert_allclose(
+        shc_dense[:, 1:], shc_list[:, 1:], rtol=2e-4, atol=2e-4 * scale
+    )
