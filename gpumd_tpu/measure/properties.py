@@ -568,9 +568,10 @@ class RDF:
         self.type_counts = None
 
     def sample_state(self, session, state, step):
+        import jax
         import jax.numpy as jnp
 
-        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+        from gpumd_tpu.neighbor.neighbor import build_neighbor_list
         from gpumd_tpu.model.box import num_replicas_for_cutoff
 
         n = session._n
@@ -578,25 +579,42 @@ class RDF:
         box = state.box
         types = np.asarray(state.type)[:n]
         reps = num_replicas_for_cutoff(box, self.r_cut)
-        # generous MN for RDF range
-        nbr = neighbor_brute(
+        # O(N) cell list when the box allows it; only (num_bins,) scalars
+        # reach the host (the (N, MN) pair set used to round-trip)
+        nbr = build_neighbor_list(
             pos, box, state.mask[:n], rc=self.r_cut, mn=1024, reps=reps
         )
-        d = np.asarray(jnp.sqrt(jnp.sum(nbr.r12**2, axis=-1)))
-        m = np.asarray(nbr.mask) > 0
-        h, _ = np.histogram(d[m], bins=self.num_bins, range=(0, self.r_cut))
-        self.hist += h
-        if self.num_types > 1:
-            ti = np.broadcast_to(types[:, None], d.shape)
-            tj = types[np.asarray(nbr.idx) % n]  # image indices fold back
-            for k, (a, b) in enumerate(self.pairs):
-                sel = m & (
-                    ((ti == a) & (tj == b)) | ((ti == b) & (tj == a))
-                )
-                hk, _ = np.histogram(
-                    d[sel], bins=self.num_bins, range=(0, self.r_cut)
-                )
-                self.hist_pair[k] += hk
+        nbins = self.num_bins
+
+        @jax.jit
+        def hist1d(r12, mask, idx, types_d):
+            d = jnp.sqrt(jnp.sum(r12**2, axis=-1))
+            ri = jnp.clip(
+                jnp.floor(d / self.r_cut * nbins).astype(jnp.int32),
+                0, nbins - 1,
+            )
+            ok = (mask > 0) & (d < self.r_cut)
+            h = jnp.bincount(
+                jnp.where(ok, ri, nbins).reshape(-1), length=nbins + 1
+            )[:nbins]
+            hp = []
+            if self.num_types > 1:
+                ti = types_d[:, None] * jnp.ones_like(idx)
+                tj = types_d[idx % types_d.shape[0]]  # images fold back
+                for a, b in self.pairs:
+                    sel = ok & (
+                        ((ti == a) & (tj == b)) | ((ti == b) & (tj == a))
+                    )
+                    hp.append(jnp.bincount(
+                        jnp.where(sel, ri, nbins).reshape(-1),
+                        length=nbins + 1,
+                    )[:nbins])
+            return h, hp
+
+        h, hp = hist1d(nbr.r12, nbr.mask, nbr.idx, jnp.asarray(types))
+        self.hist += np.asarray(h)
+        for k in range(len(hp)):
+            self.hist_pair[k] += np.asarray(hp[k])
         self.n_samples += 1
         if self.density is None:
             self.density = n / float(box.volume)
@@ -734,14 +752,16 @@ class AngularRDF:
         import jax.numpy as jnp
 
         from gpumd_tpu.model.box import num_replicas_for_cutoff
-        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+        from gpumd_tpu.neighbor.neighbor import build_neighbor_list
 
         n = session._n
         pos = state.position[:n]
         box = state.box
         types = np.asarray(state.type)[:n]
         reps = num_replicas_for_cutoff(box, self.r_cut)
-        nbr = neighbor_brute(
+        # O(N) cell list when the box allows it; brute + images only for
+        # small/thin boxes (ref: adf.cu/angular_rdf.cu use the cell list)
+        nbr = build_neighbor_list(
             pos, box, state.mask[:n], rc=self.r_cut, mn=1024, reps=reps
         )
 
@@ -860,7 +880,7 @@ class ADF:
         import jax.numpy as jnp
 
         from gpumd_tpu.model.box import num_replicas_for_cutoff
-        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+        from gpumd_tpu.neighbor.neighbor import build_neighbor_list
 
         n = session._n
         pos = state.position[:n]
@@ -868,7 +888,8 @@ class ADF:
         types = jnp.asarray(state.type)[:n]
         rc = self._rc_top()
         reps = num_replicas_for_cutoff(box, rc)
-        nbr = neighbor_brute(
+        # O(N) cell list when the box allows it (ref: adf.cu cell list)
+        nbr = build_neighbor_list(
             pos, box, state.mask[:n], rc=rc, mn=96, reps=reps
         )
         nb = self.num_bins
@@ -1092,13 +1113,14 @@ class OrientOrder:
         import jax.numpy as jnp
 
         from gpumd_tpu.model.box import num_replicas_for_cutoff
-        from gpumd_tpu.neighbor.neighbor import neighbor_brute
+        from gpumd_tpu.neighbor.neighbor import build_neighbor_list
 
         n = session._n
         pos = state.position[:n]
         box = state.box
         reps = num_replicas_for_cutoff(box, self.rc)
-        nbr = neighbor_brute(
+        # O(N) cell list when the box allows it (ref: orientorder.cu)
+        nbr = build_neighbor_list(
             pos, box, state.mask[:n], rc=self.rc, mn=96, reps=reps
         )
 
