@@ -140,6 +140,67 @@ def run_once(target_n, n_steps, engine="dense"):
     return n, n_steps, wall
 
 
+def run_npt(target_n, n_steps):
+    """BASELINE config 3 as specified: NEP PbTe MD under NPT on the compact
+    fast path (ref: src/main_gpumd/run.cu:252-318 runs NEP under every
+    ensemble through the one production path; ensemble_ber.cu:95-150).
+    The dense engine's fractional-coordinate rebuild criterion keeps the
+    static grid plan valid while the barostat rescales the cell
+    (engine/dense_md.py)."""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.npt import NPTBerendsen
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.model.box import Box
+    from gpumd_tpu.model.state import make_state
+    from gpumd_tpu.potentials.nep.model import NEP
+    from gpumd_tpu.potentials.nep.params import NepModel, random_params
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    nc = max(2, round((target_n / 8) ** (1 / 3)))
+    pos, types, lengths = build_pbte(nc, nc, nc)
+    n = len(pos)
+    model = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(8.0, 8.0), rc_angular=(4.0, 4.0),
+        mn_radial=92, mn_angular=16, n_max_radial=6, n_max_angular=6,
+        basis_size_radial=6, basis_size_angular=6, l_max=4,
+        has_q=(1, 0, 0, 0, 0, 0), neurons=30,
+    )
+    nep = NEP(model=model, params=random_params(model, seed=1))
+    box = Box.orthogonal(lengths)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 300.0, seed=3)
+    dt = 1.0 / TIME_UNIT_CONVERSION
+
+    skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.5))
+    md = DenseNEPMD(nep, box, n, position=pos, skin=skin)
+    # PbTe-like coupling: bulk modulus ~40 GPa, tau_p 1 ps (reference's
+    # npt_ber defaults, src/integrate/ensemble_ber.cu)
+    ens = NPTBerendsen(
+        t0=300.0, target_pressure=(0.0, 0.0, 0.0),
+        elastic_modulus=(40.0, 40.0, 40.0), tau_p=1000.0,
+    )
+    step = md.make_step(ens, dt)
+    warm = jax.jit(
+        lambda s: (lambda c: (c._replace(
+            state=md.compute(c.state, c.idx)), ens.init(c.state)))(
+                md.init_carry(s))
+    )
+    run_block = jax.jit(
+        lambda c, a: jax.lax.scan(step, (c, a), length=n_steps)[0]
+    )
+    carry0, aux0 = warm(state)
+    carry, _ = run_block(carry0, aux0)
+    jax.block_until_ready(carry.state.position)
+    t0 = time.time()
+    carry, _ = run_block(carry0, aux0)
+    ok = bool(jnp.isfinite(carry.state.position).all())
+    wall = time.time() - t0
+    if not ok or bool(carry.overflow):
+        raise RuntimeError("npt benchmark invalid (overflow/non-finite)")
+    return n, n_steps, wall
+
+
 def run_hnemd(target_n, n_steps):
     """BASELINE config 4 at scale: HNEMD heat-transport MD on the compact
     fast path — per-atom virial ON, homogeneous driving force, per-step
@@ -286,6 +347,16 @@ def main():
     n_steps = int(os.environ.get("GPUMD_BENCH_STEPS", 100))
     engine = os.environ.get("GPUMD_BENCH_ENGINE", "dense")
     mode = os.environ.get("GPUMD_BENCH_MODE", "nep")
+    if mode == "npt":
+        # BASELINE config 3 as written: NEP PbTe under NPT
+        n, n_steps, wall = run_npt(target_n, n_steps)
+        value = n * n_steps / wall
+        print(json.dumps({
+            "metric": "nep_pbte_npt_md_throughput", "value": value,
+            "unit": "atom_step_per_s_per_chip", "vs_baseline": value / 1e8,
+        }))
+        print(f"# N={n} steps={n_steps} wall={wall:.2f}s", file=sys.stderr)
+        return
     if mode == "hnemd":
         n, n_steps, wall = run_hnemd(target_n, n_steps)
         value = n * n_steps / wall

@@ -72,8 +72,19 @@ class DenseNEPMD:
         per_atom_virial: bool = False,
         mn_r: Optional[int] = None,
         mn_a: Optional[int] = None,
+        zero_net_force: bool = True,
     ):
         self.nep = nep
+        # Analytically the net force is exactly zero (translation
+        # invariance); numerically the i-side/j-side halves of each pair
+        # round differently (f32), and the per-step-resampled residual
+        # random-walks the total momentum (round-3: 2e-3 amu*A/fs after
+        # 6 ps at 32k, vs the reference's 1e-3 gate,
+        # ref tests_pytest/test_md_conservation.py:34).  Subtracting the
+        # mean net force per step restores exact global Newton-III at the
+        # cost of one 3-component reduction (~1e-7 eV/A per atom at 1M —
+        # far below force tolerances).
+        self.zero_net_force = zero_net_force
         if engine in ("auto", "compact") and cap is None:
             from gpumd_tpu.engine.nep_compact import plan_grid_compact
 
@@ -203,6 +214,9 @@ class DenseNEPMD:
             else:
                 n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
                 w = (out.virial_total / n_real) * state.mask[:, None, None]
+            if self.zero_net_force and self.hnemd_fe is None:
+                n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
+                f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
             if self.hnemd_fe is not None:
                 # homogeneous driving force F_i += W_i^T Fe with net-force
                 # correction (ref: src/force/force.cu:567-608); requires
@@ -229,8 +243,11 @@ class DenseNEPMD:
         # exact; per-atom heat-current observables need engine="compact".
         n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
         w = (out.virial_total / n_real) * state.mask[:, None, None]
+        f = out.force
+        if self.zero_net_force:
+            f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
         return state._replace(
-            force=out.force, potential_energy=out.energy * state.mask,
+            force=f, potential_energy=out.energy * state.mask,
             virial=w,
         )
 

@@ -173,7 +173,16 @@ def plan_grid_compact(
             if nx % b == 0 and b * cap <= 128:
                 bx = b
                 break
-        return cap, bx, nz * ny * (nx // bx) * round_up(bx * cap, 128)
+        # Round-4 measurement: padded-lane volume (nb * a_pad) is the
+        # first-order cost — K1/K2/middle run their full ALU chain on
+        # every lane — and the window-block count (nblk) is only a weak
+        # second-order term (nx=26/cap=48/nblk=14 lost 4% end-to-end to
+        # nx=24/cap=64/nblk=18 at 1M PbTe: +8% lanes, 25% of them dead).
+        # Score by lane volume; break ties toward smaller windows.
+        nb = nz * ny * (nx // bx)
+        a_pad = round_up(bx * cap, 128)
+        wl = round_up(9 * (bx + 2) * cap, 128)
+        return cap, bx, nb * a_pad * 64 + nb * wl // 8
 
     # score every candidate with the occupancy DEVICE binning will see; a
     # commensurate-boundary pathology (whole lattice planes flipping cells)
@@ -809,10 +818,17 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                               spec)
                 uxa, uya, uza = dxa * ida, dya * ida, dza * ida
                 ylm = _ylm_tile(uxa, uya, uza, spec.l_max, dt)
+                # factored: b_lm = sum_n cot[n,lm] g_n first (the cot rows
+                # are (1, A) broadcasts, so each term is one FMA tile), then
+                # one multiply per lm — ~40% fewer tile ops than the naive
+                # cot*gn*ylm triple product, and the VJP shrinks with it
                 tot = 0.0
-                for n in range(spec.na1):
-                    for lm in range(spec.nlm):
-                        tot = tot + jnp.sum(cots_i[n][lm] * gn[n] * ylm[lm])
+                for lm in range(spec.nlm):
+                    blm = None
+                    for n in range(spec.na1):
+                        v = cots_i[n][lm] * gn[n]
+                        blm = v if blm is None else blm + v
+                    tot = tot + jnp.sum(blm * ylm[lm])
                 return tot
 
             pgx, pgy, pgz = jax.grad(ang_loss, argnums=(0, 1, 2))(
@@ -938,30 +954,37 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     pv_hi = pv.astype(jnp.bfloat16).astype(dt)
     pv_lo = pv - pv_hi
     # NOTE: tile shapes only — merging the (m, a) axes into one contraction
-    # axis would need a sublane<->lane relayout, which Mosaic lowers
-    # catastrophically (measured 100x regression).
+    # axis of the VALUES would need a sublane<->lane relayout, which Mosaic
+    # lowers catastrophically (measured 100x regression).  Stacking the
+    # per-m (rows, a_pad) TILES side by side on the lane axis is fine (a
+    # lane-offset placement), which turns the round-3 mnp separate dots
+    # into ONE (rows, mnp*a_pad) @ (mnp*a_pad, 128) dot — same MXU MAC
+    # count, mnp-1 fewer pipeline drains (round-4: the scatter was
+    # latency-bound on 32 K=128 dots, not row-tiles).
     lhs = jnp.concatenate([pv_hi, pv_lo], axis=0)  # (2pch, mnp, a_pad)
     idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
     iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
-    acc = None  # (nblk*2pch, 128): every window block's result, stacked
+    lhs_cols = []
+    rhs_rows = []
     for m in range(mnp):
         col = idxt[:, m:m + 1]  # (a_pad, 1)
-        e_m = jnp.where((col & 127) == iota, 1.0, 0.0).astype(dt)
+        rhs_rows.append(jnp.where((col & 127) == iota, 1.0, 0.0).astype(dt))
         hi_row = jnp.swapaxes(col >> 7, 0, 1)  # (1, a_pad)
         lhs_m = lhs[:, m, :]  # (2pch, a_pad)
-        stacked = jnp.concatenate(
+        lhs_cols.append(jnp.concatenate(
             [jnp.where(hi_row == b, lhs_m, 0.0) for b in range(cplan.nblk)],
             axis=0,
-        )  # (nblk*2pch, a_pad)
-        # explicit DEFAULT: the surrounding default_matmul_precision
-        # ("high") context would otherwise leak HIGH into this trace,
-        # which Mosaic's dot lowering rejects
-        d = jax.lax.dot_general(
-            stacked, e_m, (((1,), (0,)), ((), ())),
-            preferred_element_type=dt,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc = d if acc is None else acc + d
+        ))  # (nblk*2pch, a_pad)
+    big_lhs = jnp.concatenate(lhs_cols, axis=1)  # (nblk*2pch, mnp*a_pad)
+    big_rhs = jnp.concatenate(rhs_rows, axis=0)  # (mnp*a_pad, 128)
+    # explicit DEFAULT: the surrounding default_matmul_precision
+    # ("high") context would otherwise leak HIGH into this trace,
+    # which Mosaic's dot lowering rejects
+    acc = jax.lax.dot_general(
+        big_lhs, big_rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (nblk*2pch, 128)
     for b in range(cplan.nblk):
         ab = acc[b * 2 * pch:(b + 1) * 2 * pch]
         out_ref[0, 0, :, b * 128:(b + 1) * 128] = ab[:pch] + ab[pch:]

@@ -383,13 +383,16 @@ class CompactTersoffMD:
             self.cplan, idx, self.spec,
             per_atom_virial=self.per_atom_virial, interpret=self.interpret,
         )
+        n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
         if out.virial_atom is not None:
             w = out.virial_atom
         else:
-            n_real = jnp.maximum(jnp.sum(state.mask), 1.0)
             w = (out.virial_total / n_real) * state.mask[:, None, None]
+        # exact global Newton-III: see DenseNEPMD (zero_net_force)
+        f = out.force
+        f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
         return state._replace(
-            force=out.force, potential_energy=out.energy, virial=w,
+            force=f, potential_energy=out.energy, virial=w,
         )
 
     # reuse the generic carry/step machinery from DenseNEPMD

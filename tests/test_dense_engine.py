@@ -187,6 +187,41 @@ def test_dense_md_matches_list_md(rng):
     assert abs(e_ref - e_got) < 1e-6
 
 
+def test_dense_md_conserves_momentum(rng):
+    """zero_net_force makes the fast path conserve total momentum exactly
+    (to reduction rounding): the i-/j-side halves of each pair round
+    differently, and without the correction the per-step residual
+    random-walks the total momentum past the reference's 1e-3 amu*A/fs
+    gate (ref: tests_pytest/test_md_conservation.py:34)."""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles import NVE
+    from gpumd_tpu.integrate.velocity import initialize_velocity
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    nep = _pbte_model()
+    lengths = [27.0, 27.0, 27.0]
+    box = Box.orthogonal(lengths)
+    n = 150
+    pos, types = _random_system(rng, n, lengths)
+    pos = np.asarray(box.wrap(jnp.asarray(pos)))
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box)
+    state = initialize_velocity(state, 600.0, seed=5)
+    dt = 2.0 / TIME_UNIT_CONVERSION
+
+    dmd = DenseNEPMD(nep, box, n, position=pos, skin=0.5, interpret=True)
+    carry, _ = jax.jit(lambda st: dmd.run(st, NVE(), dt, 20))(state)
+    assert not bool(carry.overflow)
+    got = dmd.to_input_order(carry, n)
+    p0 = np.asarray(
+        jnp.sum(state.velocity * state.mass[:, None] * state.mask[:, None],
+                axis=0))
+    p1 = np.asarray(
+        jnp.sum(got.velocity * got.mass[:, None] * got.mask[:, None], axis=0))
+    # initialize_velocity zeroes the linear momentum; it must stay zero
+    assert np.linalg.norm(p1 - p0) < 1e-9
+    assert np.linalg.norm(p1) < 1e-9
+
+
 def test_engine_dense_keyword(tmp_path, rng):
     """`engine dense` routes run through DenseNEPMD and matches the list
     path (app-level integration, VERDICT round-1 item 3)."""
