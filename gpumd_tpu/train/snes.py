@@ -508,6 +508,38 @@ class SNESTrainer:
         self._theta_rmses = jax.jit(
             lambda th, b: _theta_rmses(th, b, False)[:3])
 
+    def _write_loss_row(self, row):
+        """Append one loss.out row in the reference's exact column layout
+        (fitness.cu:497-578): NEP models print 10 columns
+        %-8d %-11.5f x3 %-13.5f x6 with test columns always present (zeros
+        when no test set); qNEP prints 14 columns at %-9.5f; tensorial
+        (dipole/polarizability) prints gen, total, L1, L2, v_train, v_test."""
+        gen = int(row[0])
+        vals = [float(x) for x in row[1:]]
+        if self.model.charge_mode:
+            # row: total,l1,l2,e,f,v,q,b [,te,tf,tv]; test q/b not evaluated
+            # without a test set -> zeros like the reference
+            test = vals[8:11] + [0.0] * (3 - len(vals[8:11]))
+            cols = vals[:8] + test + [0.0, 0.0]
+            line = f"{gen:<8d}" + "".join(f"{v:<9.5f}" for v in cols)
+        elif self.model.model_type in (1, 2):
+            # tensorial: the dipole/polarizability RMSE rides the v slot
+            v_tr = vals[5]
+            v_te = vals[8] if len(vals) > 8 else 0.0
+            line = (
+                f"{gen:<8d}" + "".join(f"{v:<11.5f}" for v in vals[:3])
+                + f"{v_tr:<13.5f}{v_te:<13.5f}"
+            )
+        else:
+            train3 = vals[3:6]
+            test3 = vals[6:9] + [0.0] * (3 - len(vals[6:9]))
+            line = (
+                f"{gen:<8d}" + "".join(f"{v:<11.5f}" for v in vals[:3])
+                + "".join(f"{v:<13.5f}" for v in train3 + test3)
+            )
+        with open(os.path.join(self.workdir, "loss.out"), "a") as f:
+            f.write(line + "\n")
+
     def _report_elite(self, best_theta, batch):
         """Reference report_error semantics (fitness.cu:430-470): re-evaluate
         the elite unweighted + shift-corrected on the train batch, absorb
@@ -551,7 +583,6 @@ class SNESTrainer:
                 return st, metrics
             return jax.lax.scan(body, state, length=chunk)
 
-        loss_path = os.path.join(self.workdir, "loss.out")
         t0 = time.time()
         done = 0
         while done < gens:
@@ -563,11 +594,7 @@ class SNESTrainer:
                 float(last["fitness"]), float(last["l1"]),
                 float(last["l2"]),
             ] + self._report_elite(np.asarray(last["best_theta"]), batch)
-            with open(loss_path, "a") as f:
-                f.write(
-                    f"{row[0]:<8d}"
-                    + "".join(f"{x:15.7e}" for x in row[1:]) + "\n"
-                )
+            self._write_loss_row(row)
             log(
                 f"gen {done}: fitness {row[1]:.5f} rmse_e {row[4]:.5f} "
                 f"rmse_f {row[5]:.5f} rmse_v {row[6]:.5f} "
@@ -597,7 +624,6 @@ class SNESTrainer:
 
     def train(self, generations: Optional[int] = None, log=print):
         gens = generations or self.cfg.maximum_generation
-        loss_path = os.path.join(self.workdir, "loss.out")
         t0 = time.time()
         shard = None
         if self.mesh is not None:
@@ -651,12 +677,7 @@ class SNESTrainer:
                         np.asarray(metrics["best_theta"]),
                         self.batches[gi],
                     )
-                with open(loss_path, "a") as f:
-                    f.write(
-                        f"{row[0]:<8d}"
-                        + "".join(f"{x:15.7e}" for x in row[1:])
-                        + "\n"
-                    )
+                self._write_loss_row(row)
                 log(
                     f"gen {g + 1}: fitness {row[1]:.5f} rmse_e {row[4]:.5f} "
                     f"rmse_f {row[5]:.5f} rmse_v {row[6]:.5f} "

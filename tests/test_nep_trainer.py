@@ -74,7 +74,7 @@ def test_snes_training_reduces_loss(workdir):
 
     main([workdir])
     loss = np.loadtxt(os.path.join(workdir, "loss.out"))
-    assert loss.shape[1] == 7
+    assert loss.shape[1] == 10  # ref 10-col format, test cols zero
     # fitness decreased over training
     assert loss[-1, 1] < loss[0, 1]
     # RMSE energy decreased

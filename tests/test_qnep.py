@@ -358,7 +358,7 @@ def test_qnep_training_smoke(tmp_path):
     trainer = SNESTrainer(model, cfg, [batch], workdir=str(tmp_path))
     trainer.train(log=lambda *a, **k: None)
     rows = np.loadtxt(tmp_path / "loss.out")
-    assert rows.shape[1] == 9  # + rmse_q, rmse_bec columns
+    assert rows.shape[1] == 14  # ref qNEP 14-col format (fitness.cu:525)
     assert np.isfinite(rows).all()
     assert rows[-1, 7] >= 0.0 and rows[-1, 8] > 0.0
     # nep.txt round-trips through the charge loader
