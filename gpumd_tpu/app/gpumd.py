@@ -73,6 +73,32 @@ class PropertyRequest:
     mutates_state: bool = False
 
 
+# Hard cap on the per-dispatch lax.scan length.  A monolithic 20k-step
+# scan at 1M atoms crashed the device worker (round-4 HNEMD kappa run);
+# bounding every dispatch keeps device RPCs short so long production runs
+# survive and can be interrupted/resumed.  Override via GPUMD_SCAN_BLOCK.
+_MAX_SCAN_BLOCK = int(os.environ.get("GPUMD_SCAN_BLOCK", "1000"))
+
+
+def _bounded_chunk(interval_gcd: int, n_steps: int) -> int:
+    """Scan-block length: the observer-interval gcd, bounded by
+    _MAX_SCAN_BLOCK.  When the gcd exceeds the cap, pick its largest
+    divisor under the cap so chunk boundaries still land exactly on every
+    observer interval."""
+    chunk = max(1, min(interval_gcd, n_steps))
+    if chunk <= _MAX_SCAN_BLOCK:
+        return chunk
+    best = 1
+    for d in range(1, int(math.isqrt(chunk)) + 1):
+        if chunk % d == 0:
+            if d <= _MAX_SCAN_BLOCK:
+                best = max(best, d)
+            q = chunk // d
+            if q <= _MAX_SCAN_BLOCK:
+                best = max(best, q)
+    return best
+
+
 class Session:
     """One gpumd run: model.xyz + run.in in a working directory."""
 
@@ -1281,13 +1307,6 @@ class Session:
             return "onsager flux observer"
         if any(p.mutates_state for p in self.properties):
             return "state-mutating property (plumed)"
-        heatish = self.ff.hnemd_fe is not None or any(
-            getattr(m, "needs_heat", False)
-            or getattr(m, "needs_atom_virial", False)
-            for m in self.measure_props
-        ) or any(p.needs_atom_virial for p in self.properties)
-        if isinstance(pot, _T89) and heatish:
-            return "Tersoff heat observables (list path)"
         from gpumd_tpu.engine.nep_compact import plan_grid_compact
 
         rc = (
@@ -1328,16 +1347,18 @@ class Session:
         # properties with a device_init accumulate inside the scan (no host
         # sync, no chunk collapse); everything else samples at chunk
         # boundaries (ref analog: measure.process every step, run.cu:299)
+        # on-device accumulators consume slot state only (per-atom virial /
+        # heat current), so they ride the compact Tersoff engine too
         dev_props = [
             m for m in self.measure_props
-            if hasattr(m, "device_init") and nep is not None and ndev == 1
+            if hasattr(m, "device_init") and ndev == 1
         ]
         host_props = [m for m in self.measure_props if m not in dev_props]
         intervals = [p.interval for p in self.properties] + [
             m.interval for m in host_props
         ]
-        chunk = math.gcd(*intervals) if intervals else n_steps
-        chunk = max(1, min(chunk, n_steps))
+        chunk = _bounded_chunk(
+            math.gcd(*intervals) if intervals else n_steps, n_steps)
         if ndev > 1:
             if nep is None:
                 raise ValueError("engine dense multi-device: NEP only")
@@ -1350,14 +1371,16 @@ class Session:
         if nep is None:
             from gpumd_tpu.engine.tersoff_compact import CompactTersoffMD
 
-            if needs_heat or needs_av or hnemd_fe is not None:
-                raise ValueError(
-                    "engine dense: Tersoff heat observables need "
-                    "`engine list`")
+            # round 5: Tersoff heat observables (HNEMD/SHC, BASELINE
+            # config 4) run on the compact fast path — the kernel's pair
+            # cotangents already carry the Fan2015 per-atom virial
             md = CompactTersoffMD(
                 tersoffs[0], state.box, n,
                 position=np.asarray(state.position)[:n],
+                per_atom_virial=needs_heat or needs_av
+                or hnemd_fe is not None,
             )
+            md.hnemd_fe = hnemd_fe
         else:
             md = DenseNEPMD(
                 nep, state.box, n, position=np.asarray(state.position)[:n],
@@ -1659,8 +1682,8 @@ class Session:
             mc_key = _jax.random.PRNGKey(mc.seed)
             mc_accept_total = 0
             mc_trials_total = 0
-        chunk = math.gcd(*intervals) if intervals else n_steps
-        chunk = max(1, min(chunk, n_steps))
+        chunk = _bounded_chunk(
+            math.gcd(*intervals) if intervals else n_steps, n_steps)
 
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props

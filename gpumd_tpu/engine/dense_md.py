@@ -118,6 +118,7 @@ class DenseNEPMD:
             self.cplan = make_compact_plan(
                 self.plan, position=position, box=box,
                 rc_angular=nep.model.rc_angular_max, mn_r=mn_r, mn_a=mn_a,
+                compact_lists=True,
             )
 
     # ---- state management ----------------------------------------------------
@@ -126,6 +127,15 @@ class DenseNEPMD:
         garr = pack_ghost(
             sstate.position, sstate.type, sstate.mask, sstate.box, self.plan
         )
+        if self.cplan.cl:
+            interpret = self.interpret
+            if interpret is None:
+                interpret = jax.default_backend() != "tpu"
+            from gpumd_tpu.engine.nep_compact import build_compact_neighbors
+
+            return build_compact_neighbors(
+                garr, sstate.box, self.cplan,
+                self.nep.model.rc_angular_max, interpret)
         centers = block_centers(garr, self.cplan)
         cand = pack_block_windows(garr, self.plan, self.cplan.bx,
                                   self.cplan.wl)

@@ -91,6 +91,7 @@ class CompactPlan(NamedTuple):
     bx: int  # x-cells per kernel block
     mn_r: int  # radial neighbor cap (sublanes, multiple of 8)
     mn_a: int  # angular cap = prefix of the radial tile (multiple of 8)
+    cl: int = 0  # compact candidate lanes (0 = gather from full windows)
 
     @property
     def nxb(self) -> int:
@@ -118,6 +119,16 @@ class CompactPlan(NamedTuple):
     def nblk(self) -> int:
         return self.wl // 128
 
+    @property
+    def src_lanes(self) -> int:
+        """Lane width of the kernels' gather source: the compact candidate
+        list when enabled (round 5), else the full window."""
+        return self.cl if self.cl else self.wl
+
+    @property
+    def nblk_src(self) -> int:
+        return self.src_lanes // 128
+
 
 def plan_grid_compact(
     box: Box,
@@ -133,8 +144,10 @@ def plan_grid_compact(
     for awkward nx (primes, nx % bx != 0) that forces bx = 1 and pads the
     atom-lane axis A = bx*cap up to 128 — at 262k (nx = 23, cap = 40) 69%
     of every kernel lane was dead.  This scans nx downward (larger x cells
-    are always geometrically legal) and picks the (nx, cap, bx) whose
-    padded-lane volume nz*ny*(nx/bx)*a_pad is smallest.
+    are always geometrically legal) and scores each (nx, cap, bx) by
+    nb*a_pad*64 + nb*wl//8: padded-lane volume (the first-order cost —
+    K1/K2/middle run their full ALU chain on every lane) plus a weak
+    window-lane term that breaks ties toward smaller candidate windows.
     """
     from gpumd_tpu.engine.grid import _max_occupancy, plan_grid
 
@@ -211,6 +224,7 @@ def make_compact_plan(
     slack_mul: float = 1.15,
     slack_add: int = 4,
     rnd: int = 8,
+    compact_lists: bool = False,
 ) -> CompactPlan:
     """Pick block width and neighbor caps (host-side, like the reference's
     MN estimation with x1.25 enlargement, ref nep.cu:226-237)."""
@@ -288,7 +302,231 @@ def make_compact_plan(
                 mn_a = int(round_up(int(np.ceil(est_a * margin)) + 4, 8))
     mn_r = max(32, int(round_up(mn_r, 8)))
     mn_a = max(8, min(int(round_up(mn_a, 8)), mn_r))
-    return CompactPlan(base=plan, bx=bx, mn_r=mn_r, mn_a=mn_a)
+    cl = 0
+    if compact_lists and position is not None and box is not None:
+        wl = round_up(9 * (bx + 2) * cap, 128)
+        cl_est = estimate_cl(plan, bx, position, box)
+        # only pay the compaction when it actually narrows the source
+        if cl_est <= min(4096, wl - 128):
+            cl = cl_est
+    return CompactPlan(base=plan, bx=bx, mn_r=mn_r, mn_a=mn_a, cl=cl)
+
+
+class CompactNeighbors(NamedTuple):
+    """Rebuild products of the compact-candidate path (cplan.cl > 0).
+
+    idx:  (nz, ny, nxb, mn_r, a_pad) i32 — per-atom neighbor entries as
+          COMPACT-list lanes (angular prefix first, then radial, then
+          out-of-range filler), the round-5 analog of the reference's
+          capped neighbor list (ref: nep.cu:436-487).
+    cidx: (nz, ny, nxb, cl) i32 — window lane of each compact candidate.
+    cnt:  (nz, ny, nxb) i32 — live candidates per block (pad-lane mask).
+    """
+
+    idx: jnp.ndarray
+    cidx: jnp.ndarray
+    cnt: jnp.ndarray
+
+
+def estimate_cl(plan: DenseGridPlan, bx: int, position, box: Box,
+                margin: float = 1.15, samples: int = 96) -> int:
+    """Host-side compact-candidate-list capacity: exact fractional-space
+    counts of atoms inside sampled blocks' dilated bounds (the same
+    conservative keep criterion compact_select applies on device), times a
+    thermal-motion margin.  Runtime rebuilds re-check against cl and abort
+    on overflow, like the reference's neighbor-capacity check
+    (ref: nep.cu:226-237)."""
+    nx, ny, nz = plan.grid
+    nxb = nx // bx
+    pos = np.asarray(position, np.float64)
+    hinv = np.asarray(box.h_inv, np.float64)
+    s = pos @ hinv.T
+    s -= np.floor(s)
+    rc_out = plan.rc + plan.skin
+    m = rc_out * np.linalg.norm(hinv, axis=1) + 1e-4
+    nbk = nz * ny * nxb
+    rng = np.random.default_rng(0)
+    blocks = (np.arange(nbk) if nbk <= samples
+              else rng.choice(nbk, samples, replace=False))
+    worst = 0
+    wid = np.asarray([bx / nx, 1.0 / ny, 1.0 / nz])
+    for b in blocks:
+        z, rem = divmod(int(b), ny * nxb)
+        y, xb = divmod(rem, nxb)
+        lo = np.asarray([xb * bx / nx, y / ny, z / nz])
+        images = np.ones(len(pos), np.int64)
+        for d in range(3):
+            delta = (s[:, d] - lo[d]) % 1.0
+            # an atom can pass the dilated bounds as BOTH its direct and
+            # wrapped image when the window spans most of a small box —
+            # the device keep mask counts each window lane (image)
+            # separately, so count images, not atoms
+            images *= (delta <= wid[d] + m[d]).astype(np.int64) + (
+                delta >= 1.0 - m[d]
+            ).astype(np.int64)
+        worst = max(worst, int(images.sum()))
+    return int(round_up(int(worst * margin) + 16, 128))
+
+
+def compact_select(cand, box: Box, cplan: CompactPlan):
+    """Per-block compact candidate selection (rebuild-time, XLA).
+
+    A window lane is KEPT when its (shift-carrying) position lies inside
+    the block's fractional cell bounds dilated by rc+skin per axis
+    (|ds_d| <= ||h_inv[d]|| * R for any pair within R — Cauchy-Schwarz, so
+    the dilation is a conservative cover of every possible in-range pair;
+    exact for orthogonal boxes).  Empty slots / non-periodic FAR ghosts
+    fail the bounds and drop out, so the compact list holds only live
+    nearby atoms: at 1M PbTe ~1.1k of 2304 window lanes survive, which
+    halves every blocked in-kernel gather and the rebuild sort width.
+
+    Returns cidx (nz, ny, nxb, cl) i32, cnt (nz, ny, nxb) i32, ok.
+    """
+    plan = cplan.base
+    nx, ny, nz = plan.grid
+    bx, cl = cplan.bx, cplan.cl
+    dtype = cand.dtype
+    hinv = jnp.asarray(box.h_inv, dtype)
+    s = [
+        sum(hinv[d, k] * cand[..., k, :] for k in range(3))
+        for d in range(3)
+    ]
+    rc_out = plan.rc + plan.skin
+    # margin per fractional axis (traced: the box rides the carry under
+    # NPT): |ds_d| <= ||h_inv[d]|| * rc_out for any in-range pair
+    m = [
+        rc_out * jnp.sqrt(jnp.sum(hinv[d] * hinv[d])) + 1e-4
+        for d in range(3)
+    ]
+    zi = jnp.arange(nz, dtype=dtype)[:, None, None, None]
+    yi = jnp.arange(ny, dtype=dtype)[None, :, None, None]
+    xi = jnp.arange(cplan.nxb, dtype=dtype)[None, None, :, None]
+    lo = [xi * bx / nx, yi / ny, zi / nz]
+    hi = [(xi * bx + bx) / nx, (yi + 1.0) / ny, (zi + 1.0) / nz]
+    keep = cand[..., 3, :] > -0.5
+    for d in range(3):
+        keep = keep & (s[d] >= lo[d] - m[d]) & (s[d] <= hi[d] + m[d])
+    lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1)
+    key = jnp.where(keep, lane, (1 << 20) | lane)
+    cidx = (jnp.sort(key, axis=-1)[..., :cl] & ((1 << 20) - 1)).astype(
+        jnp.int32)
+    cnt = jnp.sum(keep, axis=-1).astype(jnp.int32)
+    ok = jnp.max(cnt) <= cl
+    return cidx, cnt, ok
+
+
+def _compact_win_kernel(cplan: CompactPlan, nch: int, interpret: bool,
+                        w_ref, i_ref, out_ref):
+    """Gather the kept window lanes into the compact list order: 8
+    channels ride one take_along per (out chunk, window block)."""
+    cl = cplan.cl
+    nblk_w = w_ref.shape[-1] // 128
+    dt = out_ref.dtype
+    for o in range(cl // 128):
+        row = i_ref[0, 0, :, o * 128:(o + 1) * 128]  # (1, 128) i32
+        idx8 = _rep8(row, interpret)
+        lo = idx8 & 127
+        blk = idx8 >> 7
+        for g in range(0, nch, 8):
+            gc = min(8, nch - g)
+            acc = None
+            for b in range(nblk_w):
+                src8 = w_ref[0, 0, 0, g:g + gc, b * 128:(b + 1) * 128]
+                if gc < 8:  # pad the channel group to a full vreg
+                    src8 = jnp.concatenate(
+                        [src8, jnp.zeros((8 - gc, 128), dt)], axis=0)
+                gv = jnp.take_along_axis(src8, lo, axis=1)
+                gv = jnp.where(blk == b, gv, 0.0)
+                acc = gv if acc is None else acc + gv
+            out_ref[0, 0, 0, g:g + gc, o * 128:(o + 1) * 128] = acc[:gc]
+
+
+def compact_windows_call(win, cidx, cplan: CompactPlan, interpret: bool):
+    """win (nz, ny, nxb, C, wl) + cidx -> compact source (nz, ny, nxb, C,
+    cl).  Pad lanes (>= cnt) carry whatever they gather; callers that feed
+    positions must mask them FAR (mask_compact_pads) so out-of-range idx
+    filler entries can never alias a live atom."""
+    nz, ny = cplan.base.grid[2], cplan.base.grid[1]
+    nxb, cl = cplan.nxb, cplan.cl
+    c = win.shape[3]
+    wl = win.shape[4]
+    return pl.pallas_call(
+        functools.partial(_compact_win_kernel, cplan, c, interpret),
+        grid=(nz, ny, nxb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, c, wl), lambda z, y, x: (z, y, x, 0, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda z, y, x: (z, y, x, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, c, cl),
+                               lambda z, y, x: (z, y, x, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, c, cl), win.dtype),
+        interpret=interpret,
+    )(win, cidx)
+
+
+def mask_compact_pads(cand_c, cnt):
+    """Park pad lanes (lane >= cnt) at FAR / type -1 so they can never
+    alias a live atom through idx filler entries."""
+    cl = cand_c.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, cl), 4)
+    valid = lane < cnt[..., None, None]
+    fill = jnp.zeros((cand_c.shape[3], 1), cand_c.dtype)
+    fill = fill.at[:3].set(FAR).at[3:4].set(-1.0)
+    return jnp.where(valid, cand_c, fill)
+
+
+def build_indices_compact(centers, cand_c, cplan: CompactPlan,
+                          rc_a_max: float):
+    """Per-atom neighbor entries over the COMPACT candidate list.
+
+    The round-4 rebuild argsorted f32 distance keys over the full window
+    (wl = 2304 at 1M PbTe; 2.45 s).  The kernels only need a 2-bit class
+    partition (angular prefix / radial / out-of-range), so this sorts ONE
+    fused i32 key (class << 12 | lane) over the compact list (~half the
+    width) — both levers measured in scripts/bench_rebuild_variants.py.
+    """
+    plan = cplan.base
+    nz = plan.grid[2]
+    rcut2 = (plan.rc + plan.skin) ** 2
+    rca2 = (rc_a_max + plan.skin) ** 2
+    assert cplan.cl <= 4096, "12-bit lane packing"
+
+    def slab(z):
+        c = jax.lax.dynamic_slice_in_dim(centers, z, 1, 0)[0]
+        w = jax.lax.dynamic_slice_in_dim(cand_c, z, 1, 0)[0]
+        d2 = None
+        for k in range(3):
+            diff = w[..., k, None, :] - c[..., k, :, None]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        live = d2 > _EPS2
+        cls = jnp.where(live & (d2 < rca2), 0,
+                        jnp.where(live & (d2 < rcut2), 1, 2))
+        lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+        key = (cls << 12) | lane
+        skey = jnp.sort(key, axis=-1)[..., :cplan.mn_r]
+        idx = (skey & 0xFFF).astype(jnp.int32)
+        cnt_a = jnp.sum(cls == 0, axis=-1)
+        cnt_r = cnt_a + jnp.sum(cls == 1, axis=-1)
+        ok = (jnp.max(cnt_r) <= cplan.mn_r) & (jnp.max(cnt_a) <= cplan.mn_a)
+        return jnp.moveaxis(idx, -1, -2), ok
+
+    idx, oks = jax.lax.map(slab, jnp.arange(nz))
+    return idx, jnp.all(oks)
+
+
+def build_compact_neighbors(garr, box: Box, cplan: CompactPlan,
+                            rc_a_max: float, interpret: bool):
+    """Full rebuild for the compact-candidate path: windows -> keep/sort ->
+    compact positions -> per-atom class sort.  Returns (CompactNeighbors,
+    ok)."""
+    plan = cplan.base
+    centers = block_centers(garr, cplan)
+    cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
+    cidx, cnt, ok_cl = compact_select(cand, box, cplan)
+    cand_c = compact_windows_call(cand, cidx, cplan, interpret)
+    cand_c = mask_compact_pads(cand_c, cnt)
+    idx, ok = build_indices_compact(centers, cand_c, cplan, rc_a_max)
+    return CompactNeighbors(idx=idx, cidx=cidx, cnt=cnt), ok & ok_cl
 
 
 class CompactSpec(NamedTuple):
@@ -603,7 +841,7 @@ def _sub_sum(x):
 def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                c_ref, w_ref, i_ref, out_ref, *refs_extra):
     a_pad = cplan.a_pad
-    nblk = cplan.nblk
+    nblk = cplan.nblk_src
     t = spec.num_types
     cx = c_ref[0, 0, 0, 0:1, :]
     cy = c_ref[0, 0, 0, 1:2, :]
@@ -665,27 +903,34 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
     ch = 0
     for tt in range(t):
         for k in range(spec.kr1):
-            out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(sacc_r[tt][k])
+            out_ref[ch:ch + 1, :] = _sub_sum(sacc_r[tt][k])
             ch += 1
     if zacc is None:
         zacc = jnp.zeros((8, a_pad), dt)
-    out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(zacc)
+    out_ref[ch:ch + 1, :] = _sub_sum(zacc)
     ch += 1
     for n in range(spec.na1):
         for lm in range(spec.nlm):
-            out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(sacc[n][lm])
+            out_ref[ch:ch + 1, :] = _sub_sum(sacc[n][lm])
             ch += 1
     for c in range(ch, spec.ch):
-        out_ref[0, 0, 0, c:c + 1, :] = jnp.zeros((1, a_pad), dt)
+        out_ref[c:c + 1, :] = jnp.zeros((1, a_pad), dt)
 
 
 def k1_call(centers, cand, idx, cplan: CompactPlan, spec: CompactSpec,
             interpret: bool, save_tiles: bool = True):
+    """Returns k1 in the FLAT channel-major layout (ch, NB*a_pad): one
+    (ch, a_pad) lane-block per grid instance.  The flat layout feeds the
+    middle's fat matmuls directly — the round-4 block layout (NB, ch, A)
+    forced XLA to lower the ANN as ~NB tiny (U, D) @ (D, A) dots (round-5
+    profiling: the dominant middle cost) plus two ~1.3 GB relayouts."""
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
-    nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.wl
-    out_specs = [pl.BlockSpec((1, 1, 1, spec.ch, a_pad),
-                              lambda z, y, x: (z, y, x, 0, 0))]
-    out_shape = [jax.ShapeDtypeStruct((nz, ny, nxb, spec.ch, a_pad),
+    nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.src_lanes
+    nb = nz * ny * nxb
+    out_specs = [pl.BlockSpec(
+        (spec.ch, a_pad),
+        lambda z, y, x: (0, (z * ny + y) * nxb + x))]
+    out_shape = [jax.ShapeDtypeStruct((spec.ch, nb * a_pad),
                                       centers.dtype)]
     if save_tiles:
         out_specs.append(pl.BlockSpec(
@@ -720,7 +965,7 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                per_atom_virial: bool,
                c_ref, tl_ref, i_ref, cc_ref, cw_ref, out_ref, p_ref):
     a_pad = cplan.a_pad
-    nblk = cplan.nblk
+    nblk = cplan.nblk_src
     t = spec.num_types
     ct = c_ref[0, 0, 0, 3:4, :]
     dt = ct.dtype
@@ -730,15 +975,15 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
     rc_a = [jnp.asarray(v, dt) for v in spec.rc_angular]
 
     cots_r = [
-        [cc_ref[0, 0, 0, tt * spec.kr1 + k:tt * spec.kr1 + k + 1, :]
+        [cc_ref[tt * spec.kr1 + k:tt * spec.kr1 + k + 1, :]
          for k in range(spec.kr1)]
         for tt in range(t)
     ]
-    cotz_i = cc_ref[0, 0, 0, spec.sr:spec.sr + 1, :]
+    cotz_i = cc_ref[spec.sr:spec.sr + 1, :]
     base = spec.sr + 1
     cots_i = [
-        [cc_ref[0, 0, 0, base + n * spec.nlm + lm:base + n * spec.nlm + lm + 1,
-                :] for lm in range(spec.nlm)]
+        [cc_ref[base + n * spec.nlm + lm:base + n * spec.nlm + lm + 1, :]
+         for lm in range(spec.nlm)]
         for n in range(spec.na1)
     ]
 
@@ -860,14 +1105,14 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
                         wacc[av][bv] = wacc[av][bv] + (-rr[av]) * pp[bv]
 
     for k in range(3):
-        out_ref[0, 0, 0, k:k + 1, :] = _sub_sum(gacc[k])
+        out_ref[k:k + 1, :] = _sub_sum(gacc[k])
     ch = 3
     for av in range(3):
         for bv in range(3):
-            out_ref[0, 0, 0, ch:ch + 1, :] = _sub_sum(wacc[av][bv])
+            out_ref[ch:ch + 1, :] = _sub_sum(wacc[av][bv])
             ch += 1
     for c in range(ch, 16):
-        out_ref[0, 0, 0, c:c + 1, :] = jnp.zeros((1, a_pad), dt)
+        out_ref[c:c + 1, :] = jnp.zeros((1, a_pad), dt)
     # zero any padding channels of the pair-cotangent output
     p_used = 12 if per_atom_virial else 3
     for c in range(p_used, p_ref.shape[3]):
@@ -876,8 +1121,11 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
 
 def k2_call(centers, tiles, idx, cotc, cotw, cplan: CompactPlan,
             spec: CompactSpec, per_atom_virial: bool, interpret: bool):
+    """cotc arrives FLAT (ch, NB*a_pad) straight from the middle's vjp;
+    forces/virials leave FLAT (16, NB*a_pad) — see k1_call."""
     nz, ny = cplan.base.grid[2], cplan.base.grid[1]
-    nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.wl
+    nxb, a_pad, wl = cplan.nxb, cplan.a_pad, cplan.src_lanes
+    nb = nz * ny * nxb
     pch = 12 if per_atom_virial else 3
     pch = round_up(pch, 4)
     return pl.pallas_call(
@@ -890,19 +1138,19 @@ def k2_call(centers, tiles, idx, cotc, cotw, cplan: CompactPlan,
                          lambda z, y, x: (z, y, x, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, cplan.mn_r, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, spec.ch, a_pad),
-                         lambda z, y, x: (z, y, x, 0, 0)),
+            pl.BlockSpec((spec.ch, a_pad),
+                         lambda z, y, x: (0, (z * ny + y) * nxb + x)),
             pl.BlockSpec((1, 1, 1, spec.wch, wl),
                          lambda z, y, x: (z, y, x, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, 16, a_pad),
-                         lambda z, y, x: (z, y, x, 0, 0)),
+            pl.BlockSpec((16, a_pad),
+                         lambda z, y, x: (0, (z * ny + y) * nxb + x)),
             pl.BlockSpec((1, 1, 1, pch, cplan.mn_a, a_pad),
                          lambda z, y, x: (z, y, x, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nz, ny, nxb, 16, a_pad), centers.dtype),
+            jax.ShapeDtypeStruct((16, nb * a_pad), centers.dtype),
             jax.ShapeDtypeStruct((nz, ny, nxb, pch, cplan.mn_a, a_pad),
                                  centers.dtype),
         ],
@@ -915,7 +1163,7 @@ def k2_call(centers, tiles, idx, cotc, cotw, cplan: CompactPlan,
 # --------------------------------------------------------------------------
 
 
-def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
+def _scatter_kernel(cplan: CompactPlan, mnp: int, interpret: bool, *refs):
     """Scatter per-pair values onto window lanes via MXU one-hot matmuls.
 
     The pair axis (m, a) is flattened into one contraction axis: the scatter
@@ -947,10 +1195,25 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     bf16-exact parts: hi carries the top 8 mantissa bits, lo the next 8,
     residual ~2^-17 relative — drift-gate clean at 1/3 the cost of
     Precision.HIGHEST (6 passes)."""
+    if cplan.cl:
+        p_ref, i_ref, ci_ref, out_ref = refs
+    else:
+        p_ref, i_ref, out_ref = refs
     pv = p_ref[0, 0, 0]  # (pch, mnp, a_pad)
     dt = pv.dtype
     a_pad = cplan.a_pad
     pch = pv.shape[0]
+    if cplan.cl:
+        # translate compact-list pair entries to window lanes: gather the
+        # (f32-carried, exactly representable) cidx rows at each pair tile
+        ci8 = _rep8(ci_ref[0, 0, :, :], interpret)  # (8, cl)
+        cols = []
+        for m8 in range(mnp // 8):
+            idx8 = i_ref[0, 0, 0, m8 * 8:(m8 + 1) * 8, :]
+            cols.append(_bgather(ci8, idx8, cplan.nblk_src))
+        idx_pairs = jnp.concatenate(cols, axis=0).astype(jnp.int32)
+    else:
+        idx_pairs = i_ref[0, 0, 0]
     pv_hi = pv.astype(jnp.bfloat16).astype(dt)
     pv_lo = pv - pv_hi
     # NOTE: tile shapes only — merging the (m, a) axes into one contraction
@@ -962,7 +1225,7 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
     # count, mnp-1 fewer pipeline drains (round-4: the scatter was
     # latency-bound on 32 K=128 dots, not row-tiles).
     lhs = jnp.concatenate([pv_hi, pv_lo], axis=0)  # (2pch, mnp, a_pad)
-    idxt = jnp.swapaxes(i_ref[0, 0, 0], 0, 1)  # (a_pad, mnp)
+    idxt = jnp.swapaxes(idx_pairs, 0, 1)  # (a_pad, mnp)
     iota = jax.lax.broadcasted_iota(jnp.int32, (a_pad, 128), 1)
     lhs_cols = []
     rhs_rows = []
@@ -990,9 +1253,15 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, p_ref, i_ref, out_ref):
         out_ref[0, 0, :, b * 128:(b + 1) * 128] = ab[:pch] + ab[pch:]
 
 
-def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
+def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool,
+                 cidx=None):
     """pvals (nz, ny, nxb, pch, mnp, a_pad) + idx_pairs (nz, ny, nxb, mnp,
     a_pad) -> window cotangents (nz, ny, pch, nxb, wl).
+
+    With cplan.cl, idx_pairs is in COMPACT-list space and `cidx` maps it
+    back to window lanes in-kernel (carried as f32: lane numbers < 4096
+    are bf16-unsafe but f32-exact, and i32 gathers stay off the risky
+    Mosaic path).
 
     The output channel axis sits OUTSIDE the x-block axis so that
     fold_block_windows consumes it without a moveaxis relayout (the fold's
@@ -1005,20 +1274,26 @@ def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool):
     nxb, wl, a_pad = cplan.nxb, cplan.wl, cplan.a_pad
     pch = pvals.shape[3]
     mnp = pvals.shape[4]
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, pch, mnp, a_pad),
+                     lambda z, y, x: (z, y, x, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1, mnp, a_pad),
+                     lambda z, y, x: (z, y, x, 0, 0)),
+    ]
+    args = [pvals, idx_pairs]
+    if cplan.cl:
+        in_specs.append(pl.BlockSpec((1, 1, 1, cplan.cl),
+                                     lambda z, y, x: (z, y, x, 0)))
+        args.append(cidx.astype(pvals.dtype))
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, cplan, mnp),
+        functools.partial(_scatter_kernel, cplan, mnp, interpret),
         grid=(nz, ny, nxb),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, pch, mnp, a_pad),
-                         lambda z, y, x: (z, y, x, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, mnp, a_pad),
-                         lambda z, y, x: (z, y, x, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, pch, wl),
                                lambda z, y, x: (z, y, 0, x)),
         out_shape=jax.ShapeDtypeStruct((nz, ny, pch, nxb * wl), pvals.dtype),
         interpret=interpret,
-    )(pvals, idx_pairs)
+    )(*args)
     return out.reshape(nz, ny, pch, nxb, wl)
 
 
@@ -1177,6 +1452,66 @@ def middle_compact_blocks(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
     return (e + e_zbl) * mask
 
 
+def middle_compact_flat(s_rad, e_zbl, s_flat, ti, mask, model: NepModel,
+                        params: NepParams, temperature=None):
+    """c-tensor contraction + invariants + ANN in the FLAT channel-major
+    layout: descriptor channels on rows, ALL atom lanes (NB*a_pad) on the
+    128-lane axis.  Every contraction is ONE fat (rows, K) @ (K, N) MXU dot
+    instead of NB tiny batched dots (the round-4 block layout's dominant
+    cost), and the per-type ANN selects rows BEFORE tanh so the
+    transcendental runs on (U, N), not (T*U, N).
+
+    Shapes: s_rad (T*KR1, N), e_zbl (N,), s_flat (NA1*NLM, N),
+    ti int32 (N,), mask (N,).  Returns per-lane energy (N,).
+    `temperature` (model_type 3) appends the last descriptor channel,
+    matching the list path (ref: nep.cu:1483).
+    """
+    dtype = s_rad.dtype
+    n = s_rad.shape[-1]
+    t = model.num_types
+    kr1 = model.basis_size_radial + 1
+    nr1 = model.n_max_radial + 1
+    na1 = model.n_max_angular + 1
+    nlm = model.l_max * (model.l_max + 2)
+
+    # q_n = c[t_i, t, n, k] S[t, k]: one (T*NR1, T*KR1) weight dot, then a
+    # per-center-type row select
+    c_r = params.c_radial.astype(dtype)  # (T, T, NR1, KR1)
+    w_r = jnp.moveaxis(c_r, 1, 2).reshape(t * nr1, t * kr1)
+    qr_all = (w_r @ s_rad).reshape(t, nr1, n)
+    q_rad = qr_all[0]
+    for a_t in range(1, t):
+        q_rad = jnp.where(ti == a_t, qr_all[a_t], q_rad)
+
+    s = s_flat.reshape(1, na1, nlm, n)
+    q_ang = _angular_q(s, model, dtype, channels_last=False)[0]
+    q = jnp.concatenate([q_rad, q_ang.reshape(-1, n)], axis=0)
+    if model.model_type == 3:
+        q = jnp.concatenate([q, jnp.full((1, n), temperature, dtype)],
+                            axis=0)
+    q = q * params.q_scaler.astype(dtype)[:, None]
+
+    # ANN: z = W0 q - b0 for all type branches in ONE dot; row-select the
+    # center type's branch, THEN tanh
+    w0 = params.w0.astype(dtype)  # (T, U, D)
+    b0 = params.b0.astype(dtype)  # (T, U)
+    w1 = params.w1.astype(dtype)  # (T, U)
+    u, d = w0.shape[1], w0.shape[2]
+    z = (w0.reshape(t * u, d) @ q - b0.reshape(t * u)[:, None]).reshape(
+        t, u, n)
+    zsel = z[0]
+    for a_t in range(1, t):
+        zsel = jnp.where(ti == a_t, z[a_t], zsel)
+    x1 = jnp.tanh(zsel)  # (U, N)
+    e_all = w1 @ x1  # (T, N) — tiny dot
+    e = e_all[0] - params.b1_type.astype(dtype)[0]
+    for a_t in range(1, t):
+        e = jnp.where(ti == a_t,
+                      e_all[a_t] - params.b1_type.astype(dtype)[a_t], e)
+    e = e - params.b1.astype(dtype)
+    return (e + e_zbl) * mask
+
+
 class CompactNepOutput(NamedTuple):
     energy: jnp.ndarray  # (n_slots,)
     force: jnp.ndarray  # (n_slots, 3)
@@ -1283,47 +1618,64 @@ def compact_pipeline(
     centers = block_centers(garr, cplan)
     cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
-    k1, tiles = k1_call(centers, cand, idx, cplan, spec, interpret)
+    if cplan.cl:
+        # compact-candidate path (round 5): gather the kept window lanes
+        # once, then every blocked in-kernel gather runs over ~half the
+        # source blocks; pad lanes are parked FAR so idx filler entries
+        # can never alias a live atom
+        assert isinstance(idx, CompactNeighbors)
+        neigh = idx
+        idx = neigh.idx
+        cand_src = mask_compact_pads(
+            compact_windows_call(cand, neigh.cidx, cplan, interpret),
+            neigh.cnt)
+    else:
+        neigh = None
+        cand_src = cand
+
+    k1, tiles = k1_call(centers, cand_src, idx, cplan, spec, interpret)
     sr = spec.sr
     nsd = spec.na1 * spec.nlm
     nz, ny = plan.grid[2], plan.grid[1]
     nb = nz * ny * cplan.nxb
     a_pad = cplan.a_pad
+    n_flat = nb * a_pad
 
-    # block layout throughout the middle: (NB, C, A) with atoms on lanes —
-    # no (ns, CH) <-> block transposes (round-3 phase profile)
-    k1f = k1.reshape(nb, spec.ch, a_pad)
-    ti_b = _slots_to_lane_blocks(type_slots.astype(jnp.int32), cplan, 0)
-    mask_b = _slots_to_lane_blocks(slot_mask, cplan, 0.0)
+    # FLAT channel-major layout throughout the middle (round 5): K1 emits
+    # (ch, NB*a_pad) and K2 consumes the cotangents in the same layout, so
+    # every contraction in the middle is one fat MXU dot and no block
+    # relayout exists anywhere between the kernels.
+    ti_f = _slots_to_lane_blocks(
+        type_slots.astype(jnp.int32), cplan, 0).reshape(n_flat)
+    mask_f = _slots_to_lane_blocks(slot_mask, cplan, 0.0).reshape(n_flat)
 
     def mid(srad, ez, sf):
-        return middle_compact_blocks(srad, ez, sf, ti_b, mask_b, model,
-                                     params, temperature=temperature)
+        return middle_compact_flat(srad, ez, sf, ti_f, mask_f, model,
+                                   params, temperature=temperature)
 
-    e_blk, vjp_mid = jax.vjp(
-        mid, k1f[:, :sr], k1f[:, sr], k1f[:, sr + 1:sr + 1 + nsd]
+    e_flat, vjp_mid = jax.vjp(
+        mid, k1[:sr], k1[sr], k1[sr + 1:sr + 1 + nsd]
     )
-    cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_blk))
-    e_atom = _lane_blocks_to_slots(e_blk, cplan)
+    cot_sr, cot_z, cot_s = vjp_mid(jnp.ones_like(e_flat))
+    e_atom = _lane_blocks_to_slots(e_flat.reshape(nb, a_pad), cplan)
 
     ch_pad = spec.ch - (sr + 1 + nsd)
-    cotc_flat = jnp.concatenate(
-        [cot_sr, cot_z[:, None], cot_s]
-        + ([jnp.zeros((nb, ch_pad, a_pad), dtype)] if ch_pad else []),
-        axis=1,
-    )
-    cotc = cotc_flat.reshape(nz, ny, cplan.nxb, spec.ch, a_pad)
+    cotc = jnp.concatenate(
+        [cot_sr, cot_z[None], cot_s]
+        + ([jnp.zeros((ch_pad, n_flat), dtype)] if ch_pad else []),
+        axis=0,
+    )  # (ch, NB*a_pad), fed straight to K2
 
     wpad = spec.wch - (sr + 1)
     cotw_rows = jnp.concatenate(
-        [cot_sr, cot_z[:, None]]
-        + ([jnp.zeros((nb, wpad, a_pad), dtype)] if wpad else []),
-        axis=1,
-    ).reshape(nz, ny, cplan.nxb, spec.wch, a_pad)
-    # blocks -> ghost row grid: one 16-channel relayout (vs the round-3
-    # full (ns, C) round trip), then the regular window pack
+        [cot_sr, cot_z[None]]
+        + ([jnp.zeros((wpad, n_flat), dtype)] if wpad else []),
+        axis=0,
+    ).reshape(spec.wch, nz, ny, cplan.nxb, a_pad)
+    # flat -> ghost row grid: one wch-channel relayout, then the regular
+    # window pack
     rows = cotw_rows[..., :cplan.a]
-    rows = jnp.moveaxis(rows, 2, 3).reshape(
+    rows = jnp.moveaxis(rows, 0, 2).reshape(
         nz, ny, spec.wch, cplan.nxb * cplan.a)
     rows_p = pack_ghost_rows(rows, plan)
     if hook_cot_rows is not None:
@@ -1331,19 +1683,33 @@ def compact_pipeline(
     cotw = pack_block_windows(
         rows_p, plan, cplan.bx, cplan.wl, far_channels=0,
     )
+    if cplan.cl:
+        cotw = compact_windows_call(cotw, neigh.cidx, cplan, interpret)
 
     outf, pvals = k2_call(centers, tiles, idx, cotc, cotw, cplan, spec,
                           per_atom_virial, interpret)
 
     # scatter pair cotangents onto window lanes (MXU one-hot), fold back
     dcand = scatter_call(pvals, idx[:, :, :, :cplan.mn_a, :], cplan,
-                         interpret)
-    dghost = fold_block_windows(dcand, plan, cplan.bx)
-    if hook_dghost is not None:
-        dghost = hook_dghost(dghost)
-    dslots = fold_ghost_grad_c(dghost, fold_plan)  # (ns, pch)
+                         interpret,
+                         cidx=None if neigh is None else neigh.cidx)
+    from gpumd_tpu.engine.fold_kernel import (
+        fold_windows_eligible,
+        fold_windows_to_slots,
+    )
+    if hook_dghost is None and fold_windows_eligible(plan, cplan.bx,
+                                                     cplan.wl):
+        # fused Pallas fold (single-chip path; PERF_NOTES round 5): one
+        # read per dw element, wrap in the index maps
+        dslots = fold_windows_to_slots(dcand, plan, cplan.bx,
+                                       interpret=interpret)
+    else:
+        dghost = fold_block_windows(dcand, plan, cplan.bx)
+        if hook_dghost is not None:
+            dghost = hook_dghost(dghost)
+        dslots = fold_ghost_grad_c(dghost, fold_plan)  # (ns, pch)
 
-    og = blocks_to_slots(outf, cplan)  # (ns, 16)
+    og = outf.reshape(16, nb, a_pad)[..., :cplan.a].reshape(16, -1).T
     grad_total = og[:, :3] + dslots[:, :3]
     force = -grad_total * slot_mask[:, None]
 

@@ -339,6 +339,7 @@ class CompactTersoffMD:
         interpret: Optional[bool] = None,
         per_atom_virial: bool = False,
         mn: Optional[int] = None,
+        zero_net_force: bool = True,
     ):
         from gpumd_tpu.engine.grid import plan_grid
         from gpumd_tpu.engine.nep_compact import plan_grid_compact
@@ -356,6 +357,7 @@ class CompactTersoffMD:
         self.skin = skin
         self.interpret = interpret
         self.per_atom_virial = per_atom_virial
+        self.zero_net_force = zero_net_force
         # Tersoff's per-pair cost scales as MN^2 (the zeta loop), so cap
         # slack matters much more than for NEP: lighter margins and 8-slot
         # granularity (the kernel chunks by 8, not 32).  Si at skin 1.0
@@ -368,6 +370,7 @@ class CompactTersoffMD:
         self.cplan = self.cplan._replace(mn_a=self.cplan.mn_r)
         # route through DenseNEPMD's compact carry/step machinery
         self.engine = "compact"
+        self.hnemd_fe = None  # set by the app for HNEMD runs
 
     def _build_idx(self, sstate):
         garr = pack_ghost(sstate.position, sstate.type, sstate.mask,
@@ -388,11 +391,24 @@ class CompactTersoffMD:
             w = out.virial_atom
         else:
             w = (out.virial_total / n_real) * state.mask[:, None, None]
-        # exact global Newton-III: see DenseNEPMD (zero_net_force)
+        # exact global Newton-III: see DenseNEPMD (zero_net_force); turn
+        # off for exact compact-vs-list force-parity comparisons
         f = out.force
-        f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+        if self.zero_net_force and self.hnemd_fe is None:
+            f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+        if self.hnemd_fe is not None:
+            # homogeneous driving force F_i += W_i^T Fe with net-force
+            # correction (ref: src/force/force.cu:567-608); requires
+            # per_atom_virial=True (the app enforces this) — round-5:
+            # BASELINE config 4 (graphene Tersoff HNEMD) runs here
+            fe = jnp.asarray(self.hnemd_fe, dtype=f.dtype)
+            f = f + jnp.einsum("nba,b->na", w, fe) * state.mask[:, None]
+            f = (f - jnp.sum(f, axis=0) / n_real) * state.mask[:, None]
+        # per-atom heat current J_i = W_i v_i (Fan2015; feeds HNEMD/SHC)
+        j = jnp.sum(w * state.velocity[:, None, :], axis=2)
         return state._replace(
             force=f, potential_energy=out.energy, virial=w,
+            heat_current=j,
         )
 
     # reuse the generic carry/step machinery from DenseNEPMD
@@ -408,9 +424,10 @@ class CompactTersoffMD:
         from gpumd_tpu.engine.dense_md import DenseNEPMD
         return DenseNEPMD._cells_valid(self, box)
 
-    def make_step(self, ensemble, dt, observer=None):
+    def make_step(self, ensemble, dt, observer=None, measure=None):
         from gpumd_tpu.engine.dense_md import DenseNEPMD
-        return DenseNEPMD.make_step(self, ensemble, dt, observer=observer)
+        return DenseNEPMD.make_step(self, ensemble, dt, observer=observer,
+                                    measure=measure)
 
     def run(self, state, ensemble, dt, n_steps: int):
         from gpumd_tpu.engine.dense_md import DenseNEPMD

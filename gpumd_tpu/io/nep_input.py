@@ -63,6 +63,14 @@ class NepTrainConfig:
     start_lr: float = 1e-3
     stop_lr: float = 1e-7
     weight_decay: float = 0.0
+    # cosine-restart LR schedule (ref: parameters.cu:913-940, keyword
+    # `lr_cos_restart enable [warmup_epochs initial_period_epochs
+    # period_factor decay_factor]`)
+    lr_restart_enable: bool = False
+    lr_warmup_epochs: int = 1
+    lr_restart_initial_period_epochs: int = 10
+    lr_restart_period_factor: float = 2.0
+    lr_restart_decay_factor: float = 0.8
 
     @property
     def fine_tune(self) -> bool:
@@ -172,6 +180,16 @@ def parse_nep_in(path: str) -> NepTrainConfig:
                 cfg.stop_lr = float(args[0])
             elif kw == "weight_decay":
                 cfg.weight_decay = float(args[0])
+            elif kw == "lr_cos_restart":
+                if len(args) not in (1, 5):
+                    raise ValueError(
+                        "lr_cos_restart takes 1 or 5 parameters")
+                cfg.lr_restart_enable = bool(int(args[0]))
+                if len(args) == 5:
+                    cfg.lr_warmup_epochs = int(args[1])
+                    cfg.lr_restart_initial_period_epochs = int(args[2])
+                    cfg.lr_restart_period_factor = float(args[3])
+                    cfg.lr_restart_decay_factor = float(args[4])
             else:
                 raise ValueError(f"unknown nep.in keyword {kw!r}")
     if cfg.num_types == 0:

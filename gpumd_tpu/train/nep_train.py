@@ -312,3 +312,103 @@ def cosine_lr(step, total_steps, lr_max=1e-3, lr_min=1e-5, warmup=0):
     warm = jnp.minimum(step / jnp.maximum(warmup, 1), 1.0) if warmup else 1.0
     t = jnp.clip(step / total_steps, 0.0, 1.0)
     return warm * (lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(jnp.pi * t)))
+
+
+class GnepState(NamedTuple):
+    """gnep optimizer state: Adam moments + the gradient-norm EMA used by
+    the reference's adaptive clipping (ref: main_gnep/adam.cu:132-161).
+    Checkpointable: gnep.restart carries params (reference format) and a
+    sidecar npz carries (m, v, step, avg_norm) so a resumed run continues
+    bit-identically — stronger than the reference, whose gnep.restart
+    stores parameters only (adam.cu:225-245)."""
+
+    params: NepParams
+    m: NepParams
+    v: NepParams
+    step: jnp.ndarray  # Adam bias-correction counter
+    avg_norm: jnp.ndarray  # gradient-norm EMA (-1 = unset)
+
+
+def make_gnep_step(model: NepModel, weights: LossWeights,
+                   weight_decay: float):
+    """(state, batch, lr) -> (state, metrics): the reference gnep update —
+    global-norm gradient clipping to min(EMA, 10) (adam.cu:132-161), Adam
+    moments (adam.cu:37-52), bias-corrected decoupled-weight-decay step
+    (adam.cu:53-72).  lr arrives per call (host-computed warmup/cosine
+    schedule, fitness.cu:317-371)."""
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+    def gnep_step(state: GnepState, batch: StructureBatch, lr):
+        (total, rmses), grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch, weights), has_aux=True
+        )(state.params)
+        leaves = jax.tree.leaves(grads)
+        norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float64) ** 2)
+                            if g.dtype == jnp.float64
+                            else jnp.sum(g * g) for g in leaves))
+        avg = jnp.where(state.avg_norm < 0, norm,
+                        0.9 * state.avg_norm + 0.1 * norm)
+        max_norm = jnp.minimum(avg, 10.0)
+        scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-12), 1.0)
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        m = jax.tree.map(lambda mm, g: beta1 * mm + (1 - beta1) * g,
+                         state.m, grads)
+        v = jax.tree.map(lambda vv, g: beta2 * vv + (1 - beta2) * g * g,
+                         state.v, grads)
+        bc1 = 1.0 - beta1 ** (state.step + 1).astype(jnp.float32)
+        bc2 = 1.0 - beta2 ** (state.step + 1).astype(jnp.float32)
+        params = jax.tree.map(
+            lambda p, mm, vv: p - lr * (
+                (mm / bc1) / (jnp.sqrt(vv / bc2) + eps) + weight_decay * p
+            ),
+            state.params, m, v,
+        )
+        new_state = GnepState(params=params, m=m, v=v,
+                              step=state.step + 1, avg_norm=avg)
+        return new_state, {
+            "loss": total, "rmse_e": rmses[0], "rmse_f": rmses[1],
+            "rmse_v": rmses[2],
+            "mse_e": rmses[0] ** 2, "mse_f": rmses[1] ** 2,
+            "mse_v": rmses[2] ** 2,
+        }
+
+    return gnep_step
+
+
+def gnep_lr(step: int, num_batches: int, maximum_steps: int, cfg):
+    """Host-side LR schedule, the reference's update_learning_rate_cos /
+    _cos_restart verbatim (fitness.cu:317-371)."""
+    import math
+
+    start_lr, stop_lr = cfg.start_lr, cfg.stop_lr
+    if not cfg.lr_restart_enable:
+        warmup_steps = 1 * num_batches
+        if step < warmup_steps:
+            return stop_lr + (step / warmup_steps) * (start_lr - stop_lr)
+        progress = (step - warmup_steps) / max(
+            maximum_steps - warmup_steps, 1)
+        smooth = 0.5 * (1.0 + math.cos(math.pi * progress))
+        return stop_lr + (start_lr - stop_lr) * smooth
+    warmup_steps = cfg.lr_warmup_epochs * num_batches
+    if step < warmup_steps:
+        return stop_lr + (step / warmup_steps) * (start_lr - stop_lr)
+    initial_period = cfg.lr_restart_initial_period_epochs * num_batches
+    pf = cfg.lr_restart_period_factor
+    df = cfg.lr_restart_decay_factor
+    steps_since = step - warmup_steps
+    total = maximum_steps - warmup_steps
+    cycle = 0
+    cycle_start = 0
+    cycle_len = initial_period
+    cum = 0
+    while cum + cycle_len <= steps_since:
+        cum += cycle_len
+        cycle_start = cum
+        cycle += 1
+        cycle_len = int(initial_period * pf ** cycle)
+    if cum + cycle_len > total:
+        cycle_len = max(total - cum, 1)
+    progress = (steps_since - cycle_start) / cycle_len
+    cycle_max = max(start_lr * df ** cycle, stop_lr)
+    smooth = 0.5 * (1.0 + math.cos(math.pi * progress))
+    return stop_lr + (cycle_max - stop_lr) * smooth

@@ -178,3 +178,28 @@ run 20
     assert (tmp_path / "frames.xyz20").exists()
     frames = read_xyz_frames(str(tmp_path / "frames.xyz20"))
     assert frames[0].n_atoms == n
+
+
+def test_scan_block_cap(tmp_path, monkeypatch):
+    """Every lax.scan dispatch is bounded (round-4 lesson: a monolithic
+    20k-step scan at 1M atoms crashed the device worker).  With the cap
+    forced tiny the run splits into many dispatches and produces the same
+    observable stream."""
+    import gpumd_tpu.app.gpumd as app
+
+    n = make_argon_dir(tmp_path)
+    (tmp_path / "run.in").write_text(
+        """potential lj.txt
+velocity  60
+time_step 5
+ensemble  nve
+dump_thermo 10
+run 60
+"""
+    )
+    # cap below the observer interval: chunk must stay a divisor (5)
+    monkeypatch.setattr(app, "_MAX_SCAN_BLOCK", 7)
+    Session(str(tmp_path), quiet=True).execute()
+    thermo = np.loadtxt(tmp_path / "thermo.out")
+    assert thermo.shape == (6, 18)
+    assert np.isfinite(thermo).all()

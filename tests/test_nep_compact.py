@@ -76,12 +76,14 @@ def _list_reference(nep, pos, types, box):
     )
 
 
-def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5):
+def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5,
+             compact_lists=False):
     pos = np.asarray(box.wrap(jnp.asarray(pos)))
     plan = plan_grid(box, nep.model.rc_radial_max, skin, n, position=pos)
     assert plan is not None
     cplan = make_compact_plan(plan, position=pos, box=box,
-                              rc_angular=nep.model.rc_angular_max)
+                              rc_angular=nep.model.rc_angular_max,
+                              compact_lists=compact_lists)
     mask = jnp.ones(n)
     perm, slot_mask, overflow = bin_dense(jnp.asarray(pos), box, mask, plan)
     assert not bool(overflow)
@@ -89,10 +91,15 @@ def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5):
     types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm, fill=0)
 
     garr = pack_ghost(pos_s, types_s, slot_mask, box, plan)
-    centers = block_centers(garr, cplan)
-    cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
-    idx, ok = build_indices(centers, cand, cplan,
-                            nep.model.rc_angular_max)
+    if cplan.cl:
+        from gpumd_tpu.engine.nep_compact import build_compact_neighbors
+        idx, ok = build_compact_neighbors(
+            garr, box, cplan, nep.model.rc_angular_max, True)
+    else:
+        centers = block_centers(garr, cplan)
+        cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
+        idx, ok = build_indices(centers, cand, cplan,
+                                nep.model.rc_angular_max)
     assert bool(ok), "neighbor cap overflow in test setup"
 
     out = compact_nep_compute(
@@ -236,3 +243,23 @@ def test_compact_temperature_model():
     e, f, w, _ = _compact(nep, pos, types, box, n)
     np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_compact_candidate_lists_match():
+    """Round-5 compact-candidate path (cplan.cl > 0: per-block keep mask,
+    fused i32 class sort, compacted gather sources, in-scatter lane
+    translation) must reproduce the list path exactly like the window
+    path does."""
+    rng = np.random.default_rng(17)
+    n = 300
+    box = Box.orthogonal([27.5, 28.5, 30.0])
+    pos, types = _random_system(rng, n, [27.5, 28.5, 30.0])
+    nep = _model(zbl=True, full=True)
+
+    e_ref, f_ref, w_ref, w_atom_ref = _list_reference(nep, pos, types, box)
+    e, f, w, w_atom = _compact(nep, pos, types, box, n, compact_lists=True)
+
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(w_atom, w_atom_ref, rtol=1e-8, atol=1e-9)

@@ -275,14 +275,59 @@ output_interval 4
 
     gnep_main([str(tmp_path)])
     loss = np.loadtxt(tmp_path / "loss.out")
-    assert loss.shape[1] == 6
-    assert loss[-1, 2] < loss[0, 2]  # total loss decreased
-    # cosine schedule decayed the lr
-    assert loss[-1, 1] < loss[0, 1]
+    # ref 10-column rows: epoch, total, e/f/v train, e/f/v test, lr, time
+    # (fitness.cu:513-527)
+    assert loss.shape == (12, 10)
+    assert loss[-1, 1] < loss[0, 1]  # total loss decreased
+    # cosine schedule decayed the lr (col 8); test cols zero w/o test.xyz
+    assert loss[-1, 8] < loss[0, 8]
+    assert (loss[:, 5:8] == 0.0).all()
+    # per-epoch checkpoints exist (report_error writes nep.txt +
+    # gnep.restart every epoch)
+    assert (tmp_path / "gnep.restart").exists()
     from gpumd_tpu.potentials.nep import NEP
 
     nep = NEP.from_file(str(tmp_path / "nep.txt"))
     assert nep.model.num_types == 2
+
+
+@requires_reference
+@pytest.mark.slow
+def test_gnep_restart_resumes_identically(workdir, tmp_path):
+    """A gnep run killed mid-way and resumed from gnep.restart +
+    gnep_adam.npz continues bit-identically (Adam moments, step counter,
+    grad-norm EMA, and batch order all restored)."""
+    import shutil
+
+    nep_in = """type 2 Te Pb
+version 4
+cutoff 6 4
+n_max 2 2
+basis_size 2 2
+l_max 4 0 0
+neuron 6
+batch 8
+epoch 6
+start_lr 5e-3
+stop_lr 1e-4
+"""
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    for d in (a, b):
+        d.mkdir()
+        shutil.copy(os.path.join(workdir, "train.xyz"), d / "train.xyz")
+        (d / "nep.in").write_text(nep_in)
+    from gpumd_tpu.app.gnep import main as gnep_main
+
+    gnep_main([str(a)])  # uninterrupted
+    gnep_main([str(b)], stop_after=3)  # killed after epoch 3...
+    gnep_main([str(b)])  # ...and resumed
+    la = np.loadtxt(a / "loss.out")
+    lb = np.loadtxt(b / "loss.out")
+    # identical losses/lr everywhere (col 9 is wall time)
+    np.testing.assert_array_equal(la[:, :9], lb[:, :9])
+    assert (a / "nep.txt").read_text() == (b / "nep.txt").read_text()
+    assert (a / "gnep.restart").read_text() == (b / "gnep.restart").read_text()
 
 
 def test_atomic_v_dipole_training(tmp_path):
