@@ -376,16 +376,59 @@ def main():
         }))
         print(f"# N={n} steps={n_steps} wall={wall:.2f}s", file=sys.stderr)
         return
+    if os.environ.get("GPUMD_BENCH_CHILD"):
+        # one attempt, exactly as the parent configured via env
+        size = int(os.environ["GPUMD_BENCH_CHILD_N"])
+        eng = os.environ["GPUMD_BENCH_CHILD_ENGINE"]
+        n, n_steps, wall = run_once(size, n_steps, engine=eng)
+        print(json.dumps({"n": n, "steps": n_steps, "wall": wall}))
+        return
+
+    # Each attempt runs in a KILLABLE subprocess: a wedged device RPC or a
+    # Mosaic compiler hang must not take the whole benchmark down (round 5:
+    # a hung RPC froze a 3-hour training run mid-flight).  Ladder:
+    # round-5 compact-candidate engine -> round-4 full-window engine
+    # (GPUMD_COMPACT_LISTS=0) -> XLA list path; then smaller sizes.
+    import subprocess
+
+    attempt_timeout = int(os.environ.get("GPUMD_BENCH_ATTEMPT_TIMEOUT",
+                                         "2700"))
     sizes = [target_n, target_n // 4, target_n // 16]
     result = None
     for size in sizes:
-        for eng in (engine, "list") if engine == "dense" else (engine,):
+        attempts = (
+            [("dense", "1"), ("dense", "0"), ("list", "1")]
+            if engine == "dense" else [(engine, "1")]
+        )
+        for eng, cl_flag in attempts:
+            env = dict(os.environ)
+            env.update({
+                "GPUMD_BENCH_CHILD": "1",
+                "GPUMD_BENCH_CHILD_N": str(size),
+                "GPUMD_BENCH_CHILD_ENGINE": eng,
+                "GPUMD_COMPACT_LISTS": cl_flag,
+            })
             try:
-                result = run_once(size, n_steps, engine=eng)
-                break
-            except Exception as e:  # OOM / device errors: fall back
-                print(f"# bench at N~{size} ({eng}) failed: {e}",
-                      file=sys.stderr)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=attempt_timeout,
+                    capture_output=True, text=True,
+                )
+                sys.stderr.write(out.stderr)
+                if out.returncode == 0:
+                    for line in out.stdout.splitlines():
+                        line = line.strip()
+                        if line.startswith("{"):
+                            r = json.loads(line)
+                            result = (r["n"], r["steps"], r["wall"])
+                            break
+                if result is not None:
+                    break
+                print(f"# bench at N~{size} ({eng}, cl={cl_flag}) failed "
+                      f"rc={out.returncode}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"# bench at N~{size} ({eng}, cl={cl_flag}) HUNG "
+                      f"(killed after {attempt_timeout}s)", file=sys.stderr)
         if result is not None:
             break
     if result is None:
@@ -404,7 +447,7 @@ def main():
         )
     )
     print(
-        f"# N={n} steps={n_steps} wall={wall:.2f}s devices={jax.devices()}",
+        f"# N={n} steps={n_steps} wall={wall:.2f}s",
         file=sys.stderr,
     )
 

@@ -73,6 +73,7 @@ class DenseNEPMD:
         mn_r: Optional[int] = None,
         mn_a: Optional[int] = None,
         zero_net_force: bool = True,
+        compact_lists: Optional[bool] = None,
     ):
         self.nep = nep
         # Analytically the net force is exactly zero (translation
@@ -114,11 +115,17 @@ class DenseNEPMD:
         self.per_atom_virial = per_atom_virial and engine == "compact"
         self.hnemd_fe: Optional[tuple] = None  # set by the app for HNEMD
         self.cplan: Optional[CompactPlan] = None
+        if compact_lists is None:
+            # env escape hatch: GPUMD_COMPACT_LISTS=0 restores the round-4
+            # full-window gather sources (bench.py's mid-level fallback)
+            import os as _os
+            compact_lists = _os.environ.get(
+                "GPUMD_COMPACT_LISTS", "1") != "0"
         if engine == "compact":
             self.cplan = make_compact_plan(
                 self.plan, position=position, box=box,
                 rc_angular=nep.model.rc_angular_max, mn_r=mn_r, mn_a=mn_a,
-                compact_lists=True,
+                compact_lists=compact_lists,
             )
 
     # ---- state management ----------------------------------------------------
@@ -168,10 +175,20 @@ class DenseNEPMD:
         criterion in make_step covers box drift).  A barostat that shrinks
         the box below this margin invalidates the static grid plan — flag
         it loudly (sticky overflow), like the reference's neighbor-overflow
-        abort."""
+        abort.
+
+        Single-cell NON-periodic dims are exempt: all atoms share the one
+        cell, so the stencil trivially covers every neighbor regardless of
+        extent (thin sheets — BASELINE config 4's graphene, Lz = 3.35 A).
+        """
         t = box.thickness()
         grid = jnp.asarray(self.plan.grid, t.dtype)
-        return jnp.min(t / grid) >= self.plan.rc + self.plan.skin - 1e-9
+        exempt = jnp.asarray([
+            (not p) and g == 1
+            for p, g in zip(self.plan.pbc, self.plan.grid)
+        ])
+        ratio = jnp.where(exempt, jnp.inf, t / grid)
+        return jnp.min(ratio) >= self.plan.rc + self.plan.skin - 1e-9
 
     def _rebin_arrays(self, state: MDState, orig_id, box):
         pos_w = box.wrap(state.position)

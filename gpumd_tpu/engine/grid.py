@@ -84,11 +84,20 @@ def plan_grid(
     """
     t = np.asarray(box.thickness(), dtype=np.float64)
     w = rc + skin
+    pbc_np = np.asarray(box.pbc) > 0
     grid = []
     for d in range(3):
         nd = int(np.floor(float(t[d]) / w))
-        if nd < 3:
-            return None
+        if pbc_np[d]:
+            if nd < 3:
+                return None
+        else:
+            # non-periodic: FAR ghost layers replace wrap images, so one
+            # cell suffices even when the extent is below rc+skin (thin
+            # sheets: BASELINE config 4's graphene, Lz = 3.35 A); with
+            # nd >= 2 each cell is >= rc+skin so the 3-cell stencil still
+            # covers the cutoff sphere
+            nd = max(nd, 1)
         grid.append(nd)
     grid = tuple(grid)
     if cap is None:
@@ -135,7 +144,11 @@ def cell_ids(position, box: Box, mask, plan: DenseGridPlan):
     nx, ny, nz = plan.grid
     dtype = position.dtype
     s = box.fractional(position.astype(dtype))
-    s = s - jnp.floor(s)
+    # wrap periodic dims; CLIP non-periodic dims (an atom drifting past a
+    # free boundary must bin into the end cell, not teleport across)
+    pbc_col = jnp.asarray([1.0 if p else 0.0 for p in plan.pbc], dtype)
+    s = jnp.where(pbc_col > 0, s - jnp.floor(s),
+                  jnp.clip(s, 0.0, 1.0 - 1e-7))
     gridf = jnp.asarray([nx, ny, nz], dtype)
     cxyz = jnp.clip(
         jnp.floor(s * gridf).astype(jnp.int32),

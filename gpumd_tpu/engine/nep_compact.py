@@ -360,10 +360,16 @@ def estimate_cl(plan: DenseGridPlan, bx: int, position, box: Box,
             # an atom can pass the dilated bounds as BOTH its direct and
             # wrapped image when the window spans most of a small box —
             # the device keep mask counts each window lane (image)
-            # separately, so count images, not atoms
-            images *= (delta <= wid[d] + m[d]).astype(np.int64) + (
-                delta >= 1.0 - m[d]
-            ).astype(np.int64)
+            # separately, so count images, not atoms.  Non-periodic dims
+            # have no wrapped images (FAR ghosts).
+            if plan.pbc[d]:
+                cnt_d = (delta <= wid[d] + m[d]).astype(np.int64) + (
+                    delta >= 1.0 - m[d]).astype(np.int64)
+            else:
+                du = s[:, d] - lo[d]  # unwrapped: free boundaries
+                cnt_d = ((du >= -m[d]) & (du <= wid[d] + m[d])).astype(
+                    np.int64)
+            images *= cnt_d
         worst = max(worst, int(images.sum()))
     return int(round_up(int(worst * margin) + 16, 128))
 

@@ -172,3 +172,49 @@ run 8
     shc = np.loadtxt(tmp_path / "shc.out")
     assert np.isfinite(shc).all()
     assert s.ff.hnemd_fe is None  # reset after the dense run
+
+
+def test_tersoff_compact_thin_sheet():
+    """Non-periodic thin dimensions get a single grid cell (round 5):
+    BASELINE config 4's graphene sheet (pbc T T F, Lz = 3.35 A) must run
+    on the compact engine and match the list path."""
+    from gpumd_tpu.io.xyz import read_xyz_frames
+
+    pot = Tersoff1989.from_file(
+        "/root/reference/potentials/tersoff/"
+        "Graphene_Lindsay_2010_modified.txt")
+    # small graphene patch: honeycomb rows (from the reference generator's
+    # geometry), periodic x/y, free z
+    a_cc = 1.42
+    nx_c, ny_c = 8, 5
+    lx = nx_c * np.sqrt(3.0) * a_cc
+    ly = ny_c * 3.0 * a_cc
+    pts = []
+    for i in range(nx_c):
+        for j in range(ny_c):
+            x0 = i * np.sqrt(3.0) * a_cc
+            y0 = j * 3.0 * a_cc
+            pts += [
+                [x0 + np.sqrt(3.0) / 2 * a_cc, y0, 0.0],
+                [x0, y0 + 0.5 * a_cc, 0.0],
+                [x0, y0 + 1.5 * a_cc, 0.0],
+                [x0 + np.sqrt(3.0) / 2 * a_cc, y0 + 2.0 * a_cc, 0.0],
+            ]
+    pos = np.asarray(pts)
+    rng = np.random.default_rng(3)
+    pos = pos + rng.uniform(-0.05, 0.05, pos.shape)
+    n = len(pos)
+    box = Box.orthogonal([lx, ly, 3.35], pbc=(True, True, False))
+
+    state = make_state(pos, np.full(n, 12.011), np.zeros(n, int), box)
+    ff = ForceField.create([pot], box, n, mn=24)
+    ref = ff.compute(state)
+    w_ref = np.asarray(jnp.einsum("nab,n->ab", ref.virial, ref.mask))
+
+    e, f, w, w_atom = _compact(pot, pos, np.zeros(n, int), box, n)
+    np.testing.assert_allclose(e, np.asarray(ref.potential_energy),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(f, np.asarray(ref.force), rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(w_atom, np.asarray(ref.virial), rtol=1e-8,
+                               atol=1e-9)
