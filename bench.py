@@ -19,6 +19,12 @@ import time
 
 import jax
 
+# GPUMD_BENCH_CPU=1: force the CPU backend (the image force-appends the
+# accelerator platform; plain env vars cannot override it) — used for
+# smoke-testing the benchmark harness without a chip.
+if os.environ.get("GPUMD_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA:TPU compiles of the fused MD scan take
 # minutes at large N; cache them across bench invocations.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")

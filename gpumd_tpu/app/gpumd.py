@@ -1273,7 +1273,12 @@ class Session:
 
         if jax.default_backend() != "tpu":
             return "non-TPU backend (interpret-mode kernels are slower)"
-        if len(self.potentials) != 1:
+        if len(self.potentials) != 1 and getattr(
+                self, "observer_mode", None) != "observe":
+            # observe mode: potential 0 drives the MD; the other models
+            # evaluate at dump intervals only (chunk boundaries), so the
+            # hot loop still qualifies (ref: dump_observer.cu:29-80 — the
+            # reference likewise integrates with potential 0)
             return "multiple potentials"
         pot = self.potentials[0]
         if isinstance(pot, _NEP):
@@ -1329,11 +1334,14 @@ class Session:
         from gpumd_tpu.potentials.nep.model import NEP as _NEP
         from gpumd_tpu.potentials.tersoff import Tersoff1989 as _T89
 
-        neps = [p for p in self.potentials if isinstance(p, _NEP)]
-        tersoffs = [p for p in self.potentials if isinstance(p, _T89)]
-        if len(self.potentials) != 1 or not (neps or tersoffs):
+        driving = self.potentials[:1] if getattr(
+            self, "observer_mode", None) == "observe" else self.potentials
+        neps = [p for p in driving if isinstance(p, _NEP)]
+        tersoffs = [p for p in driving if isinstance(p, _T89)]
+        if len(driving) != 1 or not (neps or tersoffs):
             raise ValueError(
-                "engine dense: exactly one NEP or Tersoff1989 potential")
+                "engine dense: exactly one driving NEP or Tersoff1989 "
+                "potential")
         needs_heat = any(
             getattr(m, "needs_heat", False) for m in self.measure_props
         )

@@ -470,6 +470,83 @@ def compact_windows_call(win, cidx, cplan: CompactPlan, interpret: bool):
     )(win, cidx)
 
 
+def rows_compact_eligible(cplan: CompactPlan) -> bool:
+    """compact_rows_call needs 128-aligned window groups and x-block lane
+    offsets so the per-xb row slices stay vreg-aligned."""
+    cap = cplan.base.cap
+    wgrp = (cplan.bx + 2) * cap
+    return (cplan.cl > 0 and wgrp % 128 == 0
+            and (cplan.bx * cap) % 128 == 0)
+
+
+def _compact_rows_kernel(cplan: CompactPlan, nch: int, interpret: bool,
+                         *refs):
+    rows = refs[:9]
+    i_ref = refs[9]
+    out_ref = refs[10]
+    cap = cplan.base.cap
+    bx = cplan.bx
+    wgrp = (bx + 2) * cap
+    nbw = wgrp // 128
+    cl = cplan.cl
+    dt = out_ref.dtype
+    for xb in range(cplan.nxb):
+        base = xb * bx * cap
+        for o in range(cl // 128):
+            row_i = i_ref[0, 0, xb:xb + 1, o * 128:(o + 1) * 128]  # (1,128)
+            idx8 = _rep8(row_i, interpret)
+            lane = idx8 & 127
+            blk = idx8 >> 7
+            for g0 in range(0, nch, 8):
+                gc = min(8, nch - g0)
+                acc = None
+                for g in range(9):
+                    for b in range(nbw):
+                        src8 = rows[g][0, 0, g0:g0 + gc,
+                                       base + b * 128:base + (b + 1) * 128]
+                        if gc < 8:
+                            src8 = jnp.concatenate(
+                                [src8, jnp.zeros((8 - gc, 128), dt)], axis=0)
+                        gv = jnp.take_along_axis(src8, lane, axis=1)
+                        gv = jnp.where(blk == g * nbw + b, gv, 0.0)
+                        acc = gv if acc is None else acc + gv
+                out_ref[0, 0, xb, g0:g0 + gc, o * 128:(o + 1) * 128] = (
+                    acc[:gc])
+
+
+def compact_rows_call(grows, cidx, cplan: CompactPlan, interpret: bool):
+    """Ghost-padded row VALUES (nzg, nyg, C, nxg*cap) + cidx -> compact
+    source (nz, ny, nxb, C, cl), WITHOUT materializing the window array:
+    the window is only a lane renumbering of 9 ghost-row slices, so the
+    blocked gather reads those slices directly (round 5 — at 1M this
+    deletes the 2.4 GB/step cotangent window round-trip and the 0.5 GB
+    position window).  Same lane numbering as pack_block_windows, enforced
+    by rows_compact_eligible."""
+    plan = cplan.base
+    nx, ny, nz = plan.grid
+    nxb, cl = cplan.nxb, cplan.cl
+    c = grows.shape[2]
+    lanes = grows.shape[3]
+    in_specs = []
+    for dz in range(3):
+        for dy in range(3):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, c, lanes),
+                lambda z, y, dz=dz, dy=dy: (z + dz, y + dy, 0, 0),
+                memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, 1, nxb, cl),
+                                 lambda z, y: (z, y, 0, 0)))
+    return pl.pallas_call(
+        functools.partial(_compact_rows_kernel, cplan, c, interpret),
+        grid=(nz, ny),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, nxb, c, cl),
+                               lambda z, y: (z, y, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, c, cl), grows.dtype),
+        interpret=interpret,
+    )(*([grows] * 9 + [cidx]))
+
+
 def mask_compact_pads(cand_c, cnt):
     """Park pad lanes (lane >= cnt) at FAR / type -1 so they can never
     alias a live atom through idx filler entries."""
@@ -529,7 +606,10 @@ def build_compact_neighbors(garr, box: Box, cplan: CompactPlan,
     centers = block_centers(garr, cplan)
     cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
     cidx, cnt, ok_cl = compact_select(cand, box, cplan)
-    cand_c = compact_windows_call(cand, cidx, cplan, interpret)
+    if rows_compact_eligible(cplan):
+        cand_c = compact_rows_call(garr, cidx, cplan, interpret)
+    else:
+        cand_c = compact_windows_call(cand, cidx, cplan, interpret)
     cand_c = mask_compact_pads(cand_c, cnt)
     idx, ok = build_indices_compact(centers, cand_c, cplan, rc_a_max)
     return CompactNeighbors(idx=idx, cidx=cidx, cnt=cnt), ok & ok_cl
@@ -1622,7 +1702,6 @@ def compact_pipeline(
         fold_plan = plan
 
     centers = block_centers(garr, cplan)
-    cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
     if cplan.cl:
         # compact-candidate path (round 5): gather the kept window lanes
@@ -1632,12 +1711,17 @@ def compact_pipeline(
         assert isinstance(idx, CompactNeighbors)
         neigh = idx
         idx = neigh.idx
-        cand_src = mask_compact_pads(
-            compact_windows_call(cand, neigh.cidx, cplan, interpret),
-            neigh.cnt)
+        if rows_compact_eligible(cplan):
+            # window-free: gather straight from the 9 ghost-row slices
+            cand_src = compact_rows_call(garr, neigh.cidx, cplan, interpret)
+        else:
+            cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
+            cand_src = compact_windows_call(cand, neigh.cidx, cplan,
+                                            interpret)
+        cand_src = mask_compact_pads(cand_src, neigh.cnt)
     else:
         neigh = None
-        cand_src = cand
+        cand_src = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
 
     k1, tiles = k1_call(centers, cand_src, idx, cplan, spec, interpret)
     sr = spec.sr
@@ -1686,11 +1770,14 @@ def compact_pipeline(
     rows_p = pack_ghost_rows(rows, plan)
     if hook_cot_rows is not None:
         rows_p = hook_cot_rows(rows_p)
-    cotw = pack_block_windows(
-        rows_p, plan, cplan.bx, cplan.wl, far_channels=0,
-    )
-    if cplan.cl:
-        cotw = compact_windows_call(cotw, neigh.cidx, cplan, interpret)
+    if cplan.cl and rows_compact_eligible(cplan):
+        cotw = compact_rows_call(rows_p, neigh.cidx, cplan, interpret)
+    else:
+        cotw = pack_block_windows(
+            rows_p, plan, cplan.bx, cplan.wl, far_channels=0,
+        )
+        if cplan.cl:
+            cotw = compact_windows_call(cotw, neigh.cidx, cplan, interpret)
 
     outf, pvals = k2_call(centers, tiles, idx, cotc, cotw, cplan, spec,
                           per_atom_virial, interpret)

@@ -52,8 +52,9 @@ def main():
     from gpumd_tpu.engine.nep_compact import (
         CompactSpec, _lane_blocks_to_slots, _slots_to_lane_blocks,
         block_centers, build_compact_neighbors, build_indices,
-        compact_windows_call, k1_call, k2_call, mask_compact_pads,
-        middle_compact_flat, scatter_call,
+        compact_rows_call, compact_windows_call, k1_call, k2_call,
+        mask_compact_pads, middle_compact_flat, rows_compact_eligible,
+        scatter_call,
     )
     from gpumd_tpu.integrate.ensembles.nve import NVE
     from gpumd_tpu.integrate.velocity import initialize_velocity
@@ -105,7 +106,19 @@ def main():
     print(f"pack    {t_pack*1e3:8.1f} ms", flush=True)
     centers, cand = jax.jit(pack)(st.position, st.type, st.mask)
 
-    if has_cl:
+    rows_ok = has_cl and rows_compact_eligible(cplan)
+    if rows_ok:
+        def compact_pos(p, t, m):
+            g = pack_ghost(p, t, m, box, plan)
+            return mask_compact_pads(
+                compact_rows_call(g, neigh.cidx, cplan, interpret),
+                neigh.cnt)
+
+        t_cw = timeit(compact_pos, st.position, st.type, st.mask, reps=reps)
+        print(f"compact {t_cw*1e3:8.1f} ms (rows->compact, incl. ghost "
+              f"pack)", flush=True)
+        cand_src = jax.jit(compact_pos)(st.position, st.type, st.mask)
+    elif has_cl:
         def compact_pos(w):
             return mask_compact_pads(
                 compact_windows_call(w, neigh.cidx, cplan, interpret),
@@ -163,12 +176,16 @@ def main():
         rows = cotw_rows[..., :cplan.a]
         rows = jnp.moveaxis(rows, 0, 2).reshape(
             nz, ny, spec.wch, cplan.nxb * cplan.a)
-        cotw = pack_block_windows(
-            pack_ghost_rows(rows, plan), plan, cplan.bx, cplan.wl,
-            far_channels=0,
-        )
-        if has_cl:
-            cotw = compact_windows_call(cotw, neigh.cidx, cplan, interpret)
+        rows_p = pack_ghost_rows(rows, plan)
+        if rows_ok:
+            cotw = compact_rows_call(rows_p, neigh.cidx, cplan, interpret)
+        else:
+            cotw = pack_block_windows(
+                rows_p, plan, cplan.bx, cplan.wl, far_channels=0,
+            )
+            if has_cl:
+                cotw = compact_windows_call(cotw, neigh.cidx, cplan,
+                                            interpret)
         e_atom = _lane_blocks_to_slots(e_flat.reshape(nb, a_pad), cplan)
         return e_atom, cotc, cotw
 

@@ -76,3 +76,33 @@ def test_fold_kernel_nonperiodic_zero_ghosts():
     got = fold_windows_to_slots(dw, plan, bx, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_compact_rows_matches_windowed_compaction():
+    """compact_rows_call (window-free gather from ghost-row slices) must
+    equal compact_windows_call over the materialized window."""
+    from gpumd_tpu.engine.nep_compact import (
+        CompactPlan, compact_rows_call, compact_windows_call,
+        rows_compact_eligible,
+    )
+    from gpumd_tpu.engine.grid import pack_block_windows
+
+    plan = DenseGridPlan(grid=(4, 3, 3), cap=64, rc=4.0, skin=1.0,
+                         pbc=(True, True, True))
+    cplan = CompactPlan(base=plan, bx=2, mn_r=32, mn_a=16, cl=256)
+    assert rows_compact_eligible(cplan)
+    nx, ny, nz = plan.grid
+    cap = plan.cap
+    c = 12
+    rng = np.random.default_rng(7)
+    grows = jnp.asarray(rng.normal(
+        size=(nz + 2, ny + 2, c, (nx + 2) * cap)).astype(np.float32))
+    wl = cplan.wl
+    cidx = jnp.asarray(rng.integers(
+        0, wl, size=(nz, ny, cplan.nxb, cplan.cl)).astype(np.int32))
+
+    win = pack_block_windows(grows, plan, cplan.bx, wl, far_channels=0)
+    ref = compact_windows_call(win, cidx, cplan, True)
+    got = compact_rows_call(grows, cidx, cplan, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=0)

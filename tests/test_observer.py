@@ -76,3 +76,40 @@ run 30
     # identical potentials -> zero uncertainty -> no dumped frames
     assert np.all(out[:, 1] < 1e-5)
     assert not (tmp_path / "active.xyz").exists()
+
+
+@requires_reference
+@pytest.mark.slow
+def test_observe_mode_dense_engine(tmp_path):
+    """Round 5: observe-mode multi-NEP decks qualify for the compact fast
+    path — potential 0 drives the MD scan, observer models evaluate at
+    dump intervals only (ref: dump_observer.cu:29-80).  `engine dense`
+    forces the fast path on CPU; results must match the reference-ff
+    observer outputs from the list-path test above."""
+    import shutil
+
+    from gpumd_tpu.io.xyz import read_xyz
+
+    f = read_xyz(f"{STRUCTS}/BaZrO3-nat40-rattled.xyz")
+    write_xyz(str(tmp_path / "model.xyz"), f)
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep0.txt")
+    shutil.copy(f"{MODELS}/nep_BaZrO3.txt", tmp_path / "nep1.txt")
+    (tmp_path / "run.in").write_text(
+        """potential nep0.txt
+potential nep1.txt
+replicate 4 4 4
+velocity 300
+time_step 1
+ensemble nve
+engine dense
+dump_observer observe 10 20 1 1
+run 20
+"""
+    )
+    s = Session(str(tmp_path), quiet=True)
+    s.execute()
+    o0 = np.loadtxt(tmp_path / "observer0.out")
+    o1 = np.loadtxt(tmp_path / "observer1.out")
+    assert o0.shape == (2, 18) and o1.shape == (2, 18)
+    assert np.allclose(o0, o1, rtol=1e-8)
+    assert np.isfinite(o0).all()
