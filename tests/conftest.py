@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # post-import (this wins over the env var).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: most of the fast tier's wall time is XLA:CPU
+# compiles of the same jit programs — cache them across runs (round-5
+# VERDICT item 7: fast-tier latency).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -138,6 +138,7 @@ def test_eam_alloy_cuni():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_adp_tantalum():
     from gpumd_tpu.potentials.eam import ADP
 

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpumd_tpu.forcefield import ForceField
 from gpumd_tpu.model.box import Box
@@ -12,6 +13,7 @@ from gpumd_tpu.potentials.nep.model import NEP
 from gpumd_tpu.potentials.nep.params import NepModel, random_params
 
 
+@pytest.mark.slow
 def test_nep_f32_finite_with_far_padding():
     model = NepModel(
         version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),

@@ -78,6 +78,7 @@ def test_nep_ilp_binding_curve(tmp_path, ilp_files):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_nep_ilp_forces_match_fd(tmp_path, ilp_files):
     from gpumd_tpu.app.gpumd import Session
 

@@ -67,6 +67,7 @@ def test_golden_bazro3_energy_forces_stress(bazro3):
         ("nep_water.txt", "water-nat63-from-md.xyz"),
     ],
 )
+@pytest.mark.slow
 def test_forces_match_autodiff_fd(model, structure):
     """Central finite differences of the total energy vs computed forces."""
     nep = NEP.from_file(f"{MODELS}/{model}")
@@ -209,6 +210,7 @@ NEP3_DIR = "/root/reference/tests/gpumd/dump_observer/carbon_average"
     "pot,obs", [("C_2022_NEP3.txt", "reference_observer0.xyz"),
                 ("C_2022_NEP3_MODIFIED.txt", "reference_observer1.xyz")]
 )
+@pytest.mark.slow
 def test_nep3_golden_observer_frames(pot, obs):
     """nep3 files (one shared ANN across types, ref: legacy num_para_ann)
     reproduce the reference's checked-in observer goldens: each frame of
@@ -238,6 +240,7 @@ def _rotate(pos, axis, angle):
     return pos @ r.T, r
 
 
+@pytest.mark.slow
 def test_extended_invariants_rotation_invariance(rng):
     """q112/q123/q233/q134 invariants (ref: find_q nep_utilities.cuh:
     1578-1700) must be exactly rotation-invariant — a sign error in any
@@ -273,6 +276,7 @@ def test_extended_invariants_rotation_invariance(rng):
     np.testing.assert_allclose(e2, e0[perm], rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_temperature_mode(rng):
     """model_type 3: target temperature enters as the last descriptor
     (ref: nep.cu:1483); energies respond to it."""
@@ -322,6 +326,7 @@ def test_temperature_mode(rng):
         assert np.isclose(fd, float(out.force[3, k]), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_restrict_foundation_model(rng):
     """nep89-style foundation model: NEP.restrict slices the type tables to
     the species present in a simulation with IDENTICAL numerics, keeping

@@ -265,7 +265,7 @@ basis_size 3 3
 l_max 4 0 0
 neuron 8
 batch 8
-epoch 12
+epoch 6
 start_lr 5e-3
 stop_lr 1e-4
 output_interval 4
@@ -277,7 +277,7 @@ output_interval 4
     loss = np.loadtxt(tmp_path / "loss.out")
     # ref 10-column rows: epoch, total, e/f/v train, e/f/v test, lr, time
     # (fitness.cu:513-527)
-    assert loss.shape == (12, 10)
+    assert loss.shape == (6, 10)
     assert loss[-1, 1] < loss[0, 1]  # total loss decreased
     # cosine schedule decayed the lr (col 8); test cols zero w/o test.xyz
     assert loss[-1, 8] < loss[0, 8]

@@ -45,6 +45,7 @@ def test_sharded_lj_matches_unsharded(rng):
     assert np.allclose(np.asarray(out.virial), np.asarray(ref.virial), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_with_padding_and_slab_sort(rng):
     n, n_pad = 100, 128
     pos = rng.uniform(0, 1, (n, 3)) * 22.0
@@ -64,6 +65,7 @@ def test_sharded_with_padding_and_slab_sort(rng):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_sharded_nep_matches_unsharded():
     from gpumd_tpu.io.xyz import read_xyz
 
@@ -88,6 +90,7 @@ def test_sharded_nep_matches_unsharded():
     assert np.allclose(np.asarray(out.force), np.asarray(ref.force), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_cell_list_matches_unsharded(rng):
     """Cell-list halo build (method="cell", the production path at scale:
     n > 2048 and a thick box) vs the single-chip list path."""

@@ -346,3 +346,57 @@ def test_sharded_compact_matches_single_chip_100k(mesh8):
     np.testing.assert_allclose(
         np.asarray(snap.virial), np.asarray(ref.virial), rtol=1e-7,
         atol=1e-9)
+
+
+@pytest.mark.fast_override  # see conftest: runs in the DEFAULT tier
+def test_sharded_compact_smoke_fast(mesh8):
+    """Small default-tier smoke of the sharded COMPACT engine (round-5
+    VERDICT item 7: the fast tier must exercise multi-device code, not
+    just the dryrun): one force pass on the 8-device CPU mesh matches the
+    single-chip compact engine."""
+    from gpumd_tpu.engine.dense_md import DenseNEPMD
+    from gpumd_tpu.integrate.ensembles.nve import NVE
+    from gpumd_tpu.units import TIME_UNIT_CONVERSION
+
+    rng = np.random.default_rng(5)
+    tiny = NepModel(
+        version=4, model_type=0, num_types=2, symbols=("Te", "Pb"),
+        atomic_numbers=(52, 82), rc_radial=(4.0, 4.0),
+        rc_angular=(2.5, 2.5), mn_radial=48, mn_angular=16,
+        n_max_radial=2, n_max_angular=2, basis_size_radial=2,
+        basis_size_angular=2, l_max=2, has_q=(0,) * 6, neurons=4,
+    )
+    nep = NEP(model=tiny, params=random_params(tiny, seed=7,
+                                               dtype=jnp.float64))
+    skin = 0.5
+    a0 = 3.3
+    nc = 11
+    g = np.stack(
+        np.meshgrid(*[np.arange(nc)] * 3, indexing="ij"), -1).reshape(-1, 3)
+    pos = (g + 0.5) * a0 + rng.uniform(-0.2, 0.2, (nc**3, 3))
+    types = rng.integers(0, 2, len(pos))
+    box = Box.orthogonal([nc * a0] * 3)
+    n = len(pos)
+    state = make_state(pos, np.where(types == 1, 207.2, 127.6), types, box,
+                       dtype=jnp.float64)
+
+    smd = ShardedDenseMD(nep, box, n, mesh8, position=pos, skin=skin,
+                         interpret=True, per_atom_virial=True)
+    assert smd.engine == "compact"
+    sstate, oid, overflow = smd.bin_state(state, with_id=True)
+    assert not bool(overflow)
+    _, compute = smd.make_block(NVE(), 1.0 / TIME_UNIT_CONVERSION, steps=1)
+    st2 = jax.jit(compute)(sstate)
+    snap = smd.gather_input_order(st2, oid, n)
+
+    dmd = DenseNEPMD(nep, box, n, position=pos, skin=skin, interpret=True,
+                     per_atom_virial=True,
+                     mn_r=smd.cplan_local.mn_r, mn_a=smd.cplan_local.mn_a)
+    carry = dmd.init_carry(state)
+    ref_c = jax.jit(dmd.compute)(carry.state, carry.idx)
+    ref = dmd.to_input_order(carry._replace(state=ref_c), n)
+    np.testing.assert_allclose(
+        np.asarray(snap.potential_energy), np.asarray(ref.potential_energy),
+        rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(snap.force), np.asarray(ref.force), rtol=1e-7, atol=1e-9)

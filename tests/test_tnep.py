@@ -131,7 +131,10 @@ output_interval 10
     nep_main([str(tmp_path)])
     loss = np.loadtxt(tmp_path / "loss.out")
     # dipole loss (rmse_v column) decreased
-    assert loss[-1, 6] < loss[0, 6]
+    # tensorial loss.out: gen, total, L1, L2, v_train, v_test
+    # (ref fitness.cu dipole/pol branch)
+    assert loss.shape[1] == 6
+    assert loss[-1, 4] < loss[0, 4]
     head = (tmp_path / "nep.txt").read_text().split()[0]
     assert head == "nep4_dipole"
 
@@ -176,6 +179,9 @@ output_interval 10
     )
     nep_main([str(tmp_path)])
     loss = np.loadtxt(tmp_path / "loss.out")
-    assert loss[-1, 6] < loss[0, 6]
+    # tensorial loss.out: gen, total, L1, L2, v_train, v_test
+    # (ref fitness.cu dipole/pol branch)
+    assert loss.shape[1] == 6
+    assert loss[-1, 4] < loss[0, 4]
     head = (tmp_path / "nep.txt").read_text().split()[0]
     assert head == "nep4_polarizability"
