@@ -429,7 +429,7 @@ def _compact_win_kernel(cplan: CompactPlan, nch: int, interpret: bool,
     nblk_w = w_ref.shape[-1] // 128
     dt = out_ref.dtype
     for o in range(cl // 128):
-        row = i_ref[0, 0, :, o * 128:(o + 1) * 128]  # (1, 128) i32
+        row = i_ref[0, 0, 0, :, o * 128:(o + 1) * 128]  # (1, 128) i32
         idx8 = _rep8(row, interpret)
         lo = idx8 & 127
         blk = idx8 >> 7
@@ -461,13 +461,15 @@ def compact_windows_call(win, cidx, cplan: CompactPlan, interpret: bool):
         grid=(nz, ny, nxb),
         in_specs=[
             pl.BlockSpec((1, 1, 1, c, wl), lambda z, y, x: (z, y, x, 0, 0)),
-            pl.BlockSpec((1, 1, 1, cl), lambda z, y, x: (z, y, x, 0)),
+            # (.., 1, cl): a (1, 1, 1, cl) block over (nz, ny, nxb, cl) is
+            # illegal on TPU when nxb > 1 (second-to-last block dim rule)
+            pl.BlockSpec((1, 1, 1, 1, cl), lambda z, y, x: (z, y, x, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, c, cl),
                                lambda z, y, x: (z, y, x, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nxb, c, cl), win.dtype),
         interpret=interpret,
-    )(win, cidx)
+    )(win, cidx[:, :, :, None, :])
 
 
 def rows_compact_eligible(cplan: CompactPlan) -> bool:
@@ -1292,7 +1294,7 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, interpret: bool, *refs):
     if cplan.cl:
         # translate compact-list pair entries to window lanes: gather the
         # (f32-carried, exactly representable) cidx rows at each pair tile
-        ci8 = _rep8(ci_ref[0, 0, :, :], interpret)  # (8, cl)
+        ci8 = _rep8(ci_ref[0, 0, 0, :, :], interpret)  # (8, cl)
         cols = []
         for m8 in range(mnp // 8):
             idx8 = i_ref[0, 0, 0, m8 * 8:(m8 + 1) * 8, :]
@@ -1368,9 +1370,13 @@ def scatter_call(pvals, idx_pairs, cplan: CompactPlan, interpret: bool,
     ]
     args = [pvals, idx_pairs]
     if cplan.cl:
-        in_specs.append(pl.BlockSpec((1, 1, 1, cplan.cl),
-                                     lambda z, y, x: (z, y, x, 0)))
-        args.append(cidx.astype(pvals.dtype))
+        # trailing singleton before cl: a (1, 1, 1, cl) block over a
+        # (nz, ny, nxb, cl) array is ILLEGAL on TPU when nxb > 1 (the
+        # second-to-last block dim must divide 8 or equal the array dim);
+        # (.., 1, cl) with array dim 1 satisfies the "equal" clause.
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, cplan.cl),
+                                     lambda z, y, x: (z, y, x, 0, 0)))
+        args.append(cidx.astype(pvals.dtype)[:, :, :, None, :])
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, cplan, mnp, interpret),
         grid=(nz, ny, nxb),
