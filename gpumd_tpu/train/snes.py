@@ -451,6 +451,19 @@ class SNESTrainer:
         rng = np.random.default_rng(cfg.seed)
         restart = os.path.join(workdir, "nep.restart")
         q_scaler = None
+        # generation numbering continues across restarts: a resumed run
+        # appends to loss.out from where the checkpointed run stopped (the
+        # reference reloads nep.restart the same way, snes.cu:106-137; its
+        # loss.out also just keeps appending)
+        self.gen_offset = 0
+        loss_path = os.path.join(workdir, "loss.out")
+        if os.path.exists(restart) and os.path.exists(loss_path):
+            try:
+                rows = np.atleast_2d(np.loadtxt(loss_path))
+                if rows.size:
+                    self.gen_offset = int(rows[-1][0])
+            except Exception:
+                pass
         if os.path.exists(restart):
             arr = np.loadtxt(restart)
             mu, sigma = arr[:, 0], arr[:, 1]
@@ -463,11 +476,16 @@ class SNESTrainer:
             q_scaler = read_q_scaler_from_nep_txt(
                 os.path.join(workdir, "nep.txt"), model.dim, d
             )
+        key = jax.random.PRNGKey(cfg.seed)
+        if self.gen_offset:
+            # resumed runs branch the sampling stream instead of replaying
+            # the generation-0 keys
+            key = jax.random.fold_in(key, self.gen_offset)
         self.state = SNESState(
             mu=jnp.asarray(mu, dtype),
             sigma=jnp.asarray(sigma, dtype),
-            key=jax.random.PRNGKey(cfg.seed),
-            generation=jnp.zeros((), jnp.int32),
+            key=key,
+            generation=jnp.asarray(self.gen_offset, jnp.int32),
         )
         # q_scaler from a CONSTANT initial_para parameter vector over the
         # full training set (ref: fitness.cu:162-171 evaluates a
@@ -564,7 +582,11 @@ class SNESTrainer:
         Falls back to train() when multiple batches are configured."""
         if len(self.batches) != 1 or self.cfg.use_full_batch:
             return self.train(generations, log=log)
-        gens = generations or self.cfg.maximum_generation
+        gens = (generations or self.cfg.maximum_generation) - self.gen_offset
+        if gens <= 0:
+            log(f"nothing to do: loss.out already at generation "
+                f"{self.gen_offset}")
+            return self.state
         chunk = max(1, min(self.cfg.output_interval, gens))
         batch = self.batches[0]
         gen_step = make_generation_step(
@@ -590,7 +612,7 @@ class SNESTrainer:
             done += chunk
             last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             row = [
-                done,
+                self.gen_offset + done,
                 float(last["fitness"]), float(last["l1"]),
                 float(last["l2"]),
             ] + self._report_elite(np.asarray(last["best_theta"]), batch)
@@ -623,7 +645,11 @@ class SNESTrainer:
         )
 
     def train(self, generations: Optional[int] = None, log=print):
-        gens = generations or self.cfg.maximum_generation
+        gens = (generations or self.cfg.maximum_generation) - self.gen_offset
+        if gens <= 0:
+            log(f"nothing to do: loss.out already at generation "
+                f"{self.gen_offset}")
+            return self.state
         t0 = time.time()
         shard = None
         if self.mesh is not None:
@@ -652,7 +678,7 @@ class SNESTrainer:
             )
             if (g + 1) % self.cfg.output_interval == 0 or g == gens - 1:
                 row = [
-                    g + 1,
+                    self.gen_offset + g + 1,
                     float(metrics["fitness"]),
                     float(metrics["l1"]),
                     float(metrics["l2"]),

@@ -67,7 +67,7 @@ def timeit(fn, *args, reps=3):
 
 
 def _dot_kernel(m, k, n, ksplit, v_ref, o_ref, *, prec):
-    lhs = v_ref[...]
+    lhs = v_ref[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
     rhs = jnp.where((iota * 7919) % n == iota, 1.0, 0.0).astype(lhs.dtype)
     if ksplit == 1:
@@ -84,7 +84,7 @@ def _dot_kernel(m, k, n, ksplit, v_ref, o_ref, *, prec):
             for i in range(ksplit)
         ]
         acc = sum(parts)
-    o_ref[...] = acc
+    o_ref[0] = acc
 
 
 def onehot_dot(m, k, n, ksplit=1, prec=jax.lax.Precision.DEFAULT):

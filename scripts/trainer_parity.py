@@ -39,10 +39,11 @@ def main():
         nep_in = nep_in.replace("20000", str(gens))
     with open(os.path.join(workdir, "nep.in"), "w") as f:
         f.write(nep_in)
-    for out in ("loss.out", "nep.txt", "nep.restart"):
-        p = os.path.join(workdir, out)
-        if os.path.exists(p):
-            os.remove(p)
+    if not os.environ.get("GPUMD_PARITY_RESUME"):
+        for out in ("loss.out", "nep.txt", "nep.restart"):
+            p = os.path.join(workdir, out)
+            if os.path.exists(p):
+                os.remove(p)
 
     env = dict(os.environ)
     # prepend (not replace): the image's PYTHONPATH carries the accelerator
