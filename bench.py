@@ -402,17 +402,21 @@ def main():
     sizes = [target_n, target_n // 4, target_n // 16]
     result = None
     for size in sizes:
+        # (engine, compact_lists, banded): banded gathers (round 5) are the
+        # first rung to drop — a band-slack abort falls back to full scans
         attempts = (
-            [("dense", "1"), ("dense", "0"), ("list", "1")]
-            if engine == "dense" else [(engine, "1")]
+            [("dense", "1", "1"), ("dense", "1", "0"), ("dense", "0", "0"),
+             ("list", "1", "1")]
+            if engine == "dense" else [(engine, "1", "1")]
         )
-        for eng, cl_flag in attempts:
+        for eng, cl_flag, band_flag in attempts:
             env = dict(os.environ)
             env.update({
                 "GPUMD_BENCH_CHILD": "1",
                 "GPUMD_BENCH_CHILD_N": str(size),
                 "GPUMD_BENCH_CHILD_ENGINE": eng,
                 "GPUMD_COMPACT_LISTS": cl_flag,
+                "GPUMD_BANDED": band_flag,
             })
             try:
                 out = subprocess.run(
@@ -430,10 +434,12 @@ def main():
                             break
                 if result is not None:
                     break
-                print(f"# bench at N~{size} ({eng}, cl={cl_flag}) failed "
-                      f"rc={out.returncode}", file=sys.stderr)
+                print(f"# bench at N~{size} ({eng}, cl={cl_flag}, "
+                      f"band={band_flag}) failed rc={out.returncode}",
+                      file=sys.stderr)
             except subprocess.TimeoutExpired:
-                print(f"# bench at N~{size} ({eng}, cl={cl_flag}) HUNG "
+                print(f"# bench at N~{size} ({eng}, cl={cl_flag}, "
+                      f"band={band_flag}) HUNG "
                       f"(killed after {attempt_timeout}s)", file=sys.stderr)
         if result is not None:
             break

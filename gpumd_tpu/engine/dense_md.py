@@ -149,6 +149,25 @@ class DenseNEPMD:
         return build_indices(centers, cand, self.cplan,
                              self.nep.model.rc_angular_max)
 
+    def _measure_bands(self, neigh):
+        """Bake banded-gather source-block bands into the plan from the
+        init-time CONCRETE build (nep_compact.measure_bands).  Later jits
+        (make_step / compact_pipeline closures read self.cplan) then scan
+        only the measured bands; every rebuild re-checks membership and
+        aborts loudly on drift past the slack.  No-ops under tracing, when
+        compact lists are off, or with GPUMD_BANDED=0."""
+        import os as _os
+
+        if (not self.cplan or not self.cplan.cl
+                or _os.environ.get("GPUMD_BANDED", "1") == "0"
+                or isinstance(neigh.idx, jax.core.Tracer)):
+            return
+        from gpumd_tpu.engine.nep_compact import measure_bands
+
+        pad = int(_os.environ.get("GPUMD_BAND_PAD", "1"))
+        bp, bc = measure_bands(neigh, self.cplan, pad=pad)
+        self.cplan = self.cplan._replace(bands_pair=bp, bands_cidx=bc)
+
     def init_carry(self, state: MDState) -> DenseCarry:
         """Input-order MDState (N rows) -> slot-ordered carry."""
         n = state.position.shape[0]
@@ -159,6 +178,7 @@ class DenseNEPMD:
         if self.engine == "compact":
             idx, ok = self._build_idx(sstate)
             overflow = overflow | ~ok
+            self._measure_bands(idx)
         overflow = overflow | ~self._cells_valid(sstate.box)
         return DenseCarry(
             state=sstate,

@@ -92,6 +92,16 @@ class CompactPlan(NamedTuple):
     mn_r: int  # radial neighbor cap (sublanes, multiple of 8)
     mn_a: int  # angular cap = prefix of the radial tile (multiple of 8)
     cl: int = 0  # compact candidate lanes (0 = gather from full windows)
+    # Banded monotone gathers (round 5): the compact candidate list and the
+    # per-atom neighbor entries are both LANE-SORTED (compact_select /
+    # build_indices_compact), so the source-block index is monotone along
+    # them and each 8-sublane gather chunk only ever touches a narrow band
+    # of 128-lane source blocks.  Bands are measured on the initial
+    # configuration (DenseNEPMD.__init__), padded by one block of slack,
+    # and re-CHECKED at every rebuild (out-of-band -> overflow abort, like
+    # a neighbor-cap overflow).  () = full-scan fallback.
+    bands_pair: Tuple[Tuple[int, int], ...] = ()  # per mn_r/8 chunk
+    bands_cidx: Tuple[Tuple[int, int], ...] = ()  # per cl/128 chunk
 
     @property
     def nxb(self) -> int:
@@ -118,6 +128,27 @@ class CompactPlan(NamedTuple):
     @property
     def nblk(self) -> int:
         return self.wl // 128
+
+    def pair_blocks(self, r: int):
+        """Source-block scan list for neighbor-entry chunk r: the measured
+        band plus the parking block (out-of-range entries live on the last
+        compact lane).  None = full scan."""
+        if not self.bands_pair:
+            return None
+        lo, hi = self.bands_pair[r]
+        park = self.nblk_src - 1
+        blocks = list(range(lo, hi + 1))
+        if park not in blocks:
+            blocks.append(park)
+        return blocks
+
+    def cidx_blocks(self, o: int):
+        """Source-block scan list for compact-list chunk o (window-lane
+        block space).  None = full scan."""
+        if not self.bands_cidx:
+            return None
+        lo, hi = self.bands_cidx[o]
+        return list(range(lo, hi + 1))
 
     @property
     def src_lanes(self) -> int:
@@ -417,7 +448,19 @@ def compact_select(cand, box: Box, cplan: CompactPlan):
     cidx = (jnp.sort(key, axis=-1)[..., :cl] & ((1 << 20) - 1)).astype(
         jnp.int32)
     cnt = jnp.sum(keep, axis=-1).astype(jnp.int32)
-    ok = jnp.max(cnt) <= cl
+    # strict: the LAST compact lane must stay a dead pad — it is the
+    # parking slot for out-of-range neighbor entries (build_indices_compact)
+    ok = jnp.max(cnt) < cl
+    if cplan.bands_cidx:
+        # live kept entries must stay inside the measured source-block
+        # bands (pads may gather anything: their values are re-masked)
+        blk = cidx >> 7
+        live = jax.lax.broadcasted_iota(
+            jnp.int32, cidx.shape, cidx.ndim - 1) < cnt[..., None]
+        for o, (lo, hi) in enumerate(cplan.bands_cidx):
+            b = blk[..., o * 128:(o + 1) * 128]
+            lv = live[..., o * 128:(o + 1) * 128]
+            ok &= jnp.all(~lv | ((b >= lo) & (b <= hi)))
     return cidx, cnt, ok
 
 
@@ -433,10 +476,13 @@ def _compact_win_kernel(cplan: CompactPlan, nch: int, interpret: bool,
         idx8 = _rep8(row, interpret)
         lo = idx8 & 127
         blk = idx8 >> 7
+        blocks = cplan.cidx_blocks(o)
+        if blocks is None:
+            blocks = range(nblk_w)
         for g in range(0, nch, 8):
             gc = min(8, nch - g)
             acc = None
-            for b in range(nblk_w):
+            for b in blocks:
                 src8 = w_ref[0, 0, 0, g:g + gc, b * 128:(b + 1) * 128]
                 if gc < 8:  # pad the channel group to a full vreg
                     src8 = jnp.concatenate(
@@ -499,19 +545,22 @@ def _compact_rows_kernel(cplan: CompactPlan, nch: int, interpret: bool,
             idx8 = _rep8(row_i, interpret)
             lane = idx8 & 127
             blk = idx8 >> 7
+            gblocks = cplan.cidx_blocks(o)
+            if gblocks is None:
+                gblocks = range(9 * nbw)
             for g0 in range(0, nch, 8):
                 gc = min(8, nch - g0)
                 acc = None
-                for g in range(9):
-                    for b in range(nbw):
-                        src8 = rows[g][0, 0, g0:g0 + gc,
-                                       base + b * 128:base + (b + 1) * 128]
-                        if gc < 8:
-                            src8 = jnp.concatenate(
-                                [src8, jnp.zeros((8 - gc, 128), dt)], axis=0)
-                        gv = jnp.take_along_axis(src8, lane, axis=1)
-                        gv = jnp.where(blk == g * nbw + b, gv, 0.0)
-                        acc = gv if acc is None else acc + gv
+                for gb in gblocks:
+                    g, b = divmod(gb, nbw)
+                    src8 = rows[g][0, 0, g0:g0 + gc,
+                                   base + b * 128:base + (b + 1) * 128]
+                    if gc < 8:
+                        src8 = jnp.concatenate(
+                            [src8, jnp.zeros((8 - gc, 128), dt)], axis=0)
+                    gv = jnp.take_along_axis(src8, lane, axis=1)
+                    gv = jnp.where(blk == gb, gv, 0.0)
+                    acc = gv if acc is None else acc + gv
                 out_ref[0, 0, xb, g0:g0 + gc, o * 128:(o + 1) * 128] = (
                     acc[:gc])
 
@@ -590,13 +639,75 @@ def build_indices_compact(centers, cand_c, cplan: CompactPlan,
         key = (cls << 12) | lane
         skey = jnp.sort(key, axis=-1)[..., :cplan.mn_r]
         idx = (skey & 0xFFF).astype(jnp.int32)
+        # park out-of-range entries (class 2: dead pads and live-but-far
+        # lanes) on the LAST compact lane, which mask_compact_pads keeps
+        # FAR (compact_select guarantees cnt < cl): gathers of parked
+        # entries then read a known-dead slot, so the banded gathers only
+        # need to cover live entries + the one parking block
+        idx = jnp.where(skey >> 12 >= 2, cplan.cl - 1, idx)
         cnt_a = jnp.sum(cls == 0, axis=-1)
         cnt_r = cnt_a + jnp.sum(cls == 1, axis=-1)
         ok = (jnp.max(cnt_r) <= cplan.mn_r) & (jnp.max(cnt_a) <= cplan.mn_a)
-        return jnp.moveaxis(idx, -1, -2), ok
+        idx = jnp.moveaxis(idx, -1, -2)  # (ny, nxb, mn_r, a_pad)
+        if cplan.bands_pair:
+            blk = idx >> 7
+            park = cplan.nblk_src - 1
+            for r, (lo, hi) in enumerate(cplan.bands_pair):
+                b = blk[..., r * 8:(r + 1) * 8, :]
+                ok &= jnp.all(((b >= lo) & (b <= hi)) | (b == park))
+        return idx, ok
 
     idx, oks = jax.lax.map(slab, jnp.arange(nz))
     return idx, jnp.all(oks)
+
+
+def measure_bands(neigh: CompactNeighbors, cplan: CompactPlan,
+                  pad: int = 1):
+    """Measure the banded-gather source-block bands on a CONCRETE build
+    (host numpy, init-time only).
+
+    Both gather index sets are lane-sorted, so the source-block index is
+    monotone along them and every 8-sublane / 128-lane chunk only touches
+    a narrow band of 128-lane source blocks:
+    * idx is (class, lane)-sorted per atom (build_indices_compact) —
+      per mn_r/8 chunk the non-parked entries span a few compact blocks;
+    * cidx is window-lane sorted (compact_select) — per cl/128 chunk the
+      live entries span a few window blocks.
+    Bands are padded by `pad` blocks of thermal-motion slack; every later
+    rebuild re-checks membership and flags overflow (loud abort, same
+    contract as a neighbor-cap overflow).  Returns (bands_pair,
+    bands_cidx) tuples for CompactPlan._replace.
+    """
+    idx = np.asarray(neigh.idx)
+    cidx = np.asarray(neigh.cidx)
+    cnt = np.asarray(neigh.cnt)
+    cl = cplan.cl
+    park_blk = cplan.nblk_src - 1
+    bands_pair = []
+    for r in range(cplan.mn_r // 8):
+        e = idx[..., r * 8:(r + 1) * 8, :]
+        live = e != cl - 1  # lane cl-1 is the guaranteed-dead parking slot
+        if live.any():
+            blk = e[live] >> 7
+            lo = max(0, int(blk.min()) - pad)
+            hi = min(park_blk, int(blk.max()) + pad)
+        else:
+            lo = hi = park_blk  # all parked: scan only the parking block
+        bands_pair.append((lo, hi))
+    bands_cidx = []
+    nblk_w = cplan.wl // 128
+    lanes = np.arange(cl)
+    live_all = lanes[None, None, None, :] < cnt[..., None]
+    for o in range(cl // 128):
+        lv = live_all[..., o * 128:(o + 1) * 128]
+        if lv.any():
+            blk = cidx[..., o * 128:(o + 1) * 128][lv] >> 7
+            lo = max(0, int(blk.min()) - pad)
+            hi = min(nblk_w - 1, int(blk.max()) + pad)
+        else:
+            lo = hi = 0  # chunk is all pads: scan one block, re-masked
+        bands_cidx.append((lo, hi))
+    return tuple(bands_pair), tuple(bands_cidx)
 
 
 def build_compact_neighbors(garr, box: Box, cplan: CompactPlan,
@@ -722,7 +833,7 @@ def _rep8(row, interpret: bool):
     return pltpu.repeat(row, 8, 0)
 
 
-def _bgather_multi(srcs, idx8, nblk: int):
+def _bgather_multi(srcs, idx8, nblk: int, blocks=None):
     """Gather each of `srcs` (8, nblk*128) at idx8 (8, A) via blocked
     single-vreg dynamic_gathers (PERF_NOTES round-3 item 1).  Mosaic
     requires idx and source tiles to be the same shape, so A > 128 is
@@ -731,11 +842,18 @@ def _bgather_multi(srcs, idx8, nblk: int):
     Multi-channel: the per-block membership mask (idx in block b) is
     channel-independent — computing it once per block and reusing it for
     every source cuts the gather op count ~1.6x at 15 channels (the K2
-    cot-row gathers dominated the round-3 profile)."""
+    cot-row gathers dominated the round-3 profile).
+
+    `blocks` (optional iterable of source-block indices) restricts the
+    scan to a measured band (round 5, CompactPlan.bands_*): entries whose
+    block is outside the band gather ZERO, which the rebuild-time band
+    check guarantees can only happen for parked/pad entries."""
     a = idx8.shape[1]
+    if blocks is None:
+        blocks = range(nblk)
     if a > 128:
         parts = [
-            _bgather_multi(srcs, idx8[:, c:c + 128], nblk)
+            _bgather_multi(srcs, idx8[:, c:c + 128], nblk, blocks)
             for c in range(0, a, 128)
         ]
         return [
@@ -745,7 +863,7 @@ def _bgather_multi(srcs, idx8, nblk: int):
     lo = idx8 & 127
     blk = idx8 >> 7
     accs = [None] * len(srcs)
-    for b in range(nblk):
+    for b in blocks:
         sel = blk == b
         for i, src8 in enumerate(srcs):
             g = jnp.take_along_axis(
@@ -949,7 +1067,8 @@ def _k1_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
     tl_ref = refs_extra[0] if refs_extra else None
     for r in range(n_chunks):
         idx8 = i_ref[0, 0, 0, r * 8:(r + 1) * 8, :]
-        xj, yj, zj, tj = _bgather_multi(srcs, idx8, nblk)
+        xj, yj, zj, tj = _bgather_multi(srcs, idx8, nblk,
+                                        cplan.pair_blocks(r))
         dx, dy, dz = xj - cx, yj - cy, zj - cz
         if tl_ref is not None:
             # persist the gathered tiles: K2 reloads them from HBM instead
@@ -1101,7 +1220,7 @@ def _k2_kernel(cplan: CompactPlan, spec: CompactSpec, interpret: bool,
         _, fkp = _cheb(d, rcp_r, ok, spec.kr1 - 1, True)
         # one multi-channel gather per chunk: all (t, k) cot_S rows + the
         # ZBL cot share the per-block membership masks
-        cj = _bgather_multi(csrc, idx8, nblk)
+        cj = _bgather_multi(csrc, idx8, nblk, cplan.pair_blocks(r))
         sig_i = None
         sig_j = None
         for k in range(spec.kr1):
@@ -1298,7 +1417,8 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, interpret: bool, *refs):
         cols = []
         for m8 in range(mnp // 8):
             idx8 = i_ref[0, 0, 0, m8 * 8:(m8 + 1) * 8, :]
-            cols.append(_bgather(ci8, idx8, cplan.nblk_src))
+            cols.append(_bgather_multi(
+                [ci8], idx8, cplan.nblk_src, cplan.pair_blocks(m8))[0])
         idx_pairs = jnp.concatenate(cols, axis=0).astype(jnp.int32)
     else:
         idx_pairs = i_ref[0, 0, 0]

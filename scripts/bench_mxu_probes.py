@@ -43,7 +43,13 @@ jax.config.update(
                  ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-NB = 13872  # blocks at 1M (grid 24x34x34, bx 2)
+NB_FULL = 13872  # blocks at 1M (grid 24x34x34, bx 2)
+# probe at NB_FULL/8 and scale: the worst probe input at full NB is
+# (13872, 144, 4096) f32 = 32.7 GB — 2x v5e HBM (measured OOM, round 5).
+# Per-block cost is NB-linear (one grid step per block), so the scaled
+# measurement is faithful.
+SCALE = int(os.environ.get("GPUMD_PROBE_SCALE", "8"))
+NB = NB_FULL // SCALE
 A = 128     # atom lanes per block
 
 
@@ -258,6 +264,7 @@ def main():
     res["bgather_17ch_nblk18"] = bgather(17, 14, 18)
     res["bgather_17ch_nblk11"] = bgather(17, 14, 11)
     res["bgather_17ch_nblk11_mnr96"] = bgather(17, 12, 11)
+    res = {k: v * SCALE for k, v in res.items()}  # scale to NB_FULL
     for k, v in res.items():
         print(f"{k}: {v*1000:.1f} ms")
     print(json.dumps({k: round(v * 1000, 2) for k, v in res.items()}))

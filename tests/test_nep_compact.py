@@ -77,7 +77,7 @@ def _list_reference(nep, pos, types, box):
 
 
 def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5,
-             compact_lists=False):
+             compact_lists=False, banded=False):
     pos = np.asarray(box.wrap(jnp.asarray(pos)))
     plan = plan_grid(box, nep.model.rc_radial_max, skin, n, position=pos)
     assert plan is not None
@@ -95,6 +95,16 @@ def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5,
         from gpumd_tpu.engine.nep_compact import build_compact_neighbors
         idx, ok = build_compact_neighbors(
             garr, box, cplan, nep.model.rc_angular_max, True)
+        if banded:
+            # measure bands on the first build, then REBUILD with the
+            # banded plan so the rebuild-time band checks run too
+            from gpumd_tpu.engine.nep_compact import measure_bands
+            bp, bc = measure_bands(idx, cplan)
+            assert any(hi - lo + 1 < cplan.nblk_src for lo, hi in bp)
+            cplan = cplan._replace(bands_pair=bp, bands_cidx=bc)
+            idx, ok = build_compact_neighbors(
+                garr, box, cplan, nep.model.rc_angular_max, True)
+            assert bool(ok), "banded rebuild flagged its own bands"
     else:
         centers = block_centers(garr, cplan)
         cand = pack_block_windows(garr, plan, cplan.bx, cplan.wl)
@@ -263,3 +273,69 @@ def test_compact_candidate_lists_match():
     np.testing.assert_allclose(f, f_ref, rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(w_atom, w_atom_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_banded_gathers_match():
+    """Round-5 banded monotone gathers (CompactPlan.bands_*: kernels scan
+    only the measured source-block band per chunk, out-of-range entries
+    parked on the dead last compact lane) must be numerically IDENTICAL to
+    the full-scan compact path — banding only drops gather blocks the
+    rebuild-time band check proves are dead."""
+    rng = np.random.default_rng(23)
+    n = 300
+    box = Box.orthogonal([27.5, 28.5, 30.0])
+    pos, types = _random_system(rng, n, [27.5, 28.5, 30.0])
+    nep = _model(zbl=True, full=True)
+
+    e0, f0, w0, wa0 = _compact(nep, pos, types, box, n, compact_lists=True)
+    e, f, w, wa = _compact(nep, pos, types, box, n, compact_lists=True,
+                           banded=True)
+
+    # not bit-equal: the shorter gather-add chains change which ops XLA
+    # contracts into FMAs (measured 1-ulp f64 scatter on CPU); the MATH is
+    # identical — every dropped block is proven dead by the band check
+    np.testing.assert_allclose(e, e0, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(f, f0, rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(w, w0, rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(wa, wa0, rtol=1e-11, atol=1e-13)
+
+
+def test_band_violation_flags_overflow():
+    """Bands that no longer cover the configuration must flag the rebuild
+    (sticky overflow), never silently drop neighbors — same contract as a
+    neighbor-cap overflow."""
+    from gpumd_tpu.engine.nep_compact import (
+        build_compact_neighbors,
+        make_compact_plan as _mk,
+        measure_bands,
+    )
+    rng = np.random.default_rng(29)
+    n = 300
+    box = Box.orthogonal([27.5, 28.5, 30.0])
+    pos, types = _random_system(rng, n, [27.5, 28.5, 30.0])
+    nep = _model()
+    pos = np.asarray(box.wrap(jnp.asarray(pos)))
+    plan = plan_grid(box, nep.model.rc_radial_max, 0.5, n, position=pos)
+    cplan = _mk(plan, position=pos, box=box,
+                rc_angular=nep.model.rc_angular_max, compact_lists=True)
+    assert cplan.cl
+    mask = jnp.ones(n)
+    perm, slot_mask, _ = bin_dense(jnp.asarray(pos), box, mask, plan)
+    pos_s = apply_perm(jnp.asarray(pos), perm, fill=1.0e5)
+    types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm, fill=0)
+    garr = pack_ghost(pos_s, types_s, slot_mask, box, plan)
+    neigh, ok = build_compact_neighbors(
+        garr, box, cplan, nep.model.rc_angular_max, True)
+    assert bool(ok)
+    bp, bc = measure_bands(neigh, cplan)
+    # corrupt the pair band of the first chunk that has live entries
+    park = cplan.nblk_src - 1
+    bad = list(bp)
+    for i, (lo, hi) in enumerate(bad):
+        if (lo, hi) != (park, park):
+            bad[i] = (park, park)  # live entries now out of band
+            break
+    _, ok_bad = build_compact_neighbors(
+        garr, box, cplan._replace(bands_pair=tuple(bad), bands_cidx=bc),
+        nep.model.rc_angular_max, True)
+    assert not bool(ok_bad)
