@@ -81,6 +81,12 @@ from gpumd_tpu.potentials.nep.params import NepModel, NepParams
 from gpumd_tpu.units import K_C
 
 _EPS2 = 1.0e-6
+
+import os as _os  # noqa: E402
+
+# rebuild selection strategy: full bitonic sort vs top_k partial selection
+# over the (class << 12 | lane) keys (see build_indices_compact)
+_REBUILD_TOPK = _os.environ.get("GPUMD_REBUILD_TOPK", "0") != "0"
 _BIG = 1.0e30
 
 
@@ -637,7 +643,14 @@ def build_indices_compact(centers, cand_c, cplan: CompactPlan,
                         jnp.where(live & (d2 < rcut2), 1, 2))
         lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
         key = (cls << 12) | lane
-        skey = jnp.sort(key, axis=-1)[..., :cplan.mn_r]
+        if _REBUILD_TOPK:
+            # partial selection: the kernels need the mn_r smallest keys
+            # (class partition, order within a class irrelevant) — top_k
+            # of the negated key avoids the full-width bitonic sort
+            # (GPUMD_REBUILD_TOPK; measured in bench_rebuild_variants.py)
+            skey = -jax.lax.top_k(-key, cplan.mn_r)[0]
+        else:
+            skey = jnp.sort(key, axis=-1)[..., :cplan.mn_r]
         idx = (skey & 0xFFF).astype(jnp.int32)
         # park out-of-range entries (class 2: dead pads and live-but-far
         # lanes) on the LAST compact lane, which mask_compact_pads keeps

@@ -416,6 +416,12 @@ class CompactTersoffMD:
         from gpumd_tpu.engine.dense_md import DenseNEPMD
         return DenseNEPMD.init_carry(self, state)
 
+    def _measure_bands(self, neigh):
+        # Tersoff plans never enable compact candidate lists (cl == 0), so
+        # banded gathers don't apply; DenseNEPMD.init_carry calls this hook
+        from gpumd_tpu.engine.dense_md import DenseNEPMD
+        DenseNEPMD._measure_bands(self, neigh)
+
     def _rebin_arrays(self, state, orig_id, box):
         from gpumd_tpu.engine.dense_md import DenseNEPMD
         return DenseNEPMD._rebin_arrays(self, state, orig_id, box)

@@ -587,7 +587,14 @@ class SNESTrainer:
             log(f"nothing to do: loss.out already at generation "
                 f"{self.gen_offset}")
             return self.state
-        chunk = max(1, min(self.cfg.output_interval, gens))
+        report = max(1, min(self.cfg.output_interval, gens))
+        # dispatch granularity: one device RPC per `chunk` generations.
+        # GPUMD_TRAIN_CHUNK bounds it below the report interval — a wedged
+        # axon RPC costs at most `chunk` generations of progress (round-5
+        # incident: 100-gen ~45 s dispatches wedged in futex_do_wait; the
+        # MD engine's GPUMD_SCAN_BLOCK plays the same role)
+        chunk = max(1, min(
+            int(os.environ.get("GPUMD_TRAIN_CHUNK", report)), report))
         batch = self.batches[0]
         gen_step = make_generation_step(
             self.model, self.cfg, self.q_scaler, self.lambda_1,
@@ -610,6 +617,8 @@ class SNESTrainer:
         while done < gens:
             self.state, metrics = run_chunk(self.state, batch)
             done += chunk
+            if done % report and done < gens:
+                continue
             last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             row = [
                 self.gen_offset + done,
