@@ -273,13 +273,20 @@ def per_type_rmses(model: NepModel, cfg: NepTrainConfig, out, batch,
 
 
 def compute_q_scaler(model: NepModel, theta, batches: List[StructureBatch]):
-    """1/(max-min) per descriptor dim over the whole training set."""
-    nep = NEP(model, params_from_vector(model, theta))
-    qmax = jnp.full((model.dim,), -1e6)
-    qmin = jnp.full((model.dim,), 1e6)
+    """1/(max-min) per descriptor dim over the whole training set.
+
+    theta rides as a jit ARGUMENT and the params build happens inside the
+    trace: a params closure would embed device arrays as MLIR constants,
+    whose value fetch (device->host at lowering) wedged through the axon
+    tunnel (round-5 incident)."""
+    theta = np.asarray(theta)
+    qmax = np.full((model.dim,), -1e6, theta.dtype)
+    qmin = np.full((model.dim,), 1e6, theta.dtype)
 
     @jax.jit
-    def minmax(batch, qmax, qmin):
+    def minmax(theta, batch, qmax, qmin):
+        nep = NEP(model, params_from_vector(model, theta))
+
         def one(r12, idx, t, m):
             q, _ = nep.raw_descriptors(r12, t, t[idx])
             big = jnp.where(m[:, None] > 0, q, -1e6)
@@ -290,7 +297,7 @@ def compute_q_scaler(model: NepModel, theta, batches: List[StructureBatch]):
         return jnp.maximum(qmax, hi.max(axis=0)), jnp.minimum(qmin, lo.min(axis=0))
 
     for b in batches:
-        qmax, qmin = minmax(b, qmax, qmin)
+        qmax, qmin = minmax(theta, b, qmax, qmin)
     return 1.0 / jnp.maximum(qmax - qmin, 1e-6)
 
 
@@ -311,16 +318,19 @@ def make_population_pieces(
     t = model.num_types
     per_class = d / t
     eta_sigma = (3.0 + np.log(per_class)) / (5.0 * np.sqrt(per_class)) / 2.0
-    utility = jnp.asarray(_utilities(pop))
-    tov = jnp.asarray(type_of_variable_vector(model))  # (D,) in 0..T
+    # HOST constants on purpose: these are closed over by the trainer jits,
+    # and device-array closures force a device-to-host VALUE fetch at
+    # lowering time (see the q_scaler comment in NepTrainer.__init__)
+    utility = np.asarray(_utilities(pop))
+    tov = np.asarray(type_of_variable_vector(model))  # (D,) in 0..T
     # variable-class masks: rows 0..T-1 per-element, row T = everything
-    vmask = jnp.concatenate(
-        [jax.nn.one_hot(tov, t + 1, dtype=jnp.float32)[:, :t].T,
-         jnp.ones((1, d), jnp.float32)], axis=0,
+    vmask = np.concatenate(
+        [np.eye(t + 1, dtype=np.float32)[tov][:, :t].T,
+         np.ones((1, d), np.float32)], axis=0,
     )  # (T+1, D)
-    nv_class = jnp.concatenate(
-        [jnp.full((t,), d / t, jnp.float32), jnp.asarray([float(d)])]
-    )
+    nv_class = np.concatenate(
+        [np.full((t,), d / t, np.float32), np.asarray([float(d)])]
+    ).astype(np.float32)
 
     def sample(state: SNESState):
         key, sub = jax.random.split(state.key)
@@ -493,10 +503,16 @@ class SNESTrainer:
         # calculate_q_scaler=true) — NOT from the random mu, whose c-value
         # cancellations give a different descriptor range and mis-condition
         # the ANN inputs.
+        # q_scaler is CLOSED OVER by every trainer jit: keep it a HOST
+        # array.  Device-array closures embed as MLIR constants, and the
+        # lowering fetches their VALUE device-to-host — through the axon
+        # tunnel that D2H wedged a 20k-generation run (round-5 incident:
+        # faulthandler showed ir_constant -> array._value in
+        # futex_do_wait).  Same reason theta passes as np.full below.
         self.q_scaler = (
-            jnp.asarray(q_scaler, dtype) if q_scaler is not None
-            else compute_q_scaler(
-                model, jnp.full((d,), cfg.initial_para, dtype), batches)
+            np.asarray(q_scaler, dtype) if q_scaler is not None
+            else np.asarray(compute_q_scaler(
+                model, np.full((d,), cfg.initial_para, dtype), batches))
         )
         sample, evaluate, update = make_population_pieces(
             model, cfg, self.q_scaler, self.lambda_1, self.lambda_2
