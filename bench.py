@@ -90,6 +90,10 @@ def run_once(target_n, n_steps, engine="dense"):
 
         skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.5))
         md = DenseNEPMD(nep, box, n, position=pos, skin=skin)
+        # bake banded-gather bands: init_carry must run EAGERLY once (under
+        # jit the band measurement no-ops on tracers) BEFORE the step/warm
+        # closures trace, so the kernels compile with the measured bands
+        md.init_carry(state)
         # Steady-state measurement: warm a carry (init rebuild + first
         # force), then time the scan alone.  The init rebuild amortizes
         # over the full production run — the reference's atom*step/s is
@@ -180,6 +184,7 @@ def run_npt(target_n, n_steps):
 
     skin = float(os.environ.get("GPUMD_BENCH_SKIN", 1.5))
     md = DenseNEPMD(nep, box, n, position=pos, skin=skin)
+    md.init_carry(state)  # eager once: bake banded-gather bands (run_once)
     # PbTe-like coupling: bulk modulus ~40 GPa, tau_p 1 ps (reference's
     # npt_ber defaults, src/integrate/ensemble_ber.cu)
     ens = NPTBerendsen(
@@ -242,6 +247,7 @@ def run_hnemd(target_n, n_steps):
                     skin=float(os.environ.get("GPUMD_BENCH_SKIN", 1.5)),
                     per_atom_virial=True)
     md.hnemd_fe = (1.0e-4, 0.0, 0.0)  # A^-1, typical kappa driving
+    md.init_carry(state)  # eager once: bake banded-gather bands (run_once)
 
     def observer(s):
         return jnp.sum(s.heat_current * s.mask[:, None], axis=0)

@@ -608,9 +608,13 @@ class SNESTrainer:
         # GPUMD_TRAIN_CHUNK bounds it below the report interval — a wedged
         # axon RPC costs at most `chunk` generations of progress (round-5
         # incident: 100-gen ~45 s dispatches wedged in futex_do_wait; the
-        # MD engine's GPUMD_SCAN_BLOCK plays the same role)
+        # MD engine's GPUMD_SCAN_BLOCK plays the same role).  Clamped to a
+        # DIVISOR of the report interval so rows land exactly on
+        # output_interval boundaries.
         chunk = max(1, min(
             int(os.environ.get("GPUMD_TRAIN_CHUNK", report)), report))
+        while report % chunk:
+            chunk -= 1
         batch = self.batches[0]
         gen_step = make_generation_step(
             self.model, self.cfg, self.q_scaler, self.lambda_1,

@@ -11,7 +11,7 @@ set -u
 WORK=${GPUMD_PARITY_WORKDIR:-/root/repo/runs/nep_parity_r5}
 GENS=${GPUMD_PARITY_GENS:-20000}
 LOG=${TRAINER_LOG:-/root/repo/runs/trainer_r5.log}
-STALL=${TRAINER_STALL_S:-420}
+STALL=${TRAINER_STALL_S:-900}
 export GPUMD_PARITY_GENS=$GENS GPUMD_PARITY_WORKDIR=$WORK GPUMD_PARITY_RESUME=1
 cd /root/repo
 

@@ -460,3 +460,31 @@ def test_global_bias_absorbs_shift():
         a0, a1 = getattr(p0, name), getattr(p1, name)
         if a0 is not None:
             np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+@requires_reference
+def test_train_chunk_env_keeps_report_boundaries(workdir, tmp_path,
+                                                 monkeypatch):
+    """GPUMD_TRAIN_CHUNK bounds the fused dispatch size (one device RPC
+    per chunk — a wedged axon RPC then costs at most `chunk` generations)
+    WITHOUT changing loss.out: rows stay on output_interval boundaries
+    and carry the same generation numbers as an unchunked run."""
+    import shutil
+
+    from gpumd_tpu.app.nep import main
+
+    a = tmp_path / "whole"
+    b = tmp_path / "chunked"
+    for d in (a, b):
+        d.mkdir()
+        shutil.copy(os.path.join(workdir, "train.xyz"), d)
+        shutil.copy(os.path.join(workdir, "nep.in"), d)
+    monkeypatch.delenv("GPUMD_TRAIN_CHUNK", raising=False)
+    main([str(a)])
+    monkeypatch.setenv("GPUMD_TRAIN_CHUNK", "3")  # does not divide 10
+    main([str(b)])
+    la = np.atleast_2d(np.loadtxt(a / "loss.out"))
+    lb = np.atleast_2d(np.loadtxt(b / "loss.out"))
+    # same report rows: generations 10, 20, 30 (not every chunk)
+    np.testing.assert_array_equal(la[:, 0], lb[:, 0])
+    assert list(lb[:, 0]) == [10.0, 20.0, 30.0]
