@@ -42,15 +42,22 @@ while true; do
   echo $PID > /tmp/trainer.pid
   echo "WATCHDOG: (re)started pid $PID $(date -u +%FT%TZ)" >> "$LOG"
   while kill -0 $PID 2>/dev/null; do
-    sleep 60
+    sleep 30
     last=$(stat -c %Y "$WORK/loss.out" 2>/dev/null || echo 0)
-    # progress clock starts at THIS attempt's launch: a resumed run
-    # recompiles before its first 100-gen block lands in loss.out
-    [ "$last" -lt "$START" ] && last=$START
     now=$(date +%s)
-    if [ $((now - last)) -gt "$STALL" ]; then
+    if [ "$last" -ge "$START" ]; then
+      # this attempt has produced rows (normal cadence ~45 s/row):
+      # a wedged RPC shows up fast — kill after STALL_HOT
+      thresh=${TRAINER_STALL_HOT_S:-240}
+    else
+      # still in startup/recompile (first fused chunk ~5 min through a
+      # degraded tunnel): be lenient
+      last=$START
+      thresh=$STALL
+    fi
+    if [ $((now - last)) -gt "$thresh" ]; then
       echo "WATCHDOG: stall >${STALL}s, killing pg $PID $(date -u +%FT%TZ)" >> "$LOG"
-      kill -- -$PID 2>/dev/null; sleep 5; kill -9 -- -$PID 2>/dev/null
+      kill -- -$PID 2>/dev/null; sleep 5; kill -9 -- -$PID 2>/dev/null; sleep 8
       break
     fi
   done
