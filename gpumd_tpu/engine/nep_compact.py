@@ -679,46 +679,80 @@ def measure_bands(neigh: CompactNeighbors, cplan: CompactPlan,
     """Measure the banded-gather source-block bands on a CONCRETE build
     (host numpy, init-time only).
 
-    Both gather index sets are lane-sorted, so the source-block index is
-    monotone along them and every 8-sublane / 128-lane chunk only touches
-    a narrow band of 128-lane source blocks:
-    * idx is (class, lane)-sorted per atom (build_indices_compact) —
-      per mn_r/8 chunk the non-parked entries span a few compact blocks;
-    * cidx is window-lane sorted (compact_select) — per cl/128 chunk the
-      live entries span a few window blocks.
-    Bands are padded by `pad` blocks of thermal-motion slack; every later
-    rebuild re-checks membership and flags overflow (loud abort, same
-    contract as a neighbor-cap overflow).  Returns (bands_pair,
-    bands_cidx) tuples for CompactPlan._replace.
+    cidx is window-lane sorted (compact_select), so per cl/128 chunk the
+    live entries span a narrow band of 128-lane window source blocks, and
+    chunk contents drift slowly under thermal motion (the position->lane
+    map has slope wl/cnt ~ 2, so a one-entry insertion shifts later chunks
+    by ~2 lanes).  Robustness policy, derived from jitter experiments
+    (scripts/diag_overflow_1m.py; round-5 1M bench abort):
+    * live chunks take the UNION of their own and both neighbors' raw
+      bands (count drift moves entries across chunk boundaries), plus
+      `pad` blocks of slack;
+    * the all-pad SUFFIX (chunks past every block's cnt) inherits the last
+      live chunk's band: when a block's cnt grows past a chunk boundary,
+      the newly live entries are its largest kept lanes — previously the
+      last live chunk's content.  Growth past that is capped by the strict
+      cnt < cl capacity abort (compact_select).
+    Every later rebuild re-checks membership and flags overflow (loud
+    abort, same contract as a neighbor-cap overflow).
+
+    idx (pair) bands are NOT baked: measured per-chunk pair bands break
+    under sigma = 0.05 A jitter already — a neighbor rebinning to the
+    adjacent cell jumps its compact lane by a whole source block, and
+    angular<->radial class flips shift the class-boundary chunks between
+    the high-angular and low-radial lane ranges — so the robust cover is
+    the full live range, which saves nothing over a full scan.  Set
+    GPUMD_BAND_PAIR=1 to bake the raw measured pair bands anyway
+    (experiments only; aborts loudly on drift).
+
+    Returns (bands_pair, bands_cidx) tuples for CompactPlan._replace.
     """
+    import os as _os
+
     idx = np.asarray(neigh.idx)
     cidx = np.asarray(neigh.cidx)
     cnt = np.asarray(neigh.cnt)
     cl = cplan.cl
     park_blk = cplan.nblk_src - 1
     bands_pair = []
-    for r in range(cplan.mn_r // 8):
-        e = idx[..., r * 8:(r + 1) * 8, :]
-        live = e != cl - 1  # lane cl-1 is the guaranteed-dead parking slot
-        if live.any():
-            blk = e[live] >> 7
-            lo = max(0, int(blk.min()) - pad)
-            hi = min(park_blk, int(blk.max()) + pad)
-        else:
-            lo = hi = park_blk  # all parked: scan only the parking block
-        bands_pair.append((lo, hi))
-    bands_cidx = []
+    if _os.environ.get("GPUMD_BAND_PAIR") == "1":
+        for r in range(cplan.mn_r // 8):
+            e = idx[..., r * 8:(r + 1) * 8, :]
+            live = e != cl - 1  # lane cl-1 is the guaranteed-dead parking
+            if live.any():
+                blk = e[live] >> 7
+                lo = max(0, int(blk.min()) - pad)
+                hi = min(park_blk, int(blk.max()) + pad)
+            else:
+                lo = hi = park_blk  # all parked: scan only the parking blk
+            bands_pair.append((lo, hi))
     nblk_w = cplan.wl // 128
     lanes = np.arange(cl)
     live_all = lanes[None, None, None, :] < cnt[..., None]
+    raw = []
     for o in range(cl // 128):
         lv = live_all[..., o * 128:(o + 1) * 128]
         if lv.any():
             blk = cidx[..., o * 128:(o + 1) * 128][lv] >> 7
-            lo = max(0, int(blk.min()) - pad)
-            hi = min(nblk_w - 1, int(blk.max()) + pad)
+            raw.append((int(blk.min()), int(blk.max())))
         else:
-            lo = hi = 0  # chunk is all pads: scan one block, re-masked
+            raw.append(None)
+    last_live = max((o for o, b in enumerate(raw) if b is not None),
+                    default=None)
+    bands_cidx = []
+    for o in range(cl // 128):
+        if raw[o] is not None:
+            near = [raw[j] for j in (o - 1, o, o + 1)
+                    if 0 <= j < len(raw) and raw[j] is not None]
+        elif last_live is not None and o > last_live:
+            near = [raw[last_live]]
+        else:
+            near = []
+        if near:
+            lo = max(0, min(b[0] for b in near) - pad)
+            hi = min(nblk_w - 1, max(b[1] for b in near) + pad)
+        else:
+            lo = hi = 0  # unreachable chunk: scan one block, re-masked
         bands_cidx.append((lo, hi))
     return tuple(bands_pair), tuple(bands_cidx)
 

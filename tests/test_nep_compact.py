@@ -100,7 +100,9 @@ def _compact(nep, pos, types, box, n, per_atom_virial=True, skin=0.5,
             # banded plan so the rebuild-time band checks run too
             from gpumd_tpu.engine.nep_compact import measure_bands
             bp, bc = measure_bands(idx, cplan)
-            assert any(hi - lo + 1 < cplan.nblk_src for lo, hi in bp)
+            # pair bands are not baked (fragile — measure_bands docstring);
+            # the cidx bands must actually narrow some chunk's scan
+            assert any(hi - lo + 1 < cplan.wl // 128 for lo, hi in bc)
             cplan = cplan._replace(bands_pair=bp, bands_cidx=bc)
             idx, ok = build_compact_neighbors(
                 garr, box, cplan, nep.model.rc_angular_max, True)
@@ -328,14 +330,70 @@ def test_band_violation_flags_overflow():
         garr, box, cplan, nep.model.rc_angular_max, True)
     assert bool(ok)
     bp, bc = measure_bands(neigh, cplan)
-    # corrupt the pair band of the first chunk that has live entries
-    park = cplan.nblk_src - 1
-    bad = list(bp)
+    assert bp == ()  # pair bands are not baked by default (fragile; see
+    # measure_bands docstring) — the banded mechanism ships on cidx only
+    # corrupt the cidx band of the first chunk that has live entries
+    nblk_w = cplan.wl // 128
+    cnt_max = int(np.asarray(neigh.cnt).max())
+    bad = list(bc)
     for i, (lo, hi) in enumerate(bad):
-        if (lo, hi) != (park, park):
-            bad[i] = (park, park)  # live entries now out of band
+        if i * 128 < cnt_max:  # live chunk
+            far = 0 if hi == nblk_w - 1 else nblk_w - 1
+            bad[i] = (far, far)  # live entries now out of band
             break
     _, ok_bad = build_compact_neighbors(
-        garr, box, cplan._replace(bands_pair=tuple(bad), bands_cidx=bc),
+        garr, box, cplan._replace(bands_pair=bp, bands_cidx=tuple(bad)),
         nep.model.rc_angular_max, True)
     assert not bool(ok_bad)
+
+
+def test_baked_bands_survive_thermal_jitter():
+    """Bands baked on a PERFECT-LATTICE init build must hold under thermal
+    displacement (round-5 regression: rocksalt PbTe has shell-degenerate
+    neighbor counts, so chunks past the last live one collapsed to
+    degenerate bands at init and the first thermally-moved rebuild
+    aborted the 1M bench; measure_bands now unions neighbor chunks and
+    extends the all-pad suffix)."""
+    from gpumd_tpu.engine.nep_compact import (
+        build_compact_neighbors,
+        make_compact_plan as _mk,
+        measure_bands,
+    )
+    a0 = 6.57
+    nc = 8
+    base = np.array(
+        [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+         [.5, 0, 0], [0, .5, 0], [0, 0, .5], [.5, .5, .5]])
+    cells = np.stack(np.meshgrid(*[np.arange(nc)] * 3, indexing="ij"),
+                     axis=-1).reshape(-1, 3)
+    pos = ((cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a0)
+    types = np.tile(np.array([1, 1, 1, 1, 0, 0, 0, 0]), len(cells))
+    n = len(pos)
+    box = Box.orthogonal([nc * a0] * 3)
+    nep = _model(full=True)
+    plan = plan_grid(box, nep.model.rc_radial_max, 1.5, n, position=pos)
+    cplan = _mk(plan, position=pos, box=box,
+                rc_angular=nep.model.rc_angular_max, compact_lists=True)
+    assert cplan.cl
+
+    def build(p):
+        mask = jnp.ones(n)
+        perm, slot_mask, ov = bin_dense(jnp.asarray(p), box, mask, plan)
+        assert not bool(ov)
+        pos_s = apply_perm(jnp.asarray(p), perm, fill=1.0e5)
+        types_s = apply_perm(jnp.asarray(types, dtype=jnp.int32), perm,
+                             fill=0)
+        garr = pack_ghost(pos_s, types_s, slot_mask, box, plan)
+        return build_compact_neighbors(
+            garr, box, cplan, nep.model.rc_angular_max, True)
+
+    neigh, ok = build(pos)
+    assert bool(ok)
+    bp, bc = measure_bands(neigh, cplan)
+    cplan = cplan._replace(bands_pair=bp, bands_cidx=bc)
+    rng = np.random.default_rng(11)
+    for sigma in (0.05, 0.15):
+        p2 = np.asarray(box.wrap(jnp.asarray(
+            pos + rng.normal(0, sigma, pos.shape))))
+        _, ok2 = build(p2)
+        assert bool(ok2), f"baked bands broke at sigma={sigma}"
