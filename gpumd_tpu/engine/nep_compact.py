@@ -87,6 +87,11 @@ import os as _os  # noqa: E402
 # rebuild selection strategy: full bitonic sort vs top_k partial selection
 # over the (class << 12 | lane) keys (see build_indices_compact)
 _REBUILD_TOPK = _os.environ.get("GPUMD_REBUILD_TOPK", "0") != "0"
+# split the scatter's (rows, mnp*128) @ (mnp*128, 128) dot into this many
+# K-slices (partial dots summed on the VPU): probes whether Mosaic issues
+# independent K-slices across the TensorCore's MXUs in parallel — the
+# fused dot runs at ~12% MXU utilization (bench_mxu_probes.py onehot_*)
+_SCATTER_KSPLIT = int(_os.environ.get("GPUMD_SCATTER_KSPLIT", "1"))
 _BIG = 1.0e30
 
 
@@ -1498,11 +1503,18 @@ def _scatter_kernel(cplan: CompactPlan, mnp: int, interpret: bool, *refs):
     # explicit DEFAULT: the surrounding default_matmul_precision
     # ("high") context would otherwise leak HIGH into this trace,
     # which Mosaic's dot lowering rejects
-    acc = jax.lax.dot_general(
-        big_lhs, big_rhs, (((1,), (0,)), ((), ())),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.DEFAULT,
-    )  # (nblk*2pch, 128)
+    nsplit = _SCATTER_KSPLIT if mnp % _SCATTER_KSPLIT == 0 else 1
+    mchunk = mnp // nsplit
+    acc = None
+    for s in range(nsplit):
+        part = jax.lax.dot_general(
+            big_lhs[:, s * mchunk * a_pad:(s + 1) * mchunk * a_pad],
+            big_rhs[s * mchunk * a_pad:(s + 1) * mchunk * a_pad],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = part if acc is None else acc + part  # (nblk*2pch, 128)
     for b in range(cplan.nblk):
         ab = acc[b * 2 * pch:(b + 1) * 2 * pch]
         out_ref[0, 0, :, b * 128:(b + 1) * 128] = ab[:pch] + ab[pch:]
