@@ -1464,6 +1464,10 @@ class Session:
                     f"non-finite potential energy at step {self.global_step}"
                 )
             self.state = snap
+            # live engine context: dump_observer ensemble members evaluate
+            # on the compact pipeline with the driver's plan + neighbor
+            # build (one hot path, ref: dump_observer.cu:29-80)
+            self._dense_eval_ctx = (md, carry)
             for prop in self.properties:
                 if done % prop.interval == 0:
                     prop.process(self, snap, self.global_step)
@@ -1478,6 +1482,7 @@ class Session:
         self._finish_dense_run()
 
     def _finish_dense_run(self):
+        self._dense_eval_ctx = None
         for m in self.measure_props:
             m.postprocess(self)
         self.measure_props = []
@@ -2918,7 +2923,73 @@ class Session:
         # call would retrace every dump interval)
         _evals = {}
 
+        def _compact_ok(session, pot):
+            """Observer models ride the driver's compact plan + neighbor
+            build when their cutoffs fit inside it (the cutoff functions
+            zero contributions beyond the observer's own rc, and the
+            driver's rc+skin list covers every pair the observer can see —
+            same trick as the reference's shared neighbor pass,
+            dump_observer.cu:29-80).  The active-learning committee case
+            (same architecture, different weights) always qualifies."""
+            from gpumd_tpu.engine.nep_compact import CompactSpec
+            from gpumd_tpu.potentials.nep.model import NEP as _NEP
+
+            drv = session.potentials[0]
+            if not (isinstance(pot, _NEP) and isinstance(drv, _NEP)):
+                return False
+            try:
+                CompactSpec.from_model(pot.model, pot.params)
+            except NotImplementedError:
+                return False
+            if (pot.model.model_type == 3
+                    and getattr(pot, "temperature", None) is None):
+                return False  # unwired temperature model: list path errors
+            return (
+                tuple(pot.model.symbols) == tuple(drv.model.symbols)
+                and pot.model.rc_radial_max <= drv.model.rc_radial_max + 1e-9
+                and pot.model.rc_angular_max
+                <= drv.model.rc_angular_max + 1e-9
+            )
+
         def _eval(session, k, pot, state):
+            ctx = getattr(session, "_dense_eval_ctx", None)
+            if ctx is not None and _compact_ok(session, pot):
+                md, carry = ctx
+                key = ("compact", k)
+                if key not in _evals:
+                    from gpumd_tpu.engine.nep_compact import (
+                        compact_nep_compute,
+                    )
+
+                    def run(c, p=pot, md=md):
+                        out = compact_nep_compute(
+                            c.state.position, c.state.type, c.state.mask,
+                            c.state.box, md.cplan, c.idx, p.model, p.params,
+                            per_atom_virial=False, interpret=md.interpret,
+                            temperature=getattr(p, "temperature", None),
+                        )
+                        return out.energy, out.force, out.virial_total
+
+                    _evals[key] = jax.jit(run)
+                e_s, f_s, w_tot = _evals[key](carry)
+                session._observer_compact_evals = getattr(
+                    session, "_observer_compact_evals", 0) + 1
+                n = session._n
+                oid = np.asarray(carry.orig_id)
+                valid = oid < n
+                inv = np.zeros(n, np.int64)
+                inv[oid[valid]] = np.nonzero(valid)[0]
+                f = jnp.asarray(np.asarray(f_s)[inv])
+                e = jnp.asarray(np.asarray(e_s)[inv])
+                # compute_thermo only consumes the SUM of per-atom virials;
+                # park the compact total on atom 0 (per-atom rows would
+                # need the heavier per_atom_virial scatter variant)
+                w = jnp.zeros((n, 3, 3), f.dtype).at[0].set(
+                    jnp.asarray(w_tot))
+                return state._replace(
+                    force=f, potential_energy=e, virial=w,
+                    heat_current=jnp.zeros_like(f),
+                )
             if k not in _evals:
                 _evals[k] = jax.jit(
                     lambda st, p=pot: session.ff._evaluate_with(st, p)

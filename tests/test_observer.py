@@ -102,14 +102,34 @@ velocity 300
 time_step 1
 ensemble nve
 engine dense
-dump_observer observe 10 20 1 1
-run 20
+dump_observer observe 5 10 1 1
+run 10
 """
     )
     s = Session(str(tmp_path), quiet=True)
     s.execute()
     o0 = np.loadtxt(tmp_path / "observer0.out")
     o1 = np.loadtxt(tmp_path / "observer1.out")
+    o0 = o0.reshape(-1, 18)
+    o1 = o1.reshape(-1, 18)
     assert o0.shape == (2, 18) and o1.shape == (2, 18)
     assert np.allclose(o0, o1, rtol=1e-8)
     assert np.isfinite(o0).all()
+    # round 5: observer models must have evaluated on the COMPACT pipeline
+    # (driver's plan + neighbor build), not the per-frame list path
+    assert getattr(s, "_observer_compact_evals", 0) >= 4
+    # cross-check the compact observer forces against an independent
+    # list-path evaluation on the dumped frame's own positions
+    import jax.numpy as jnp
+
+    from gpumd_tpu.model.state import make_state
+
+    frames = read_xyz_frames(str(tmp_path / "observer0.xyz"))
+    fr = frames[-1]
+    n = len(fr.positions)
+    st = make_state(fr.positions, np.ones(n), np.asarray(s.state.type)[:n],
+                    s.state.box)
+    out = s.ff._evaluate_with(st, s.potentials[0])
+    np.testing.assert_allclose(
+        np.asarray(fr.forces), np.asarray(out.force)[:n],
+        rtol=2e-4, atol=5e-6)
